@@ -1,0 +1,33 @@
+"""laser-tpu: a TPU-native high-performance kernel library.
+
+A ground-up JAX/Pallas rebuild of the capabilities of mratsim/laser
+(see SURVEY.md at the repo root): BLIS-style GEMM -> MXU-tiled Pallas matmul,
+forEach/forEachStaged strided iteration -> fused elementwise / map-reduce
+kernel builders, AVX exp/log -> VPU vector-math kernels, cache-blocked
+transpose -> VMEM-tiled layout kernels, OpenMP -> Pallas grids + shard_map
+over device meshes.
+"""
+
+from . import config, device_info, registry, tensor, utils
+from .config import LaserConfig, config_override, get_config, set_config
+from .device_info import ChipSpec, detect, min_tile, num_devices
+from .tensor import TensorView, as_view, from_nested, row_major_strides, zeros
+
+__version__ = "0.1.0"
+
+# Ops are imported lazily by submodule to keep import light; the common entry
+# points are re-exported here once defined.
+from .ops import (  # noqa: E402
+    for_each,
+    for_each_staged,
+    map_reduce,
+    reduce_max,
+    reduce_mean,
+    reduce_min,
+    reduce_sum,
+)
+from .ops.gemm import gemm, gemm_packed, gemm_prepack_a, gemm_prepack_b, gemm_strided  # noqa: E402
+from .ops.vector_math import exp, log, sigmoid, softmax, tanh  # noqa: E402
+from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batched  # noqa: E402
+from .ops.conv import conv2d_direct, conv2d_im2col  # noqa: E402
+from .ops.sampling import sample_multinomial, sample_multinomial_batch  # noqa: E402

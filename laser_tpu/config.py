@@ -1,0 +1,87 @@
+"""Global configuration for laser-tpu.
+
+TPU-native analog of the reference's compile-time define system
+(reference: laser/compiler_optim_hints.nim:6 LASER_MEM_ALIGN,
+laser/openmp.nim:57-86 OMP_MEMORY_BOUND_GRAIN_SIZE / OMP_NON_CONTIGUOUS_SCALE_FACTOR,
+laser/dynamic_stack_arrays.nim:6 LASER_MAXRANK). Where the reference fixes these at
+compile time with -d: flags, we keep a small runtime dataclass: JAX re-traces (and
+Mosaic recompiles) per distinct config, so runtime mutation is still "compile time"
+from the kernel's point of view.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+from typing import Optional
+
+# Maximum tensor rank supported by the strided-view machinery.
+# Mirrors LASER_MAXRANK=6 (reference: laser/dynamic_stack_arrays.nim:6).
+LASER_MAXRANK = 6
+
+
+@dataclasses.dataclass
+class LaserConfig:
+    """Runtime knobs for kernel construction.
+
+    interpret: run Pallas kernels in interpreter mode. ``None`` = auto: interpret
+        when the default JAX backend is not TPU (the analog of the reference's
+        generic no-SIMD fallback ukernel, gemm_ukernel_generic.nim:21-35, which
+        lets every test run on any machine).
+    elementwise_grain: minimum number of elements per grid step for elementwise
+        kernels — the analog of OMP_MEMORY_BOUND_GRAIN_SIZE=1024
+        (reference: laser/openmp.nim:57-80), scaled for a TensorCore instead of
+        a CPU core.
+    reduction_grain: elements per partial-accumulator block in reductions
+        (reference: laser/primitives/reductions.nim:83 omp_parallel_if gate).
+    vmem_budget_frac: fraction of per-core VMEM the GEMM tiler may plan for
+        (the L1/L2-occupancy reasoning of gemm_tiling.nim:276-310 transplanted).
+    matmul_precision: jax.lax.Precision for in-kernel dots on f32 inputs.
+    """
+
+    interpret: Optional[bool] = None
+    elementwise_grain: int = 8 * 128 * 256
+    reduction_grain: int = 8 * 128 * 512
+    vmem_budget_frac: float = 0.7
+    matmul_precision: str = "highest"
+    # Pipeline/autotune defaults for the GEMM tiler; None = derive from device.
+    gemm_bm: Optional[int] = None
+    gemm_bn: Optional[int] = None
+    gemm_bk: Optional[int] = None
+
+
+_config = LaserConfig()
+
+
+def get_config() -> LaserConfig:
+    return _config
+
+
+def set_config(**kwargs) -> LaserConfig:
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise AttributeError(f"unknown laser config field: {k}")
+        setattr(_config, k, v)
+    return _config
+
+
+def should_interpret() -> bool:
+    """Resolve the interpret tri-state against the live backend."""
+    if _config.interpret is not None:
+        return _config.interpret
+    if os.environ.get("LASER_FORCE_INTERPRET"):
+        return True
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+@contextlib.contextmanager
+def config_override(**kwargs):
+    old = {k: getattr(_config, k) for k in kwargs}
+    try:
+        set_config(**kwargs)
+        yield _config
+    finally:
+        set_config(**old)

@@ -1,0 +1,170 @@
+"""Fused elementwise / map-reduce kernel builders.
+
+TPU-native rebuild of the reference's strided-iteration macro layer:
+  * ``for_each``  <- forEach / forEachContiguous / forEachStrided
+    (reference: laser/strided_iteration/foreach.nim:39-264) — N operands, one
+    fused expression, a contiguous fast path and a strided fallback chosen at
+    call time exactly like foreach.nim:180-189 emits both bodies behind an
+    ``is_C_contiguous`` test.
+  * ``for_each_staged`` / ``map_reduce`` <- forEachStaged's
+    before/in/after-loop stages with thread-local accumulators merged under a
+    critical section (reference: laser/strided_iteration/foreach_staged.nim:18-346,
+    examples/ex05_tensor_parallel_reduction.nim:15-59). On TPU the "threads"
+    are grid steps, the thread-local accumulator is a VMEM partial, and the
+    critical-section merge is a deterministic second-stage tree combine — so,
+    unlike the reference (reductions.nim:58-63 documents run-to-run
+    non-determinism), results are bit-stable across runs.
+
+The CPU grain-size gating (omp_parallel_if, openmp.nim:160-216) maps to block
+sizing: below ``elementwise_grain`` we use a single grid step (one "thread").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import get_config, should_interpret
+from ..tensor import TensorView, as_view
+from ..utils import cdiv, round_step_up
+
+# Lane count of one VPU row; all flat kernels view data as (rows, LANES).
+LANES = 128
+# Row granularity that satisfies every dtype's min sublane tile (f32 8,
+# bf16 16, int8 32 — device_info.SUBLANES_BY_ITEMSIZE).
+ROW_ALIGN = 32
+
+
+def _prepare_flat(operands: Sequence[TensorView], pad_value=0):
+    """Materialize + flatten operands to matching (rows, LANES) matrices."""
+    shape = operands[0].shape
+    for op in operands[1:]:
+        if op.shape != shape:
+            raise ValueError(f"operand shape mismatch: {op.shape} vs {shape}")
+    size = operands[0].size
+    rows = round_step_up(max(cdiv(size, LANES), 1), ROW_ALIGN)
+    padded = rows * LANES
+
+    mats = []
+    for op in operands:
+        flat = op.materialize().reshape(-1)
+        if padded != size:
+            flat = jnp.pad(flat, (0, padded - size), constant_values=pad_value)
+        mats.append(flat.reshape(rows, LANES))
+    return mats, shape, size, rows
+
+
+def _block_rows(rows: int, n_operands: int, itemsize: int) -> int:
+    """Pick rows-per-block from the elementwise grain (openmp grain analog)."""
+    cfg = get_config()
+    target_elems = max(cfg.elementwise_grain // max(n_operands, 1), LANES)
+    br = max(ROW_ALIGN, min(rows, target_elems // LANES))
+    return round_step_up(br, ROW_ALIGN)
+
+
+def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] = None,
+             pad_value=0) -> jax.Array:
+    """Apply ``fn`` elementwise over N same-shaped operands in ONE fused kernel.
+
+    ``fn`` takes N block arrays and returns one block array, e.g.
+    ``for_each(lambda x, y, z: x + y - jnp.sin(z), a, b, c)`` — the reference's
+    headline fusion demo (foreach.nim README example, iter_bench_prod.nim:25-45).
+
+    Strided ``TensorView`` operands are materialized first (the strided branch);
+    contiguous operands flow through zero-copy (the contiguous branch).
+    """
+    views = [as_view(op) for op in operands]
+    mats, shape, size, rows = _prepare_flat(views, pad_value)
+    out_dtype = out_dtype or jnp.result_type(*[m.dtype for m in mats])
+    interp = should_interpret() if interpret is None else interpret
+
+    br = _block_rows(rows, len(mats), np.dtype(out_dtype).itemsize)
+    grid = (cdiv(rows, br),)
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        out_ref[:] = fn(*[r[:] for r in refs[:-1]]).astype(out_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                  for _ in mats],
+        out_specs=pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), out_dtype),
+        interpret=interp,
+    )(*mats)
+    return out.reshape(-1)[:size].reshape(shape)
+
+
+def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
+               combine_fn: Optional[Callable] = None, identity=0.0,
+               out_dtype=None, acc_dtype=None,
+               interpret: Optional[bool] = None) -> jax.Array:
+    """Fused map + deterministic two-stage tree reduction to a scalar.
+
+    Stage layout mirrors forEachStaged (foreach_staged.nim:318):
+      before_loop  -> per-block accumulator init (``identity``)
+      in_loop      -> ``map_fn`` over the block + ``reduce_fn`` within block
+      after_loop   -> cross-block ``combine_fn`` (default: ``reduce_fn``)
+
+    Every grid step reduces its block on the VPU with a pairwise tree
+    (better-than-reference accuracy: laser uses 4 striped accumulators,
+    reductions_sse3.nim:31-49; a full tree is strictly finer-grained pairing).
+    """
+    views = [as_view(op) for op in operands]
+    mats, _, size, rows = _prepare_flat(views, identity)
+    acc_dtype = acc_dtype or jnp.result_type(*[m.dtype for m in mats])
+    out_dtype = out_dtype or acc_dtype
+    combine_fn = combine_fn or reduce_fn
+    interp = should_interpret() if interpret is None else interpret
+
+    cfg = get_config()
+    br = max(ROW_ALIGN, min(rows, cfg.reduction_grain // LANES))
+    br = round_step_up(br, ROW_ALIGN)
+    nblocks = cdiv(rows, br)
+    # Padded tail rows beyond `rows` are filled by Pallas with undefined data;
+    # mask them to the identity inside the kernel.
+    needs_mask = rows % br != 0
+
+    def kernel(*refs):
+        # The full (nblocks, 1) partials vector lives in SMEM and every grid
+        # step writes its own slot — the "thread-local accumulator array"
+        # of the staged-reduction pattern.
+        out_ref = refs[-1]
+        blocks = [r[:] for r in refs[:-1]]
+        i = pl.program_id(0)
+        if needs_mask:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+            valid = (i * br + row_ids) < rows
+            blocks = [jnp.where(valid, b, jnp.asarray(identity, b.dtype))
+                      for b in blocks]
+        mapped = map_fn(*blocks).astype(acc_dtype)
+        out_ref[i, 0] = reduce_fn(mapped)
+
+    partials = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                  for _ in mats],
+        out_specs=pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 1), acc_dtype),
+        interpret=interp,
+    )(*mats)
+    return combine_fn(partials.reshape(-1)).astype(out_dtype)
+
+
+def for_each_staged(*operands, before_loop=None, in_loop: Callable,
+                    after_loop: Callable = jnp.sum, identity=0.0, **kw):
+    """Thin name-parity wrapper over ``map_reduce`` using the reference's
+    stage vocabulary (foreach_staged.nim:318)."""
+    del before_loop  # accumulator init is the `identity` element on TPU
+    return map_reduce(in_loop, *operands, reduce_fn=after_loop,
+                      identity=identity, **kw)

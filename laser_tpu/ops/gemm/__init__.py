@@ -1,0 +1,17 @@
+from .api import gemm, gemm_strided
+from .kernel import build_gemm, epilogue_names
+from .prepacked import PackedMatrix, gemm_packed, gemm_prepack_a, gemm_prepack_b
+from .tiling import GemmTiles, plan_tiles
+
+__all__ = [
+    "gemm",
+    "gemm_strided",
+    "gemm_packed",
+    "gemm_prepack_a",
+    "gemm_prepack_b",
+    "PackedMatrix",
+    "GemmTiles",
+    "plan_tiles",
+    "build_gemm",
+    "epilogue_names",
+]

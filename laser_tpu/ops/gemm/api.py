@@ -1,0 +1,142 @@
+"""Public GEMM API: ``gemm`` (array-level) and ``gemm_strided`` (view-level).
+
+API parity with the reference driver
+(laser/primitives/matrix_multiplication/gemm.nim:184-247):
+
+  * ``gemm_strided(M, N, K, alpha, A, rsA, csA, B, rsB, csB, beta, C, rsC, csC)``
+    keeps the exact BLAS-like signature over flat buffers + strides; being
+    functional, it *returns* the new C instead of mutating.
+  * the dtype x ISA static dispatch table (gemm.nim:228-247) becomes a dtype ->
+    kernel-path dispatch: f32/bf16/f16 -> MXU Pallas kernel; int8 -> MXU int8
+    path (native on v5e+, the TPU-idiomatic bonus); int32/int64/f64 ->
+    exactness-preserving fallbacks (see ``_dispatch``) since the MXU has no
+    native path for them — the analog of laser's generic ukernel.
+  * arbitrary strides: contiguous and pure-transpose layouts are zero-copy;
+    anything else goes through one materialization pass (the packing analog —
+    laser also repacks every operand before the microkernel ever sees it,
+    gemm_packing.nim:24-94).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import get_config, should_interpret
+from ...tensor import TensorView, as_view
+from .kernel import build_gemm
+from .tiling import GemmTiles, plan_tiles
+
+_MXU_DTYPES = {"float32", "bfloat16", "float16", "int8"}
+
+
+def _dispatch(in_dtype: np.dtype) -> str:
+    name = jnp.dtype(in_dtype).name
+    if name in _MXU_DTYPES:
+        return "mxu"
+    if name in ("int32", "int64", "uint32", "uint64", "float64"):
+        return "xla"  # exactness-preserving XLA dot_general fallback
+    raise NotImplementedError(f"gemm: unsupported dtype {name}")
+
+
+def _acc_dtype(in_dtype) -> jnp.dtype:
+    d = jnp.dtype(in_dtype)
+    if d == jnp.int8 or d == jnp.uint8:
+        return jnp.dtype(jnp.int32)
+    if jnp.issubdtype(d, jnp.integer):
+        return d
+    if d == jnp.float64:
+        return d
+    return jnp.dtype(jnp.float32)
+
+
+def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
+         c: Optional[jax.Array] = None, bias: Optional[jax.Array] = None,
+         epilogue: Optional[str] = None, out_dtype=None, acc_dtype=None,
+         tiles: Optional[GemmTiles] = None,
+         interpret: Optional[bool] = None) -> jax.Array:
+    """out = epilogue(alpha * (a @ b) + beta * c + bias).
+
+    a: (M,K), b: (K,N). The fused ``epilogue``/``bias`` implements the
+    reference's declared roadmap feature (README.md:238-245).
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+        raise ValueError(f"gemm shape mismatch: {a.shape} x {b.shape}")
+    M, K = a.shape
+    _, N = b.shape
+    in_dtype = jnp.result_type(a.dtype, b.dtype)
+    a = a.astype(in_dtype)
+    b = b.astype(in_dtype)
+    acc_dt = jnp.dtype(acc_dtype) if acc_dtype else _acc_dtype(in_dtype)
+    out_dt = jnp.dtype(out_dtype) if out_dtype else (
+        jnp.dtype(in_dtype) if not jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
+        else acc_dt)
+    has_c = c is not None
+    if has_c:
+        c = jnp.asarray(c)
+        if c.shape != (M, N):
+            raise ValueError(f"c shape {c.shape} != {(M, N)}")
+
+    path = _dispatch(in_dtype)
+    if path == "xla" or M == 0 or N == 0 or K == 0:
+        return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt)
+
+    interp = should_interpret() if interpret is None else interpret
+    tiles = tiles or plan_tiles(M, N, K, in_dtype, acc_dt, has_c_input=has_c)
+    fn = build_gemm(M, N, K, tiles.bm, tiles.bn, tiles.bk,
+                    jnp.dtype(in_dtype).name, out_dt.name, acc_dt.name,
+                    has_c, bias is not None, epilogue,
+                    get_config().matmul_precision, interp,
+                    tiles.vmem_limit_bytes)
+    return fn(alpha, beta, a, b, c, bias)
+
+
+def _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt):
+    """Generic fallback path (analog of the scalar generic ukernel,
+    gemm_ukernel_generic.nim:21-35): exact for int32/int64 (XLA integer dot
+    has wraparound semantics matching the reference's mullo path) and for f64.
+    """
+    from .kernel import _EPILOGUES
+
+    r = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=acc_dt,
+                            precision=jax.lax.Precision.HIGHEST
+                            if not jnp.issubdtype(acc_dt, jnp.integer) else None)
+    r = r * jnp.asarray(alpha, acc_dt)
+    if c is not None:
+        r = r + jnp.asarray(beta, acc_dt) * c.astype(acc_dt)
+    if bias is not None:
+        r = r + bias.astype(acc_dt).reshape(1, -1)
+    return _EPILOGUES[epilogue](r).astype(out_dt)
+
+
+def gemm_strided(M: int, N: int, K: int, alpha,
+                 A, rsA: int, csA: int,
+                 B, rsB: int, csB: int,
+                 beta,
+                 C, rsC: int, csC: int,
+                 **kwargs) -> jax.Array:
+    """Signature-parity port of ``gemm_strided`` (gemm.nim:184-193).
+
+    A/B/C are flat buffers (or anything array-like); rs*/cs* are row/column
+    strides in elements. Returns the updated C buffer contents as an (M,N)
+    array materialized in row-major order (functional semantics: the caller
+    rebinds C). When beta == 0, C is never read (matching the reference's
+    beta==0 epilogue specialization, gemm_ukernel_generator.nim:76-85).
+    """
+    av = TensorView.matrix(jnp.asarray(A), M, K, rsA, csA)
+    bv = TensorView.matrix(jnp.asarray(B), K, N, rsB, csB)
+    a = av.materialize()
+    b = bv.materialize()
+    beta_is_zero = isinstance(beta, (int, float)) and beta == 0
+    c = None
+    if not beta_is_zero:
+        if C is None:
+            raise ValueError("gemm_strided: beta != 0 requires a C buffer to read")
+        c = TensorView.matrix(jnp.asarray(C), M, N, rsC, csC).materialize()
+    return gemm(a, b, alpha=alpha, beta=beta, c=c, **kwargs)

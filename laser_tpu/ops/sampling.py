@@ -1,0 +1,55 @@
+"""Multinomial sampling.
+
+Rebuild of the reference's random-sampling benchmarks
+(benchmarks/random_sampling/bench_multinomial_samplers.nim,
+fenwicktree.nim:30-40): CDF binary search and an F+tree (Fenwick) sampler
+with weight updates for sampling without replacement. The TPU idiom replaces
+per-sample tree walks with batched primitives:
+
+  * with replacement  -> inverse-CDF: one cumsum + vectorized searchsorted
+    (all samples in parallel on the VPU);
+  * without replacement -> Gumbel top-k, which is *distributionally
+    identical* to sequential weighted sampling without replacement
+    (Efraimidis-Spirakis) but embarrassingly parallel.
+
+A host-side C++ Fenwick-tree sampler (the literal F+tree analog, for
+host-bound producers like data loaders) lives in csrc/ and is exposed via
+laser_tpu.host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_multinomial(key: jax.Array, weights: jax.Array, num_samples: int,
+                       *, replacement: bool = True) -> jax.Array:
+    """Draw ``num_samples`` category indices ~ weights (unnormalized).
+
+    weights: (vocab,) nonnegative. Returns (num_samples,) int32.
+    """
+    weights = jnp.asarray(weights)
+    if weights.ndim != 1:
+        raise ValueError("weights must be rank-1")
+    if replacement:
+        cdf = jnp.cumsum(weights.astype(jnp.float32))
+        total = cdf[-1]
+        u = jax.random.uniform(key, (num_samples,), jnp.float32) * total
+        return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+    # Gumbel top-k == weighted sampling without replacement.
+    logw = jnp.where(weights > 0, jnp.log(weights.astype(jnp.float32)), -jnp.inf)
+    g = jax.random.gumbel(key, weights.shape, jnp.float32)
+    _, idx = jax.lax.top_k(logw + g, num_samples)
+    return idx.astype(jnp.int32)
+
+
+def sample_multinomial_batch(key: jax.Array, weights: jax.Array,
+                             num_samples: int, *, replacement: bool = True
+                             ) -> jax.Array:
+    """Batched variant: weights (B, vocab) -> (B, num_samples)."""
+    keys = jax.random.split(key, weights.shape[0])
+    return jax.vmap(lambda k, w: sample_multinomial(
+        k, w, num_samples, replacement=replacement))(keys, weights)

@@ -1,0 +1,154 @@
+"""GEMM property tests: cross-validation against a float64 oracle (the
+analog of laser cross-validating OpenBLAS at 1e-5 mean relative error,
+gemm_bench_float32.nim:356-367), plus dtype matrix / strides / epilogues."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import laser_tpu as lt
+from laser_tpu.ops.gemm import GemmTiles, plan_tiles
+from laser_tpu.utils import mean_relative_error
+
+
+def oracle(a, b, alpha=1.0, beta=0.0, c=None):
+    r = alpha * (a.astype(np.float64) @ b.astype(np.float64))
+    if c is not None:
+        r = r + beta * c.astype(np.float64)
+    return r
+
+
+class TestGemmF32:
+    @pytest.mark.parametrize("mnk", [(8, 8, 8), (96, 80, 72), (130, 67, 259),
+                                     (1, 1, 1), (257, 129, 384)])
+    def test_vs_oracle(self, rng, mnk):
+        M, N, K = mnk
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm(a, b)
+        assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
+
+    def test_alpha_beta(self, rng):
+        M, N, K = 64, 48, 32
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        c = rng.randn(M, N).astype(np.float32)
+        got = lt.gemm(a, b, alpha=2.5, beta=-0.5, c=c)
+        assert mean_relative_error(np.asarray(got),
+                                   oracle(a, b, 2.5, -0.5, c)) < 1e-5
+
+    def test_small_tiles_multiblock_k(self, rng):
+        # force a multi-step K loop to exercise accumulation + k-tail masking
+        M, N, K = 100, 90, 300
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        tiles = GemmTiles(bm=128, bn=128, bk=128, vmem_limit_bytes=1 << 24)
+        got = lt.gemm(a, b, tiles=tiles)
+        assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
+
+    def test_epilogues(self, rng):
+        M, N, K = 32, 40, 24
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        bias = rng.randn(N).astype(np.float32)
+        got = lt.gemm(a, b, bias=jnp.asarray(bias), epilogue="relu")
+        want = np.maximum(oracle(a, b) + bias[None, :], 0)
+        assert mean_relative_error(np.asarray(got), want) < 1e-5
+
+        got_t = lt.gemm(a, b, epilogue="tanh")
+        np.testing.assert_allclose(np.asarray(got_t), np.tanh(oracle(a, b)),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestGemmDtypes:
+    def test_bf16(self, rng):
+        M, N, K = 128, 128, 128
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
+                      out_dtype=jnp.float32)
+        # bf16 inputs: tolerance matches bf16 rounding of inputs (~1e-2)
+        want = (a.astype(jnp.bfloat16).astype(np.float64)
+                @ np.asarray(jnp.asarray(b, jnp.bfloat16), np.float64))
+        assert mean_relative_error(np.asarray(got), want) < 1e-6
+
+    def test_int32_exact(self, rng):
+        M, N, K = 65, 43, 77
+        a = rng.randint(-50, 50, (M, K)).astype(np.int32)
+        b = rng.randint(-50, 50, (K, N)).astype(np.int32)
+        got = lt.gemm(a, b)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      a.astype(np.int64) @ b.astype(np.int64))
+
+    def test_int8_to_int32(self, rng):
+        M, N, K = 128, 128, 128
+        a = rng.randint(-20, 20, (M, K)).astype(np.int8)
+        b = rng.randint(-20, 20, (K, N)).astype(np.int8)
+        got = lt.gemm(a, b)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(
+            np.asarray(got), a.astype(np.int32) @ b.astype(np.int32))
+
+
+class TestGemmStrided:
+    def test_every_second_row(self, rng):
+        # the README's strided flagship scenario (README.md:211-213):
+        # multiply every-2nd-row slices without copies on the caller side
+        M, N, K = 16, 12, 10
+        abuf = rng.randn(2 * M, K).astype(np.float32)
+        bbuf = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm_strided(M, N, K, 1.0,
+                              abuf, 2 * K, 1,   # row stride 2*K = skip rows
+                              bbuf, N, 1,
+                              0.0, None, N, 1)
+        assert mean_relative_error(np.asarray(got), oracle(abuf[::2], bbuf)) < 1e-5
+
+    def test_transposed_b(self, rng):
+        M, N, K = 24, 36, 48
+        a = rng.randn(M, K).astype(np.float32)
+        bt = rng.randn(N, K).astype(np.float32)  # row-major (N,K) = B^T
+        got = lt.gemm_strided(M, N, K, 1.0, a, K, 1, bt, 1, K, 0.0, None, N, 1)
+        assert mean_relative_error(np.asarray(got), oracle(a, bt.T)) < 1e-5
+
+    def test_beta_accumulate(self, rng):
+        M, N, K = 20, 20, 20
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        c = rng.randn(M, N).astype(np.float32)
+        got = lt.gemm_strided(M, N, K, 1.0, a, K, 1, b, N, 1, 1.0, c, N, 1)
+        assert mean_relative_error(np.asarray(got), oracle(a, b, 1.0, 1.0, c)) < 1e-5
+
+
+class TestPrepacked:
+    def test_matches_unpacked(self, rng):
+        M, N, K = 100, 120, 90
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        tiles = plan_tiles(M, N, K, np.float32)
+        pa = lt.gemm_prepack_a(jnp.asarray(a), tiles=tiles)
+        pb = lt.gemm_prepack_b(jnp.asarray(b), tiles=tiles)
+        got = lt.gemm_packed(1.0, pa, pb)
+        assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
+
+    def test_reuse_across_multiplies(self, rng):
+        K, N = 64, 80
+        b = rng.randn(K, N).astype(np.float32)
+        tiles = GemmTiles(bm=128, bn=128, bk=128, vmem_limit_bytes=1 << 24)
+        pb = lt.gemm_prepack_b(jnp.asarray(b), tiles=tiles)
+        for M in (32, 64):
+            a = rng.randn(M, K).astype(np.float32)
+            pa = lt.gemm_prepack_a(jnp.asarray(a), tiles=tiles)
+            got = lt.gemm_packed(1.0, pa, pb)
+            assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
+
+
+class TestTilePlanner:
+    def test_alignment_and_fit(self):
+        t = plan_tiles(4096, 4096, 4096, np.float32)
+        assert t.bm % 128 == 0 and t.bn % 128 == 0 and t.bk % 128 == 0
+        assert t.grid(4096, 4096, 4096)[0] >= 1
+
+    def test_small_problem(self):
+        t = plan_tiles(8, 8, 8, np.float32)
+        assert t.bm == 128 and t.bn == 128  # rounded to MXU alignment
