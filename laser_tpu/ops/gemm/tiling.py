@@ -78,8 +78,10 @@ def plan_tiles(M: int, N: int, K: int, in_dtype, acc_dtype=np.float32,
     Nr = round_step_up(max(N, 1), align)
     Kr = round_step_up(max(K, 1), align)
 
+    # Measured on v5e: wide-N tiles win (the MXU streams B's lanes); 512x1024
+    # is the robust default at large sizes, with autotune refining further.
     bm = o_bm or min(512, Mr)
-    bn = o_bn or min(512, Nr)
+    bn = o_bn or min(1024, Nr)
     bm = round_step_up(bm, align)
     bn = round_step_up(bn, align)
 
