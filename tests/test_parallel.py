@@ -1,0 +1,176 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY §4: 'multi-node
+without a real cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import laser_tpu as lt
+from laser_tpu.parallel import gemm_sharded, make_mesh, shard_array
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh({"dp": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh_2d():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh({"dp": 2, "tp": 4})
+
+
+def oracle(a, b):
+    return np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+
+
+class TestMakeMesh:
+    def test_default(self):
+        m = make_mesh()
+        assert m.devices.size == jax.device_count()
+
+    def test_infer(self):
+        if jax.device_count() != 8:
+            pytest.skip("needs exactly 8")
+        m = make_mesh({"dp": 2, "tp": -1})
+        assert dict(zip(m.axis_names, m.devices.shape)) == {"dp": 2, "tp": 4}
+
+    def test_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh({"dp": 3}, devices=jax.devices()[:2])
+
+
+class TestShardedGemm:
+    @pytest.mark.parametrize("strategy", ["row", "col", "k"])
+    def test_strategies(self, rng, mesh8, strategy):
+        M, N, K = 64, 48, 80
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = gemm_sharded(jnp.asarray(a), jnp.asarray(b), mesh8,
+                           strategy=strategy)
+        np.testing.assert_allclose(np.asarray(got), oracle(a, b),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_k_reduce_scatter(self, rng, mesh8):
+        M, N, K = 64, 48, 80
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = gemm_sharded(jnp.asarray(a), jnp.asarray(b), mesh8,
+                           strategy="k", reduce_scatter=True)
+        np.testing.assert_allclose(np.asarray(got), oracle(a, b),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_matches_single_device(self, rng, mesh8):
+        a = rng.randn(32, 32).astype(np.float32)
+        b = rng.randn(32, 32).astype(np.float32)
+        single = np.asarray(lt.gemm(a, b))
+        multi = np.asarray(gemm_sharded(jnp.asarray(a), jnp.asarray(b), mesh8))
+        np.testing.assert_allclose(single, multi, rtol=1e-6)
+
+
+class TestShardedTraining:
+    def test_one_step_runs_and_matches(self, mesh_2d):
+        """Sharded megatron step == single-device step (same math)."""
+        from laser_tpu.models.mlp import (init_mlp, loss_fn, sgd_step,
+                                          sharded_sgd_step)
+
+        D, H, C, B = 32, 64, 8, 16
+        key = jax.random.PRNGKey(0)
+        params = init_mlp(key, [D, H, C])
+        x = jax.random.normal(jax.random.fold_in(key, 1), (B, D))
+        y = jax.random.randint(jax.random.fold_in(key, 2), (B,), 0, C)
+
+        ref_params, ref_loss = sgd_step(params, x, y, lr=1e-2)
+
+        sp = [dict(p) for p in params]
+        sp[0]["w"] = shard_array(params[0]["w"], mesh_2d, None, "tp")
+        sp[0]["b"] = shard_array(params[0]["b"], mesh_2d, "tp")
+        sp[1]["w"] = shard_array(params[1]["w"], mesh_2d, "tp", None)
+        sp[1]["b"] = shard_array(params[1]["b"], mesh_2d, None)
+        xs = shard_array(x, mesh_2d, "dp", None)
+        ys = shard_array(y, mesh_2d, "dp")
+
+        step = sharded_sgd_step(mesh_2d, [D, H, C], lr=1e-2)
+        new_params, loss = step(sp, xs, ys)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for got, want in zip(new_params, ref_params):
+            np.testing.assert_allclose(np.asarray(got["w"]),
+                                       np.asarray(want["w"]), rtol=1e-4,
+                                       atol=1e-4)
+
+
+class TestAutodiff:
+    def test_gemm_ad_grads(self, rng):
+        from laser_tpu.ops.gemm.autodiff import gemm_ad
+
+        a = rng.randn(8, 12).astype(np.float32)
+        b = rng.randn(12, 6).astype(np.float32)
+
+        def f(a, b):
+            return jnp.sum(gemm_ad(a, b) ** 2)
+
+        ga, gb = jax.grad(f, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+        gan, gbn = jax.grad(lambda a, b: jnp.sum((a @ b) ** 2),
+                            argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gan), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gbn), rtol=1e-4,
+                                   atol=1e-4)
+
+    @pytest.mark.parametrize("act", [None, "relu", "tanh", "sigmoid", "gelu"])
+    def test_linear_grads(self, rng, act):
+        from laser_tpu.ops.gemm.autodiff import linear
+
+        x = rng.randn(8, 12).astype(np.float32)
+        w = rng.randn(12, 6).astype(np.float32)
+        b = rng.randn(6).astype(np.float32)
+
+        def f(x, w, b):
+            return jnp.sum(linear(x, w, b, act) ** 2)
+
+        def ref(x, w, b):
+            z = x @ w + b[None, :]
+            acts = {None: lambda v: v, "relu": jax.nn.relu, "tanh": jnp.tanh,
+                    "sigmoid": jax.nn.sigmoid, "gelu": jax.nn.gelu}
+            return jnp.sum(acts[act](z) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(*map(jnp.asarray, (x, w, b)))
+        want = jax.grad(ref, argnums=(0, 1, 2))(*map(jnp.asarray, (x, w, b)))
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_training_reduces_loss(self, rng):
+        from laser_tpu.models.mlp import init_mlp, loss_fn, sgd_step
+
+        key = jax.random.PRNGKey(42)
+        params = init_mlp(key, [16, 32, 4])
+        x = jnp.asarray(rng.randn(64, 16).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 4, 64))
+        l0 = float(loss_fn(params, x, y))
+        for _ in range(20):
+            params, loss = sgd_step(params, x, y, lr=0.1)
+        assert float(loss) < l0 * 0.8
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (128, 10)
+        s = np.asarray(out).sum(axis=-1)
+        np.testing.assert_allclose(s, 1.0, rtol=1e-4)  # softmax rows
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        g.dryrun_multichip(8)
