@@ -1,0 +1,216 @@
+// laser_host: native host-side runtime helpers for laser-tpu.
+//
+// The reference embeds native code in three ways: the vendored cpuinfo C
+// library, inline {.emit.} C in hot loops, and the photon_jit runtime
+// assembler. On TPU the device-side analog of all three is the compiled
+// Pallas kernel; the pieces that remain genuinely host-bound — data-loader
+// style sampling and layout shuffling that feed the device — live here as
+// real native code.
+//
+// Components:
+//   * Fenwick (F+tree) multinomial sampler — the literal port target of
+//     benchmarks/random_sampling/fenwicktree.nim + the NOMAD-LDA style
+//     sampler the reference benchmarks (bench_multinomial_samplers.nim):
+//     O(log n) sampling AND O(log n) weight update, which is what makes
+//     without-replacement and evolving-weight sampling fast. The TPU-side
+//     idiom (Gumbel top-k, ops/sampling.py) covers batched device sampling;
+//     this covers host-side producers (data loaders, CPU-side token
+//     sampling) where the tree's updatability wins.
+//   * strided_copy_f32/d — rank-general strided -> row-major gather copy,
+//     the host twin of the forEachStrided odometer loop
+//     (laser/strided_iteration/foreach.nim:64-113), used for zero-copy-out
+//     host tensors feeding device buffers.
+//
+// Build: g++ -O3 -march=native -shared -fPIC (driven by laser_tpu/host).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// splitmix64: tiny, seedable, statistically solid for sampling use.
+struct SplitMix64 {
+  uint64_t state;
+  explicit SplitMix64(uint64_t seed) : state(seed) {}
+  uint64_t next() {
+    uint64_t z = (state += 0x9E3779B97F4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  // uniform double in [0, 1)
+  double uniform() { return (next() >> 11) * 0x1.0p-53; }
+};
+
+struct Fenwick {
+  // 1-based implicit binary indexed tree over n leaves; tree[i] holds the
+  // sum of the 2^r leaves ending at i (r = number of trailing zeros of i).
+  std::vector<double> tree;
+  std::vector<double> leaf;  // current leaf weights (for clamping/updates)
+  int n;
+  int log2n;  // highest power of two <= n
+
+  explicit Fenwick(const float* w, int n_) : tree(n_ + 1, 0.0), leaf(n_), n(n_) {
+    for (int i = 0; i < n; ++i) leaf[i] = w[i] > 0 ? w[i] : 0.0;
+    // O(n) build: tree[i] = leaf[i-1], then push partial sums to parents.
+    for (int i = 1; i <= n; ++i) tree[i] += leaf[i - 1];
+    for (int i = 1; i <= n; ++i) {
+      int parent = i + (i & -i);
+      if (parent <= n) tree[parent] += tree[i];
+    }
+    log2n = 1;
+    while ((log2n << 1) <= n) log2n <<= 1;
+  }
+
+  double total() const {
+    double s = 0.0;
+    for (int i = n; i > 0; i -= i & -i) s += tree[i];
+    return s;
+  }
+
+  double get(int i) const { return leaf[i]; }
+
+  void update(int i, double w) {
+    if (w < 0) w = 0;
+    double delta = w - leaf[i];
+    leaf[i] = w;
+    for (int j = i + 1; j <= n; j += j & -j) tree[j] += delta;
+  }
+
+  // Descend the implicit tree: find smallest index with prefix_sum > u.
+  // O(log n), no binary search over an explicit CDF (the F+tree trick the
+  // reference benchmarks against CDF bisection).
+  int sample(double u) const {
+    int pos = 0;
+    for (int mask = log2n; mask > 0; mask >>= 1) {
+      int next = pos + mask;
+      if (next <= n && tree[next] <= u) {
+        u -= tree[next];
+        pos = next;
+      }
+    }
+    return pos < n ? pos : n - 1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* laser_fenwick_create(const float* w, int n) {
+  return new Fenwick(w, n);
+}
+
+void laser_fenwick_destroy(void* h) { delete static_cast<Fenwick*>(h); }
+
+double laser_fenwick_total(void* h) { return static_cast<Fenwick*>(h)->total(); }
+
+double laser_fenwick_get(void* h, int i) {
+  return static_cast<Fenwick*>(h)->get(i);
+}
+
+void laser_fenwick_update(void* h, int i, double w) {
+  static_cast<Fenwick*>(h)->update(i, w);
+}
+
+int laser_fenwick_sample_one(void* h, double u) {
+  return static_cast<Fenwick*>(h)->sample(u);
+}
+
+// Draw `num` samples. replacement=0 zeroes each drawn weight (sampling
+// without replacement with true weight updates — the case where the F+tree
+// beats CDF rebuild by O(n/log n), reference results: 9.37 M/s vs 0.82 M/s).
+// Restores weights afterwards so the sampler is reusable.
+void laser_fenwick_sample(void* h, uint64_t seed, int num, int replacement,
+                          int32_t* out) {
+  Fenwick* f = static_cast<Fenwick*>(h);
+  SplitMix64 rng(seed);
+  if (replacement) {
+    double tot = f->total();
+    for (int s = 0; s < num; ++s) out[s] = f->sample(rng.uniform() * tot);
+    return;
+  }
+  std::vector<std::pair<int, double>> drawn;
+  drawn.reserve(num);
+  for (int s = 0; s < num; ++s) {
+    double tot = f->total();
+    int idx = tot > 0 ? f->sample(rng.uniform() * tot) : 0;
+    out[s] = idx;
+    drawn.emplace_back(idx, f->get(idx));
+    f->update(idx, 0.0);
+  }
+  for (auto it = drawn.rbegin(); it != drawn.rend(); ++it)
+    f->update(it->first, it->second);
+}
+
+// One-shot convenience: build + sample + destroy.
+void laser_multinomial(const float* w, int n, uint64_t seed, int num,
+                       int replacement, int32_t* out) {
+  Fenwick f(w, n);
+  laser_fenwick_sample(&f, seed, num, replacement, out);
+}
+
+}  // extern "C" (template below needs C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Strided -> contiguous copy (rank-general odometer, f32/f64).
+// shape/strides are element-granular; dst is row-major contiguous.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void strided_copy(const T* src, T* dst, int rank, const int64_t* shape,
+                         const int64_t* strides, int64_t offset) {
+  if (rank == 0) {
+    dst[0] = src[offset];
+    return;
+  }
+  int64_t size = 1;
+  for (int d = 0; d < rank; ++d) size *= shape[d];
+  if (size == 0) return;
+
+  std::vector<int64_t> coord(rank, 0);
+  int64_t src_idx = offset;
+  const int last = rank - 1;
+  const int64_t inner_n = shape[last];
+  const int64_t inner_s = strides[last];
+  int64_t written = 0;
+  while (written < size) {
+    // inner loop: contiguous-dst writes, strided-src reads
+    if (inner_s == 1) {
+      std::memcpy(dst + written, src + src_idx, inner_n * sizeof(T));
+    } else {
+      for (int64_t i = 0; i < inner_n; ++i)
+        dst[written + i] = src[src_idx + i * inner_s];
+    }
+    written += inner_n;
+    // odometer increment over the outer dims (foreach_common.nim:102-120)
+    int d = last - 1;
+    for (; d >= 0; --d) {
+      src_idx += strides[d];
+      if (++coord[d] < shape[d]) break;
+      src_idx -= coord[d] * strides[d];
+      coord[d] = 0;
+    }
+    if (d < 0) break;
+  }
+}
+
+extern "C" {
+
+void laser_strided_copy_f32(const float* src, float* dst, int rank,
+                            const int64_t* shape, const int64_t* strides,
+                            int64_t offset) {
+  strided_copy<float>(src, dst, rank, shape, strides, offset);
+}
+
+void laser_strided_copy_f64(const double* src, double* dst, int rank,
+                            const int64_t* shape, const int64_t* strides,
+                            int64_t offset) {
+  strided_copy<double>(src, dst, rank, shape, strides, offset);
+}
+
+int laser_host_abi_version() { return 1; }
+
+}  // extern "C"
