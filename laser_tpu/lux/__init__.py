@@ -1,0 +1,5 @@
+from .dsl import (LuxNode, generate, lux_abs, lux_exp, lux_log, lux_max,
+                  lux_sigmoid, lux_sin, lux_sum, lux_tanh)
+
+__all__ = ["generate", "LuxNode", "lux_sin", "lux_exp", "lux_log", "lux_tanh",
+           "lux_sigmoid", "lux_abs", "lux_sum", "lux_max"]

@@ -1,0 +1,304 @@
+"""Lux: a tiny tensor-expression layer that lowers onto the kernel builders.
+
+Rebuild of the reference's experimental Lux DSL compiler
+(laser/lux_compiler/ — 2.3 kLoC of compile-time Nim: symbolic execution of
+the generator proc into an Fn graph, loop-nest inference, SIMD codegen).
+SURVEY §2 C25 scopes the TPU version deliberately smaller: JAX is already
+the tracing compiler, so Lux here is the *fusion planner* — capture the
+expression tree (the "algorithm", lux_frontend.nim:23-97 analog), then pick
+kernel templates and fusion boundaries (the "schedule"):
+
+  * maximal elementwise subtree           -> ONE for_each Pallas kernel
+    (the forEach fusion the reference's codegen emits, lux_codegen.nim)
+  * full reduction over an elementwise    -> ONE map_reduce kernel (map
+    subtree                                  fused into the reduction)
+  * matmul                                -> the flagship Pallas GEMM; the
+    act(A@B + bias) / act(A@B) patterns      epilogue fuses into the GEMM
+                                             (the reference's roadmap item)
+
+Usage:
+    @lux.generate
+    def foobar(a, b, c):
+        return a + b - lux_sin(c)
+    out = foobar(x, y, z)        # one fused kernel
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BINOPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "pow": lambda a, b: a ** b,
+    "max": jnp.maximum,
+    "min": jnp.minimum,
+}
+
+_UNOPS = {
+    "neg": lambda a: -a,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "abs": jnp.abs,
+    "relu": lambda a: jnp.maximum(a, 0),
+    "tanh": None,     # routed to the laser kernels below
+    "sigmoid": None,
+    "exp": None,
+    "log": None,
+}
+
+# unops that exist as fused GEMM epilogues
+_EPILOGUE_ACTS = {"relu", "tanh", "sigmoid", "gelu"}
+
+
+@dataclasses.dataclass(frozen=True)
+class LuxNode:
+    """Expression node (core/lux_types.nim LuxNode analog)."""
+
+    kind: str  # input | const | binop | unop | matmul | reduce
+    op: Optional[str] = None
+    args: Tuple["LuxNode", ...] = ()
+    value: Any = None  # input index or const value
+    axis: Optional[int] = None  # for reduce
+
+    # -- operator sugar (dsl/primitives.nim:75-127 analog) -------------------
+
+    def _bin(self, op, other, rev=False):
+        o = other if isinstance(other, LuxNode) else LuxNode("const", value=other)
+        return (LuxNode("binop", op, (o, self)) if rev
+                else LuxNode("binop", op, (self, o)))
+
+    def __add__(self, o):
+        return self._bin("add", o)
+
+    def __radd__(self, o):
+        return self._bin("add", o, rev=True)
+
+    def __sub__(self, o):
+        return self._bin("sub", o)
+
+    def __rsub__(self, o):
+        return self._bin("sub", o, rev=True)
+
+    def __mul__(self, o):
+        return self._bin("mul", o)
+
+    def __rmul__(self, o):
+        return self._bin("mul", o, rev=True)
+
+    def __truediv__(self, o):
+        return self._bin("div", o)
+
+    def __rtruediv__(self, o):
+        return self._bin("div", o, rev=True)
+
+    def __pow__(self, o):
+        return self._bin("pow", o)
+
+    def __neg__(self):
+        return LuxNode("unop", "neg", (self,))
+
+    def __matmul__(self, o):
+        if not isinstance(o, LuxNode):
+            raise TypeError("matmul operand must be a LuxNode")
+        return LuxNode("matmul", None, (self, o))
+
+    # -- analysis -------------------------------------------------------------
+
+    def is_elementwise_tree(self) -> bool:
+        if self.kind in ("input", "const"):
+            return True
+        if self.kind in ("matmul", "reduce"):
+            return False
+        return all(a.is_elementwise_tree() for a in self.args)
+
+    def leaves(self, acc: Optional[List[int]] = None) -> List[int]:
+        """Distinct input indices in first-use order."""
+        acc = [] if acc is None else acc
+        if self.kind == "input":
+            if self.value not in acc:
+                acc.append(self.value)
+        for a in self.args:
+            a.leaves(acc)
+        return acc
+
+
+def _unop(name):
+    def f(x):
+        if not isinstance(x, LuxNode):
+            raise TypeError(f"lux_{name} takes a LuxNode")
+        return LuxNode("unop", name, (x,))
+    f.__name__ = f"lux_{name}"
+    return f
+
+
+lux_sin = _unop("sin")
+lux_exp = _unop("exp")
+lux_log = _unop("log")
+lux_tanh = _unop("tanh")
+lux_sigmoid = _unop("sigmoid")
+lux_abs = _unop("abs")
+
+
+def lux_sum(x: LuxNode) -> LuxNode:
+    """Full reduction (fused with its elementwise operand)."""
+    return LuxNode("reduce", "sum", (x,))
+
+
+def lux_max(x: LuxNode) -> LuxNode:
+    return LuxNode("reduce", "max", (x,))
+
+
+# ---------------------------------------------------------------------------
+# Lowering (the pass_build_loops + codegen analog, pass_build_loops.nim:28-186)
+# ---------------------------------------------------------------------------
+
+
+def _eval_elementwise(node: LuxNode, env: Dict[int, Any]):
+    """Build the fused jnp expression over block values in ``env``."""
+    if node.kind == "input":
+        return env[node.value]
+    if node.kind == "const":
+        return node.value
+    if node.kind == "binop":
+        a = _eval_elementwise(node.args[0], env)
+        b = _eval_elementwise(node.args[1], env)
+        return _BINOPS[node.op](a, b)
+    if node.kind == "unop":
+        v = _eval_elementwise(node.args[0], env)
+        if node.op in ("tanh", "sigmoid", "exp", "log"):
+            from ..ops import vector_math as vm
+
+            expr = {"tanh": vm._tanh_expr, "sigmoid": vm._sigmoid_expr,
+                    "exp": vm._exp_expr, "log": vm._log_expr}[node.op]
+            return expr(v)
+        return _UNOPS[node.op](v)
+    raise AssertionError(f"not elementwise: {node.kind}")
+
+
+def _match_gemm_epilogue(node: LuxNode):
+    """Recognize act(A@B [+ bias]) / A@B [+ bias] for the fused GEMM path.
+
+    Returns (lhs, rhs, bias_node_or_None, act_or_None) or None.
+    """
+    act = None
+    n = node
+    if n.kind == "unop" and n.op in _EPILOGUE_ACTS:
+        act = n.op
+        n = n.args[0]
+    bias = None
+    if n.kind == "binop" and n.op == "add":
+        a, b = n.args
+        if a.kind == "matmul":
+            n, bias = a, b
+        elif b.kind == "matmul":
+            n, bias = b, a
+    if n.kind != "matmul":
+        return None
+    lhs, rhs = n.args
+    return lhs, rhs, bias, act
+
+
+def _lower(node: LuxNode) -> Callable:
+    """Return run(arrays: dict idx->array) -> jax array."""
+    from ..ops.foreach import for_each, map_reduce
+    from ..ops.gemm import gemm
+
+    if node.is_elementwise_tree():
+        idxs = node.leaves()
+
+        def run(arrays):
+            fn = lambda *blocks: _eval_elementwise(
+                node, dict(zip(idxs, blocks)))
+            return for_each(fn, *[arrays[i] for i in idxs])
+
+        return run
+
+    if node.kind == "reduce":
+        operand = node.args[0]
+        if not operand.is_elementwise_tree():
+            inner = _lower(operand)
+            red = {"sum": jnp.sum, "max": jnp.max}[node.op]
+
+            def run(arrays):
+                return red(inner(arrays))
+
+            return run
+        idxs = operand.leaves()
+        red = {"sum": jnp.sum, "max": jnp.max}[node.op]
+        ident = {"sum": 0.0, "max": -jnp.inf}[node.op]
+
+        def run(arrays):
+            fn = lambda *blocks: _eval_elementwise(
+                operand, dict(zip(idxs, blocks)))
+            return map_reduce(fn, *[arrays[i] for i in idxs],
+                              reduce_fn=red, identity=ident)
+
+        return run
+
+    m = _match_gemm_epilogue(node)
+    if m is not None:
+        lhs, rhs, bias, act = m
+        run_l, run_r = _lower(lhs), _lower(rhs)
+        run_bias = _lower(bias) if bias is not None else None
+
+        def run(arrays):
+            a = run_l(arrays)
+            b = run_r(arrays)
+            bb = run_bias(arrays) if run_bias is not None else None
+            if bb is not None and bb.ndim != 1:
+                # general C = A@B + X falls back to gemm + fused add
+                from ..ops.foreach import for_each as fe
+
+                r = gemm(a, b, epilogue=act)
+                return fe(lambda u, v: u + v, r, bb)
+            return gemm(a, b, bias=bb, epilogue=act)
+
+        return run
+
+    # generic fallback: lower children, apply op via jnp (keeps any tree legal)
+    runs = [_lower(a) for a in node.args]
+    if node.kind == "binop":
+        def run(arrays):
+            return _BINOPS[node.op](runs[0](arrays), runs[1](arrays))
+        return run
+    if node.kind == "unop":
+        def run(arrays):
+            v = runs[0](arrays)
+            if node.op in ("tanh", "sigmoid", "exp", "log"):
+                from .. import ops
+                from ..ops import vector_math as vm
+
+                return {"tanh": vm.tanh, "sigmoid": vm.sigmoid,
+                        "exp": vm.exp, "log": vm.log}[node.op](v)
+            return _UNOPS[node.op](v)
+        return run
+    raise NotImplementedError(f"cannot lower node kind {node.kind}")
+
+
+def generate(f: Callable) -> Callable:
+    """Symbolically execute ``f`` over LuxNode placeholders and return a
+    compiled callable (frontend/lux_frontend.nim:23-97 'generate' analog)."""
+    import inspect
+
+    nparams = len(inspect.signature(f).parameters)
+    graph = f(*[LuxNode("input", value=i) for i in range(nparams)])
+    if not isinstance(graph, LuxNode):
+        raise TypeError("lux function must return a LuxNode expression")
+    run = _lower(graph)
+
+    @functools.wraps(f)
+    def compiled(*arrays):
+        if len(arrays) != nparams:
+            raise TypeError(f"{f.__name__} expects {nparams} arrays")
+        return run(dict(enumerate(arrays)))
+
+    compiled.lux_graph = graph
+    return compiled

@@ -1,0 +1,111 @@
+"""Lux expression-layer tests (lux_compiler test.nim:43-65 coverage:
+elementwise fusion demos; plus the reduction and GEMM-epilogue lowerings)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laser_tpu import lux
+from laser_tpu.lux import (generate, lux_exp, lux_sigmoid, lux_sin, lux_sum,
+                           lux_tanh)
+
+
+class TestElementwise:
+    def test_fused_expr(self, rng):
+        # the reference Lux demo: out = a + b - sin(c) style fusion
+        @generate
+        def foobar(a, b, c):
+            return a + b - lux_sin(c)
+
+        x, y, z = (rng.randn(64, 33).astype(np.float32) for _ in range(3))
+        got = np.asarray(foobar(x, y, z))
+        np.testing.assert_allclose(got, x + y - np.sin(z), rtol=1e-6, atol=1e-6)
+
+    def test_scalars_and_pow(self, rng):
+        @generate
+        def f(a, b):
+            return 2.0 * a + b ** 2 - 1.0
+
+        x, y = (rng.randn(100).astype(np.float32) for _ in range(2))
+        np.testing.assert_allclose(np.asarray(f(x, y)), 2 * x + y**2 - 1,
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_repeated_leaf(self, rng):
+        @generate
+        def f(a):
+            return a * a + a
+
+        x = rng.randn(50).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(f(x)), x * x + x, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_vector_math_routed_to_kernels(self, rng):
+        @generate
+        def f(a):
+            return lux_exp(a) + lux_tanh(a)
+
+        x = rng.randn(1000).astype(np.float32) * 2
+        want = np.exp(x.astype(np.float64)) + np.tanh(x.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(f(x), np.float64), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_graph_exposed(self):
+        @generate
+        def f(a, b):
+            return a + b
+
+        assert f.lux_graph.kind == "binop"
+        assert f.lux_graph.leaves() == [0, 1]
+
+
+class TestReduce:
+    def test_fused_map_reduce(self, rng):
+        @generate
+        def sum_sq_diff(a, b):
+            return lux_sum((a - b) * (a - b))
+
+        x, y = (rng.randn(10_000).astype(np.float32) for _ in range(2))
+        want = np.sum((x.astype(np.float64) - y) ** 2)
+        np.testing.assert_allclose(float(sum_sq_diff(x, y)), want, rtol=1e-5)
+
+
+class TestGemmPattern:
+    def test_plain_matmul(self, rng):
+        @generate
+        def mm(a, b):
+            return a @ b
+
+        x = rng.randn(32, 48).astype(np.float32)
+        y = rng.randn(48, 16).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(mm(x, y)),
+                                   x.astype(np.float64) @ y, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_fused_bias_act(self, rng):
+        from laser_tpu.lux.dsl import LuxNode, _match_gemm_epilogue
+
+        @generate
+        def layer(x, w, b):
+            return lux_sigmoid(x @ w + b)
+
+        m = _match_gemm_epilogue(layer.lux_graph)
+        assert m is not None and m[3] == "sigmoid"  # epilogue recognized
+
+        x = rng.randn(16, 24).astype(np.float32)
+        w = rng.randn(24, 8).astype(np.float32)
+        b = rng.randn(8).astype(np.float32)
+        want = 1 / (1 + np.exp(-(x.astype(np.float64) @ w + b)))
+        np.testing.assert_allclose(np.asarray(layer(x, w, b)), want,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_matmul_feeding_elementwise(self, rng):
+        @generate
+        def f(a, b, c):
+            return (a @ b) * c  # not an epilogue pattern -> generic path
+
+        x = rng.randn(8, 12).astype(np.float32)
+        y = rng.randn(12, 10).astype(np.float32)
+        z = rng.randn(8, 10).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(f(x, y, z)),
+                                   (x.astype(np.float64) @ y) * z, rtol=1e-4,
+                                   atol=1e-4)
