@@ -92,13 +92,13 @@ def bench_memory_bound():
     n = 16 * 1024 * 1024
     x = jnp.asarray(rng.randn(n).reshape(4096, 4096), jnp.float32)
     nbytes = 2 * 4 * n
-    entry("exp_f32_16M", chain_rate(lt.exp, x), chain_rate(jax.jit(jnp.exp), x),
-          nbytes)
-    entry("log_f32_16M", chain_rate(lt.log, x), chain_rate(jax.jit(jnp.log), x),
-          nbytes)
-    entry("tanh_f32_16M", chain_rate(lt.tanh, x),
+    entry("exp_f32_16M", chain_rate(lambda v: lt.exp(v, donate=True), x),
+          chain_rate(jax.jit(jnp.exp), x), nbytes)
+    entry("log_f32_16M", chain_rate(lambda v: lt.log(v, donate=True), x),
+          chain_rate(jax.jit(jnp.log), x), nbytes)
+    entry("tanh_f32_16M", chain_rate(lambda v: lt.tanh(v, donate=True), x),
           chain_rate(jax.jit(jnp.tanh), x), nbytes)
-    entry("sigmoid_f32_16M", chain_rate(lt.sigmoid, x),
+    entry("sigmoid_f32_16M", chain_rate(lambda v: lt.sigmoid(v, donate=True), x),
           chain_rate(jax.jit(jax.nn.sigmoid), x), nbytes)
 
     # fused 3-tensor o = x + y - sin z (iter_bench workload): 4 arrays moved
@@ -107,7 +107,8 @@ def bench_memory_bound():
     nbytes = 4 * 4 * n
     entry("foreach_fused_16M",
           chain_rate(lambda v, b, c: lt.for_each(
-              lambda p, q, r: p + q - jnp.sin(r), v, b, c), x, y, z),
+              lambda p, q, r: p + q - jnp.sin(r), v, b, c, donate=True),
+              x, y, z),
           chain_rate(jax.jit(lambda v, b, c: v + b - jnp.sin(c)), x, y, z),
           nbytes)
 
@@ -125,7 +126,7 @@ def bench_memory_bound():
     # fused softmax at attention shape
     sm = jnp.asarray(rng.randn(8192, 4096), jnp.float32)
     nbytes = 2 * 4 * 8192 * 4096
-    entry("softmax_8192x4096", chain_rate(lt.softmax, sm),
+    entry("softmax_8192x4096", chain_rate(lambda v: lt.softmax(v, donate=True), sm),
           chain_rate(jax.jit(lambda v: jax.nn.softmax(v, axis=-1)), sm), nbytes)
     return out
 

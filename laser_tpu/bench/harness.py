@@ -140,13 +140,18 @@ def chain_rate(step_fn: Callable, x0: jax.Array, *extra,
 
     step_fn must map x -> array of the same shape/dtype (the dependency
     chain). Returns the min over ``trials`` full measurements.
+
+    An optimization_barrier separates iterations: XLA is otherwise free to
+    fuse consecutive elementwise iterations into one register-resident loop
+    (measured >4x HBM bandwidth — great compiler work, but it no longer
+    measures the per-call kernel the user would run).
     """
 
     def make_loop(reps):
         @jax.jit
         def loop(x, *e):
             def body(i, x):
-                return step_fn(x, *e)
+                return jax.lax.optimization_barrier(step_fn(x, *e))
             return jax.lax.fori_loop(0, reps, body, x)
         return loop
 

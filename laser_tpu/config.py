@@ -41,6 +41,9 @@ class LaserConfig:
     """
 
     interpret: Optional[bool] = None
+    # vector-math default tier: "accurate" (polynomial cores, <=1e-6 of f64
+    # libm — the reference-parity bar) or "fast" (VPU hardware approx).
+    vector_math_algorithm: str = "accurate"
     elementwise_grain: int = 8 * 128 * 256
     reduction_grain: int = 8 * 128 * 512
     vmem_budget_frac: float = 0.7

@@ -32,6 +32,10 @@ from ..utils import cdiv
 from .gemm import gemm
 
 
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def conv2d_out_shape(ishape, kshape, padding, strides) -> Tuple[int, int, int, int]:
     """(reference: conv2d_common.nim:15-46)"""
     n, c, h, w = ishape
@@ -145,6 +149,18 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
     assert c_in == C
     ph, pw = padding
     _, _, oh, ow = conv2d_out_shape((N, C, H, W), w.shape, padding, strides)
+    # Mosaic pads the minor (channel) dim to 128 lanes in VMEM; for small-C
+    # large-image shapes that inflates the per-image block past VMEM
+    # (e.g. 224x224x3 -> 224x224x128). Estimate the padded footprint and fall
+    # back to the im2col+GEMM path (the production choice in the reference
+    # benches anyway) when it doesn't fit.
+    from ..device_info import vmem_budget_bytes
+
+    lane = 128
+    est = 4 * 2 * ((H + 2 * ph) * (W + 2 * pw) * _rup(C, lane)
+                   + oh * ow * _rup(c_out, lane)) + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
+    if est > vmem_budget_bytes():
+        return conv2d_im2col(x, w, padding, strides)
     interp = should_interpret() if interpret is None else interpret
 
     x_nhwc = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw))).transpose(0, 2, 3, 1)

@@ -130,24 +130,62 @@ def _sigmoid_expr(x):
     return jnp.where(x >= 0, pos, 1.0 - pos).astype(x.dtype)
 
 
-def exp(x, *, interpret: Optional[bool] = None) -> jax.Array:
-    """Elementwise expf (reference: exp_log_avx2.nim AVX2 prod kernel)."""
-    return for_each(_exp_expr, x, interpret=interpret)
+# Two algorithm tiers, mirroring the accuracy/speed axis the reference
+# benchmarks explicitly (accurate LUT kernel vs Schraudolph approximation,
+# bench_exp_avx2.nim results):
+#   "accurate": our polynomial cores, <=1e-6 of f64 libm (the parity bar);
+#   "fast":     the VPU's hardware transcendental approximations via the
+#               jnp op inside the same fused kernel (measured ~1e-5..4e-5
+#               abs/rel error on v5e — faster, HBM-bound).
+_ALGO_EXPRS = {
+    "exp": {"accurate": _exp_expr, "fast": jnp.exp},
+    "log": {"accurate": _log_expr, "fast": jnp.log},
+    "tanh": {"accurate": _tanh_expr, "fast": jnp.tanh},
+    "sigmoid": {"accurate": _sigmoid_expr, "fast": jax.nn.sigmoid},
+}
 
 
-def log(x, *, interpret: Optional[bool] = None) -> jax.Array:
-    return for_each(_log_expr, x, interpret=interpret, pad_value=1)
+def _pick(name: str, algorithm: Optional[str]):
+    from ..config import get_config
+
+    algo = algorithm or getattr(get_config(), "vector_math_algorithm", "accurate")
+    try:
+        return _ALGO_EXPRS[name][algo]
+    except KeyError:
+        raise ValueError(f"{name}: unknown algorithm {algo!r} "
+                         f"(want 'accurate' or 'fast')") from None
 
 
-def tanh(x, *, interpret: Optional[bool] = None) -> jax.Array:
-    return for_each(_tanh_expr, x, interpret=interpret)
+def exp(x, *, algorithm: Optional[str] = None, donate: bool = False,
+        interpret: Optional[bool] = None) -> jax.Array:
+    """Elementwise expf (reference: exp_log_avx2.nim AVX2 prod kernel).
+
+    ``donate=True`` reuses x's buffer for the output (2x HBM bandwidth; x
+    must not be used afterwards) — same for log/tanh/sigmoid below."""
+    return for_each(_pick("exp", algorithm), x, interpret=interpret,
+                    donate=donate)
 
 
-def sigmoid(x, *, interpret: Optional[bool] = None) -> jax.Array:
-    return for_each(_sigmoid_expr, x, interpret=interpret)
+def log(x, *, algorithm: Optional[str] = None, donate: bool = False,
+        interpret: Optional[bool] = None) -> jax.Array:
+    return for_each(_pick("log", algorithm), x, interpret=interpret,
+                    pad_value=1, donate=donate)
 
 
-def softmax(x, *, axis: int = -1, interpret: Optional[bool] = None) -> jax.Array:
+def tanh(x, *, algorithm: Optional[str] = None, donate: bool = False,
+         interpret: Optional[bool] = None) -> jax.Array:
+    return for_each(_pick("tanh", algorithm), x, interpret=interpret,
+                    donate=donate)
+
+
+def sigmoid(x, *, algorithm: Optional[str] = None, donate: bool = False,
+            interpret: Optional[bool] = None) -> jax.Array:
+    return for_each(_pick("sigmoid", algorithm), x, interpret=interpret,
+                    donate=donate)
+
+
+def softmax(x, *, axis: int = -1, donate: bool = False,
+            interpret: Optional[bool] = None) -> jax.Array:
     """Fused row softmax: ONE kernel doing max-reduce, exp, sum-reduce, scale.
 
     Rows live fully in VMEM (tiled over the leading dims); padded tail columns
@@ -171,6 +209,9 @@ def softmax(x, *, axis: int = -1, interpret: Optional[bool] = None) -> jax.Array
     br = max(8, min(rp, (2 * 1024 * 1024 // 4) // cp))
     br = max(8, (br // 8) * 8)
     interp = should_interpret() if interpret is None else interpret
+    # Alias in->out when the input is our own padded temp (always safe) or
+    # the caller donated x: out-of-place HBM streams run at half bandwidth.
+    alias = {0: 0} if ((rp, cp) != (rows, cols) or donate) else {}
 
     def kernel(x_ref, o_ref):
         v = x_ref[:]
@@ -190,6 +231,7 @@ def softmax(x, *, axis: int = -1, interpret: Optional[bool] = None) -> jax.Array
         out_specs=pl.BlockSpec((br, cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, cp), x2.dtype),
+        input_output_aliases=alias,
         interpret=interp,
     )(x2)
     out = out[:rows, :cols].reshape(orig_shape)
