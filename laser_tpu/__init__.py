@@ -26,7 +26,17 @@ from .ops import (  # noqa: E402
     reduce_min,
     reduce_sum,
 )
-from .ops.gemm import gemm, gemm_packed, gemm_prepack_a, gemm_prepack_b, gemm_strided  # noqa: E402
+from .ops.gemm import (  # noqa: E402
+    gemm,
+    gemm_ad,
+    gemm_batched,
+    gemm_packed,
+    gemm_prepack_a,
+    gemm_prepack_b,
+    gemm_strided,
+    linear,
+)
+from .ops.stencil import stencil_solve  # noqa: E402
 from .ops.vector_math import exp, log, sigmoid, softmax, tanh  # noqa: E402
 from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batched  # noqa: E402
 from .ops.conv import conv2d_direct, conv2d_im2col  # noqa: E402
