@@ -39,6 +39,10 @@ def _candidates(M: int, N: int, K: int, dtype) -> List[Tuple[int, int, int]]:
         (512, 1024, 512), (1024, 1024, 512), (2048, 1024, 512),
         (512, 1024, min(4096, kr)), (1024, 512, min(4096, kr)),
         (512, 512, 1024),
+        # small-problem candidates: keep the grid >= ~8 steps so the block
+        # pipeline has something to overlap (a 1024^3 with 512x1024 tiles is
+        # a 2-step grid — mostly prologue/epilogue)
+        (256, 512, 512), (256, 256, 1024), (128, 512, 512),
     ]
     cands = []
     for bm, bn, bk in raw:

@@ -201,6 +201,15 @@ def softmax(x, *, axis: int = -1, donate: bool = False,
 
     cp = round_step_up(cols, LANES)
     rp = round_step_up(rows, 8)
+    # Rows must fit VMEM (8 rows + temps); enormous rows take a 3-pass XLA
+    # path (the blockwise/online-softmax kernel is a later-round item).
+    from ..device_info import vmem_budget_bytes
+
+    if 8 * cp * 4 * 6 > vmem_budget_bytes():
+        out = jax.nn.softmax(x, axis=-1)  # x already has the axis last here
+        if axis != -1 and axis != x.ndim - 1:
+            out = jnp.moveaxis(out, -1, axis)
+        return out
     if (rp, cp) != (rows, cols):
         x2 = jnp.pad(x2, ((0, rp - rows), (0, cp - cols)),
                      constant_values=-np.inf)
