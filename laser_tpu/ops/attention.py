@@ -1,0 +1,171 @@
+"""Blockwise fused attention: softmax(Q K^T * scale [+ causal]) V.
+
+SURVEY §5 stretch item ("blockwise softmax(QK^T)V using the fused map-reduce
+machinery"): the reference's mechanism for a dimension too large for fast
+memory is cache blocking with streamed panels (the GEMM kc loop,
+gemm.nim:150); blockwise/flash attention is exactly that pattern with an
+*online* softmax rescaling instead of a plain accumulation. This kernel is
+the composition of the pieces already in this package: the K-streamed MXU
+pipeline (ops/gemm/kernel.py), the exp core (ops/vector_math.py), and
+lane-uniform running statistics (the multi-accumulator idea of
+ops/reductions.py).
+
+Forward-only Pallas kernel (training VJP is a later-round item — backward
+falls back to XLA autodiff through the reference implementation).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import should_interpret
+from ..registry import build_cache
+from ..utils import cdiv, round_step_up
+
+_NEG_INF = -1e30  # finite sentinel: keeps exp()/rescaling NaN-free
+
+
+def attention_reference(q, k, v, *, causal: bool = False,
+                        scale: Optional[float] = None) -> jax.Array:
+    """XLA reference implementation (the test oracle, and the autodiff path)."""
+    *_, S, D = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    if causal:
+        qi = jnp.arange(q.shape[-2])[:, None]
+        ki = jnp.arange(k.shape[-2])[None, :]
+        s = jnp.where(ki <= qi, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", p, v,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@build_cache
+def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
+                 causal: bool, scale: float, dtype: str, interpret: bool):
+    nq = SP // bq
+    nk = SP // bk
+    dt = jnp.dtype(dtype)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+
+        @pl.when(ik == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # Causal: blocks entirely above the diagonal contribute nothing.
+        q_start = iq * bq
+        k_start = ik * bk
+
+        def _step():
+            q = q_ref[0].astype(jnp.float32)
+            kk = k_ref[0].astype(jnp.float32)
+            s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale
+            kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            valid = kpos < S  # sequence-padding mask
+            if causal:
+                qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                valid = valid & (kpos <= qpos)
+            s = jnp.where(valid, s, _NEG_INF)
+
+            m_prev = m_ref[:]                      # (bq, 128) lane-uniform
+            m_cur = jnp.max(s, axis=-1, keepdims=True)       # (bq, 1)
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            corr = jnp.exp(m_prev - m_new)          # (bq, 128)
+            p = jnp.exp(s - m_new[:, :1])           # (bq, bk)
+            l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+            acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(
+                p.astype(dt), v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
+
+        if causal:
+            # blocks strictly above the diagonal are skipped entirely
+            pl.when(k_start <= q_start + bq - 1)(_step)
+        else:
+            _step()
+
+        @pl.when(ik == nk - 1)
+        def _fin():
+            o_ref[0] = (acc_ref[:] / l_ref[:, :D]).astype(dt)
+
+    grid = (BH, nq, nk)
+    stat_lanes = max(D, 128)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, SP, D), dt),
+        scratch_shapes=[
+            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running max
+            pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
+            pltpu.VMEM((bq, D), jnp.float32),           # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * SP * SP * D, transcendentals=BH * SP * SP,
+            bytes_accessed=4 * BH * SP * D * dt.itemsize),
+        interpret=interpret,
+    )
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+              causal: bool = False, scale: Optional[float] = None,
+              block_q: int = 256, block_k: int = 256,
+              interpret: Optional[bool] = None) -> jax.Array:
+    """Fused blockwise attention over (..., S, D) tensors.
+
+    Leading dims are batch/heads (flattened into the grid). D must be a
+    multiple of 128 for the compiled path; S is padded internally.
+    """
+    q, k, v = map(jnp.asarray, (q, k, v))
+    if q.shape != k.shape or q.shape != v.shape:
+        raise ValueError(f"attention shapes must match: {q.shape} {k.shape} "
+                         f"{v.shape}")
+    *lead, S, D = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    interp = should_interpret() if interpret is None else interpret
+    if D % 128 != 0 and not interp:
+        return attention_reference(q, k, v, causal=causal, scale=scale)
+
+    BH = int(np.prod(lead)) if lead else 1
+    bq = min(block_q, round_step_up(S, 8))
+    bk = min(block_k, round_step_up(S, 128))
+    SP = round_step_up(S, max(bq, bk))
+    q3 = q.reshape(BH, S, D)
+    k3 = k.reshape(BH, S, D)
+    v3 = v.reshape(BH, S, D)
+    if SP != S:
+        pad = ((0, 0), (0, SP - S), (0, 0))
+        q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
+
+    call = _build_flash(BH, S, SP, D, bq, bk, causal, float(scale),
+                        jnp.dtype(q.dtype).name, interp)
+    out = call(q3, k3, v3)
+    return out[:, :S, :].reshape(*lead, S, D)

@@ -34,37 +34,76 @@ from ..config import get_config, should_interpret
 from ..tensor import TensorView, as_view
 from ..utils import cdiv, round_step_up
 
-# Lane count of one VPU row; all flat kernels view data as (rows, LANES).
+# Lane count of one VPU row.
 LANES = 128
+# Wide flat layout: big streams use 4096-lane rows — measured on v5e, narrow
+# 128-lane blocks sustain only ~212 GB/s on >=256MB aliased streams while
+# 4096-lane blocks hold ~600 GB/s (docs/PERF_NOTES.md).
+WIDE = 4096
 # Row granularity that satisfies every dtype's min sublane tile (f32 8,
 # bf16 16, int8 32 — device_info.SUBLANES_BY_ITEMSIZE).
 ROW_ALIGN = 32
 
 
+def _flat_width(size: int) -> int:
+    return WIDE if size >= ROW_ALIGN * WIDE else LANES
+
+
+def _native_2d(shape, size: int):
+    """(rows, cols) if the operands can be viewed as a 2D matrix WITHOUT a
+    relayout. On TPU, arrays are tiled over the last two dims; a reshape that
+    changes the second-minor dim (e.g. (8192,8192)->(16384,4096)) is a full
+    HBM relayout copy (measured ~0.85 ms per 256MB direction on v5e), so big
+    elementwise streams must keep their native minor dims."""
+    if len(shape) < 2:
+        return None
+    L = shape[-1]
+    if L % LANES or L * ROW_ALIGN * 4 > 8 * 1024 * 1024:
+        return None  # odd lanes, or one row-group alone would blow the block
+    R = size // L
+    if R % ROW_ALIGN:
+        return None
+    if len(shape) > 2 and shape[-2] % 8:
+        return None  # collapsing leading dims would cross tile boundaries
+    return R, L
+
+
 def _prepare_flat(operands: Sequence[TensorView], pad_value=0):
-    """Materialize + flatten operands to matching (rows, LANES) matrices."""
+    """Materialize operands as matching (rows, width) matrices.
+
+    Fast path: native-2D view (free reshape). Fallback: flatten + pad to a
+    (rows, width) matrix — correct for any shape, but pays the relayout.
+    """
     shape = operands[0].shape
     for op in operands[1:]:
         if op.shape != shape:
             raise ValueError(f"operand shape mismatch: {op.shape} vs {shape}")
     size = operands[0].size
-    rows = round_step_up(max(cdiv(size, LANES), 1), ROW_ALIGN)
-    padded = rows * LANES
+
+    nat = _native_2d(shape, size)
+    if nat is not None and all(op.is_c_contiguous() for op in operands):
+        R, L = nat
+        mats = [op.materialize().reshape(R, L) for op in operands]
+        return mats, shape, size, R, L
+
+    width = _flat_width(size)
+    rows = round_step_up(max(cdiv(size, width), 1), ROW_ALIGN)
+    padded = rows * width
 
     mats = []
     for op in operands:
         flat = op.materialize().reshape(-1)
         if padded != size:
             flat = jnp.pad(flat, (0, padded - size), constant_values=pad_value)
-        mats.append(flat.reshape(rows, LANES))
-    return mats, shape, size, rows
+        mats.append(flat.reshape(rows, width))
+    return mats, shape, size, rows, width
 
 
-def _block_rows(rows: int, n_operands: int, itemsize: int) -> int:
+def _block_rows(rows: int, width: int, n_operands: int) -> int:
     """Pick rows-per-block from the elementwise grain (openmp grain analog)."""
     cfg = get_config()
-    target_elems = max(cfg.elementwise_grain // max(n_operands, 1), LANES)
-    br = max(ROW_ALIGN, min(rows, target_elems // LANES))
+    target_elems = max(cfg.elementwise_grain // max(n_operands, 1), width)
+    br = max(ROW_ALIGN, min(rows, target_elems // width))
     return round_step_up(br, ROW_ALIGN)
 
 
@@ -86,11 +125,11 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
     fresh HBM pages serializes against the input stream.
     """
     views = [as_view(op) for op in operands]
-    mats, shape, size, rows = _prepare_flat(views, pad_value)
+    mats, shape, size, rows, width = _prepare_flat(views, pad_value)
     out_dtype = out_dtype or jnp.result_type(*[m.dtype for m in mats])
     interp = should_interpret() if interpret is None else interpret
 
-    br = _block_rows(rows, len(mats), np.dtype(out_dtype).itemsize)
+    br = _block_rows(rows, width, len(mats))
     grid = (cdiv(rows, br),)
 
     def kernel(*refs):
@@ -103,13 +142,18 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
                   for _ in mats],
-        out_specs=pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), out_dtype),
+        out_specs=pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, width), out_dtype),
         input_output_aliases=alias,
         interpret=interp,
     )(*mats)
+    if rows * width == size:
+        # No pad: plain reshape (free). A full-range slice is NOT free — XLA
+        # materializes a copy for slice+reshape chains inside loops (measured
+        # 3x slowdown), so only slice when padding actually happened.
+        return out.reshape(shape)
     return out.reshape(-1)[:size].reshape(shape)
 
 
@@ -129,14 +173,14 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
     reductions_sse3.nim:31-49; a full tree is strictly finer-grained pairing).
     """
     views = [as_view(op) for op in operands]
-    mats, _, size, rows = _prepare_flat(views, identity)
+    mats, _, size, rows, width = _prepare_flat(views, identity)
     acc_dtype = acc_dtype or jnp.result_type(*[m.dtype for m in mats])
     out_dtype = out_dtype or acc_dtype
     combine_fn = combine_fn or reduce_fn
     interp = should_interpret() if interpret is None else interpret
 
     cfg = get_config()
-    br = max(ROW_ALIGN, min(rows, cfg.reduction_grain // LANES))
+    br = max(ROW_ALIGN, min(rows, cfg.reduction_grain // width))
     br = round_step_up(br, ROW_ALIGN)
     nblocks = cdiv(rows, br)
     # Padded tail rows beyond `rows` are filled by Pallas with undefined data;
@@ -152,12 +196,12 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
         blocks = [r[:] for r in refs[:-1]]
         i = pl.program_id(0)
         if needs_mask:
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (br, width), 0)
             valid = (i * br + row_ids) < rows
             blocks = [jnp.where(valid, b, jnp.asarray(identity, b.dtype))
                       for b in blocks]
         mapped = map_fn(*blocks).astype(acc_dtype)
-        m = mapped.reshape(br // 8, 8, LANES)
+        m = mapped.reshape(br // 8, 8, width)
         # Pairwise fold along the group axis: a true binary tree (error
         # O(log n) vs O(n) for a running chain), fully vectorized adds.
         binop = {jnp.sum: jnp.add, jnp.min: jnp.minimum,
@@ -169,7 +213,7 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
             p = 1 << max(g - 1, 0).bit_length()
             if p != g:
                 m = jnp.concatenate(
-                    [m, jnp.full((p - g, 8, LANES), identity, m.dtype)], 0)
+                    [m, jnp.full((p - g, 8, width), identity, m.dtype)], 0)
             while m.shape[0] > 1:
                 h = m.shape[0] // 2
                 m = binop(m[:h], m[h:])
@@ -179,11 +223,11 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
     partials = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
                   for _ in mats],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, width), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 8, LANES), acc_dtype),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 8, width), acc_dtype),
         interpret=interp,
     )(*mats)
     # Final cross-block + horizontal combine on the tiny partials array —

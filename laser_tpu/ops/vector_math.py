@@ -243,7 +243,9 @@ def softmax(x, *, axis: int = -1, donate: bool = False,
         input_output_aliases=alias,
         interpret=interp,
     )(x2)
-    out = out[:rows, :cols].reshape(orig_shape)
+    if (rp, cp) != (rows, cols):
+        out = out[:rows, :cols]
+    out = out.reshape(orig_shape)
     if axis != -1 and axis != len(orig_shape) - 1:
         out = jnp.moveaxis(out, -1, axis)
     return out

@@ -189,3 +189,27 @@ def copy_from_raw(flat, shape, dtype=None) -> jax.Array:
     if a.size != math.prod(shape):
         raise ValueError("length mismatch")
     return a.reshape(shape)
+
+
+def deep_copy(x) -> jax.Array:
+    """deepCopy analog (reference: initialization.nim:42-75): contiguous
+    result regardless of the source view's strides. On immutable JAX arrays a
+    contiguous source is already safe to share; strided views materialize."""
+    return as_view(x).materialize()
+
+
+def set_zero(x) -> jax.Array:
+    """setZero analog (reference: initialization.nim:130-154) — functional:
+    returns a zeroed array of the same shape/dtype."""
+    v = as_view(x)
+    return jnp.zeros(v.shape, v.dtype)
+
+
+def copy_from(dst, src) -> jax.Array:
+    """copyFrom analog (reference: initialization.nim:77-110): returns dst's
+    shape/dtype filled with src's (materialized) values."""
+    d = as_view(dst)
+    s = as_view(src)
+    if d.shape != s.shape:
+        raise ValueError(f"copy_from shape mismatch {d.shape} vs {s.shape}")
+    return s.materialize().astype(d.dtype)
