@@ -55,6 +55,9 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     nq = SP // bq
     nk = SP // bk
     dt = jnp.dtype(dtype)
+    # f32 inputs: force the exact 6-pass path in both MXU contractions (the
+    # TPU default silently runs 1-pass bf16, ~1e-3 error); bf16 runs native.
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
     def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         iq = pl.program_id(1)
@@ -71,10 +74,11 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         k_start = ik * bk
 
         def _step():
-            q = q_ref[0].astype(jnp.float32)
-            kk = k_ref[0].astype(jnp.float32)
-            s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+            # native-dtype MXU dot with f32 accumulation (bf16 stays 1-pass;
+            # upcasting the operands would silently force the 6-pass path)
+            s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
             s = s * scale
             kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             valid = kpos < S  # sequence-padding mask
@@ -92,7 +96,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(
                 p.astype(dt), v_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             m_ref[:] = m_new
 
         if causal:
@@ -137,7 +141,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False, scale: Optional[float] = None,
-              block_q: int = 256, block_k: int = 256,
+              block_q: int = 1024, block_k: int = 1024,
               interpret: Optional[bool] = None) -> jax.Array:
     """Fused blockwise attention over (..., S, D) tensors.
 
