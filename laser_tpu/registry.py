@@ -13,7 +13,11 @@ TPU-native analog of two reference mechanisms:
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Any, Callable, Dict, Tuple
+
+logger = logging.getLogger("laser_tpu")
 
 _REGISTRY: Dict[Tuple[str, ...], Callable] = {}
 
@@ -45,5 +49,23 @@ def _key(op: str, keys: Dict[str, Any]) -> Tuple[str, ...]:
 
 
 def build_cache(fn: Callable) -> Callable:
-    """Memoize a kernel-builder on its (hashable) static arguments."""
-    return functools.lru_cache(maxsize=None)(fn)
+    """Memoize a kernel-builder on its (hashable) static arguments.
+
+    Cache misses (fresh kernel constructions) are logged at DEBUG on the
+    ``laser_tpu`` logger — the 'compilation logs' the reference lists as a
+    TODO (lux_types.nim:250-251); enable via profiling.log_kernel_builds().
+    """
+    cached = functools.lru_cache(maxsize=None)(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        misses = cached.cache_info().misses
+        t0 = time.perf_counter()
+        out = cached(*args, **kwargs)
+        if cached.cache_info().misses > misses:
+            logger.debug("built kernel %s%r in %.3fs", fn.__name__, args,
+                         time.perf_counter() - t0)
+        return out
+
+    wrapper.cache_info = cached.cache_info  # type: ignore[attr-defined]
+    return wrapper
