@@ -1,4 +1,6 @@
 from .gemm_sharded import gemm_sharded
 from .mesh import make_mesh, replicate, shard_array, sharding
+from .pipeline import pipeline_forward, spmd_pipeline
 
-__all__ = ["gemm_sharded", "make_mesh", "shard_array", "sharding", "replicate"]
+__all__ = ["gemm_sharded", "make_mesh", "shard_array", "sharding",
+           "replicate", "pipeline_forward", "spmd_pipeline"]
