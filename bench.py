@@ -73,6 +73,30 @@ def bench_gemm(M, dtype, autotune=True):
     }
 
 
+def bench_gemm_int8(M):
+    """int8 -> int32 MXU GEMM (the TPU-idiomatic answer to the reference's
+    integer GEMM benches, gemm_bench_int32.nim: 27.9 GINTOP/s on 18 cores)."""
+    import laser_tpu as lt
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.device_info import detect
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randint(-8, 8, (M, M)), jnp.int8)
+    b = jnp.asarray(rng.randint(-8, 8, (M, M)), jnp.int8)
+    fl = 2 * M**3
+
+    def step(x, y):
+        out = lt.gemm(x, y)  # int32 accum on the MXU int8 path
+        drift = (jnp.sum(out, dtype=jnp.int32) & 1).astype(jnp.int8)
+        return x + drift
+
+    t = chain_rate(step, a, b)
+    rate = fl / t / 1e6
+    peak = detect().int8_tops * 1e3
+    return {"gintops": round(rate, 1), "ms": round(t, 4),
+            "pct_peak": round(100 * rate / peak, 2)}
+
+
 def bench_memory_bound():
     """Elementwise / reduction / layout kernels vs XLA twins (GB/s)."""
     import laser_tpu as lt
@@ -271,6 +295,10 @@ def main():
         detail[name] = rep
         log(f"{name}: {rep['gflops']} GFLOP/s ({rep['pct_peak']}% roofline, "
             f"{rep['vs_xla']}x XLA, tiles={rep['tiles']})")
+    if args.full:
+        detail["gemm_int8_4096"] = bench_gemm_int8(4096)
+        log(f"gemm_int8_4096: {detail['gemm_int8_4096']['gintops']} GINTOP/s "
+            f"({detail['gemm_int8_4096']['pct_peak']}% int8 roofline)")
 
     if args.full:
         log("== memory-bound kernels ==")

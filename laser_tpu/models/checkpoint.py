@@ -11,7 +11,6 @@ arrays in an .npz), never in packed/tile/device layouts — repack on load.
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 import jax

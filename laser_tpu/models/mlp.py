@@ -10,7 +10,7 @@ GEMMs (backward), and the sharded GEMM layer (multi-chip training step).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ falls back to XLA autodiff through the reference implementation).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
@@ -28,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import should_interpret
 from ..registry import build_cache
-from ..utils import cdiv, round_step_up
+from ..utils import round_step_up
 
 _NEG_INF = -1e30  # finite sentinel: keeps exp()/rescaling NaN-free
 

@@ -28,7 +28,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import should_interpret
 from ..registry import build_cache
-from ..utils import cdiv
 from .gemm import gemm
 
 

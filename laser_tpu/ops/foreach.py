@@ -21,7 +21,6 @@ sizing: below ``elementwise_grain`` we use a single grid step (one "thread").
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import get_config, should_interpret
-from ...tensor import TensorView, as_view
+from ...tensor import TensorView
 from .kernel import build_gemm
 from .tiling import GemmTiles, plan_tiles
 
@@ -56,13 +56,19 @@ def _acc_dtype(in_dtype) -> jnp.dtype:
 def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
          c: Optional[jax.Array] = None, bias: Optional[jax.Array] = None,
          epilogue: Optional[str] = None, out_dtype=None, acc_dtype=None,
-         tiles: Optional[GemmTiles] = None,
+         tiles: Optional[GemmTiles] = None, backend: str = "pallas",
          interpret: Optional[bool] = None) -> jax.Array:
     """out = epilogue(alpha * (a @ b) + beta * c + bias).
 
     a: (M,K), b: (K,N). The fused ``epilogue``/``bias`` implements the
     reference's declared roadmap feature (README.md:238-245).
+
+    backend: "pallas" (default — our MXU kernel, ~82% roofline on v5e) or
+    "xla" (lax.dot_general + fused XLA epilogue, ~94% roofline for the plain
+    large-matmul case; see docs/PERF_NOTES.md on the Mosaic codegen gap).
     """
+    if backend not in ("pallas", "xla"):
+        raise ValueError(f"gemm backend must be 'pallas' or 'xla', got {backend!r}")
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
@@ -83,7 +89,7 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
             raise ValueError(f"c shape {c.shape} != {(M, N)}")
 
     path = _dispatch(in_dtype)
-    if path == "xla" or M == 0 or N == 0 or K == 0:
+    if path == "xla" or backend == "xla" or M == 0 or N == 0 or K == 0:
         return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt)
 
     interp = should_interpret() if interpret is None else interpret

@@ -37,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...registry import build_cache
 from ...utils import cdiv
-from .tiling import GemmTiles
 
 _EPILOGUES = {
     None: lambda r: r,

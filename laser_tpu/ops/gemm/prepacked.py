@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import get_config, should_interpret
 from ...registry import build_cache
-from ...utils import cdiv, round_step_up
+from ...utils import round_step_up
 from .tiling import GemmTiles, plan_tiles
 
 

@@ -19,8 +19,6 @@ laser_tpu.host.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

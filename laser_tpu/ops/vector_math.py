@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import should_interpret
 from ..utils import cdiv, round_step_up
-from .foreach import LANES, ROW_ALIGN, for_each
+from .foreach import LANES, for_each
 
 # Clamp range (reference: exp_log_common.nim:35-36).
 EXP_MAX = 88.0

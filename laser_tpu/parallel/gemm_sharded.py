@@ -23,8 +23,7 @@ from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.gemm import gemm
 

@@ -8,7 +8,6 @@ benchmarks/gemm/gemm_bench_float32.nim:356-367.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -1,9 +1,7 @@
 """Lux expression-layer tests (lux_compiler test.nim:43-65 coverage:
 elementwise fusion demos; plus the reduction and GEMM-epilogue lowerings)."""
 
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from laser_tpu import lux
 from laser_tpu.lux import (generate, lux_exp, lux_sigmoid, lux_sin, lux_sum,

@@ -4,7 +4,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import laser_tpu as lt
 from laser_tpu.device_info import (GENERATION_TABLE, classify_device_kind,
                                    detect, min_tile)
 from laser_tpu.tensor import TensorView, row_major_strides
