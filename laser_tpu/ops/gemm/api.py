@@ -57,10 +57,13 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
          c: Optional[jax.Array] = None, bias: Optional[jax.Array] = None,
          epilogue: Optional[str] = None, out_dtype=None, acc_dtype=None,
          tiles: Optional[GemmTiles] = None, backend: str = "pallas",
+         transpose_a: bool = False, transpose_b: bool = False,
          interpret: Optional[bool] = None) -> jax.Array:
-    """out = epilogue(alpha * (a @ b) + beta * c + bias).
+    """out = epilogue(alpha * (op(a) @ op(b)) + beta * c + bias).
 
-    a: (M,K), b: (K,N). The fused ``epilogue``/``bias`` implements the
+    a: (M,K) — or (K,M) with ``transpose_a``; b: (K,N) — or (N,K) with
+    ``transpose_b``. Transposed operands are contracted in place on the MXU
+    (no HBM transpose). The fused ``epilogue``/``bias`` implements the
     reference's declared roadmap feature (README.md:238-245).
 
     backend: "pallas" (default — our MXU kernel, ~82% roofline on v5e) or
@@ -71,10 +74,14 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
         raise ValueError(f"gemm backend must be 'pallas' or 'xla', got {backend!r}")
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
-        raise ValueError(f"gemm shape mismatch: {a.shape} x {b.shape}")
-    M, K = a.shape
-    _, N = b.shape
+    ka = a.shape[0] if transpose_a else a.shape[1]
+    kb = b.shape[1] if transpose_b else b.shape[0]
+    if a.ndim != 2 or b.ndim != 2 or ka != kb:
+        raise ValueError(f"gemm shape mismatch: {a.shape} x {b.shape} "
+                         f"(transpose_a={transpose_a}, transpose_b={transpose_b})")
+    M = a.shape[1] if transpose_a else a.shape[0]
+    K = ka
+    N = b.shape[0] if transpose_b else b.shape[1]
     in_dtype = jnp.result_type(a.dtype, b.dtype)
     a = a.astype(in_dtype)
     b = b.astype(in_dtype)
@@ -90,7 +97,8 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
 
     path = _dispatch(in_dtype)
     if path == "xla" or backend == "xla" or M == 0 or N == 0 or K == 0:
-        return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt)
+        return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
+                         transpose_a, transpose_b)
 
     interp = should_interpret() if interpret is None else interpret
     tiles = tiles or plan_tiles(M, N, K, in_dtype, acc_dt, has_c_input=has_c)
@@ -98,18 +106,20 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
                     jnp.dtype(in_dtype).name, out_dt.name, acc_dt.name,
                     has_c, bias is not None, epilogue,
                     get_config().matmul_precision, interp,
-                    tiles.vmem_limit_bytes)
+                    tiles.vmem_limit_bytes, transpose_a, transpose_b)
     return fn(alpha, beta, a, b, c, bias)
 
 
-def _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt):
+def _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
+              transpose_a=False, transpose_b=False):
     """Generic fallback path (analog of the scalar generic ukernel,
     gemm_ukernel_generic.nim:21-35): exact for int32/int64 (XLA integer dot
     has wraparound semantics matching the reference's mullo path) and for f64.
     """
     from .kernel import _EPILOGUES
 
-    r = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+    r = jax.lax.dot_general(a, b, (((0,) if transpose_a else (1,),
+                                    (1,) if transpose_b else (0,)), ((), ())),
                             preferred_element_type=acc_dt,
                             precision=jax.lax.Precision.HIGHEST
                             if not jnp.issubdtype(acc_dt, jnp.integer) else None)
@@ -135,10 +145,10 @@ def gemm_strided(M: int, N: int, K: int, alpha,
     rebinds C). When beta == 0, C is never read (matching the reference's
     beta==0 epilogue specialization, gemm_ukernel_generator.nim:76-85).
     """
-    av = TensorView.matrix(jnp.asarray(A), M, K, rsA, csA)
-    bv = TensorView.matrix(jnp.asarray(B), K, N, rsB, csB)
-    a = av.materialize()
-    b = bv.materialize()
+    a, ta = _as_operand(jnp.asarray(A), M, K, rsA, csA)
+    b, tb = _as_operand(jnp.asarray(B), K, N, rsB, csB)
+    kwargs.setdefault("transpose_a", ta)
+    kwargs.setdefault("transpose_b", tb)
     beta_is_zero = isinstance(beta, (int, float)) and beta == 0
     c = None
     if not beta_is_zero:
@@ -146,3 +156,18 @@ def gemm_strided(M: int, N: int, K: int, alpha,
             raise ValueError("gemm_strided: beta != 0 requires a C buffer to read")
         c = TensorView.matrix(jnp.asarray(C), M, N, rsC, csC).materialize()
     return gemm(a, b, alpha=alpha, beta=beta, c=c, **kwargs)
+
+
+def _as_operand(buf, rows, cols, rs, cs):
+    """View a flat buffer as a (rows, cols) operand without copying when the
+    layout is row-major OR col-major (the latter handed to the kernel as an
+    in-place transposed contraction); everything else materializes (the
+    packing analog)."""
+    v = TensorView.matrix(buf, rows, cols, rs, cs)
+    flat = v.buffer
+    if v.offset == 0 and rows * cols == flat.size:
+        if rs == cols and cs == 1:  # row-major
+            return flat.reshape(rows, cols), False
+        if rs == 1 and cs == rows:  # col-major == transposed row-major
+            return flat.reshape(cols, rows), True
+    return v.materialize(), False

@@ -30,9 +30,10 @@ def _fwd(a, b, out_dtype):
 
 def _bwd(out_dtype, res, g):
     a, b = res
-    # dA = G B^T : (M,N)x(N,K); dB = A^T G : (K,M)x(M,N)
-    da = gemm(g, b.T, out_dtype=jnp.dtype(a.dtype).name)
-    db = gemm(a.T, g, out_dtype=jnp.dtype(b.dtype).name)
+    # dA = G B^T, dB = A^T G — contracted in place on the MXU (transpose
+    # flags), no HBM transpose materialization.
+    da = gemm(g, b, transpose_b=True, out_dtype=jnp.dtype(a.dtype).name)
+    db = gemm(a, g, transpose_a=True, out_dtype=jnp.dtype(b.dtype).name)
     return da, db
 
 
@@ -82,8 +83,8 @@ def _linear_bwd(activation, res, g):
         gz = vjp(g)[0]
     else:
         gz = g * dact(z)
-    dx = gemm(gz, w.T)
-    dw = gemm(x.T, gz)
+    dx = gemm(gz, w, transpose_b=True)
+    dw = gemm(x, gz, transpose_a=True)
     db = jnp.sum(gz, axis=0)
     return dx, dw, db
 

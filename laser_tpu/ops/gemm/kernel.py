@@ -62,14 +62,19 @@ def _precision(name: str):
 def build_gemm(M: int, N: int, K: int, bm: int, bn: int, bk: int,
                in_dtype: str, out_dtype: str, acc_dtype: str,
                has_c: bool, has_bias: bool, epilogue: Optional[str],
-               precision: str, interpret: bool, vmem_limit: int):
+               precision: str, interpret: bool, vmem_limit: int,
+               trans_a: bool = False, trans_b: bool = False):
     """Build a jitted f(alpha, beta, a, b, [c], [bias]) -> (M,N) out.
 
-    a: (M,K) in_dtype, b: (K,N) in_dtype, c: (M,N) (when beta != 0),
-    bias: (1,N). All dims may be non-multiples of the block sizes: M/N tails
-    rely on Pallas masked stores; the K tail is masked in-kernel (both A and
-    B sides, so uninitialized pad lanes can never poison the accumulator —
-    the analog of the reference's edge ukernel, gemm.nim:95-101).
+    a: (M,K) in_dtype (or (K,M) when trans_a), b: (K,N) (or (N,K) when
+    trans_b), c: (M,N) (when beta != 0), bias: (1,N). Transposed operands
+    are contracted in place by the MXU (dot_general dimension numbers) — no
+    HBM transpose materialization, the fast path for the reference's
+    col-major/strided scenarios (README.md:211-213). All dims may be
+    non-multiples of the block sizes: M/N tails rely on Pallas masked
+    stores; the K tail is masked in-kernel (both A and B sides, so
+    uninitialized pad lanes can never poison the accumulator — the analog of
+    the reference's edge ukernel, gemm.nim:95-101).
     """
     bm, bn, bk = min(bm, _ceil_align(M)), min(bn, _ceil_align(N)), min(bk, _ceil_align(K))
     grid = (cdiv(M, bm), cdiv(N, bn), cdiv(K, bk))
@@ -97,15 +102,22 @@ def build_gemm(M: int, N: int, K: int, bm: int, bn: int, bk: int,
 
         a = a_ref[:]
         b = b_ref[:]
+        a_shape = (bk, bm) if trans_a else (bm, bk)
+        b_shape = (bn, bk) if trans_b else (bk, bn)
         if k_tail:
             # Zero the out-of-range K lanes on BOTH operands: 0*garbage can be
             # NaN, so each side must be cleaned before the dot.
-            kk = k * bk + jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
+            kk = k * bk + jax.lax.broadcasted_iota(
+                jnp.int32, a_shape, 0 if trans_a else 1)
             a = jnp.where(kk < K, a, 0)
-            kk_b = k * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 0)
+            kk_b = k * bk + jax.lax.broadcasted_iota(
+                jnp.int32, b_shape, 1 if trans_b else 0)
             b = jnp.where(kk_b < K, b, 0)
-        acc_ref[:] += jnp.dot(a, b, preferred_element_type=acc_dt,
-                              precision=None if is_int else prec)
+        dims = (((0,) if trans_a else (1,), (1,) if trans_b else (0,)),
+                ((), ()))
+        acc_ref[:] += jax.lax.dot_general(
+            a, b, dims, preferred_element_type=acc_dt,
+            precision=None if is_int else prec)
 
         @pl.when(k == nk - 1)
         def _epilogue():
@@ -121,7 +133,11 @@ def build_gemm(M: int, N: int, K: int, bm: int, bn: int, bk: int,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha (1,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (1,)
+        pl.BlockSpec((bk, bm), lambda i, j, k: (k, i), memory_space=pltpu.VMEM)
+        if trans_a else
         pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda i, j, k: (j, k), memory_space=pltpu.VMEM)
+        if trans_b else
         pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
     ]
     if has_c:

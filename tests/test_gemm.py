@@ -152,3 +152,43 @@ class TestTilePlanner:
     def test_small_problem(self):
         t = plan_tiles(8, 8, 8, np.float32)
         assert t.bm == 128 and t.bn == 128  # rounded to MXU alignment
+
+
+class TestTransposedOperands:
+    """In-place transposed contraction (no HBM transpose materialization)."""
+
+    def test_transpose_a(self, rng):
+        M, N, K = 48, 40, 56
+        at = rng.randn(K, M).astype(np.float32)  # stored (K, M)
+        b = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm(at, b, transpose_a=True)
+        assert mean_relative_error(np.asarray(got), oracle(at.T, b)) < 1e-5
+
+    def test_transpose_b(self, rng):
+        M, N, K = 48, 40, 56
+        a = rng.randn(M, K).astype(np.float32)
+        bt = rng.randn(N, K).astype(np.float32)  # stored (N, K)
+        got = lt.gemm(a, bt, transpose_b=True)
+        assert mean_relative_error(np.asarray(got), oracle(a, bt.T)) < 1e-5
+
+    def test_both_with_tails(self, rng):
+        M, N, K = 67, 43, 91
+        at = rng.randn(K, M).astype(np.float32)
+        bt = rng.randn(N, K).astype(np.float32)
+        got = lt.gemm(at, bt, transpose_a=True, transpose_b=True)
+        assert mean_relative_error(np.asarray(got), oracle(at.T, bt.T)) < 1e-5
+
+    def test_strided_colmajor_uses_transpose_path(self, rng):
+        # gemm_strided with col-major B: strides (1, K) -> zero-copy path
+        M, N, K = 24, 36, 48
+        a = rng.randn(M, K).astype(np.float32)
+        bt = rng.randn(N, K).astype(np.float32)
+        got = lt.gemm_strided(M, N, K, 1.0, a, K, 1, bt, 1, K, 0.0, None, N, 1)
+        assert mean_relative_error(np.asarray(got), oracle(a, bt.T)) < 1e-5
+
+    def test_xla_backend_transposes(self, rng):
+        M, N, K = 16, 20, 24
+        at = rng.randn(K, M).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm(at, b, transpose_a=True, backend="xla")
+        assert mean_relative_error(np.asarray(got), oracle(at.T, b)) < 1e-5
