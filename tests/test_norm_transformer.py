@@ -1,0 +1,92 @@
+"""Fused norm kernels + transformer block tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laser_tpu.ops.norm import layer_norm, rms_norm
+
+
+def np_layer_norm(x, g=None, b=None, eps=1e-6):
+    x64 = x.astype(np.float64)
+    mean = x64.mean(-1, keepdims=True)
+    var = ((x64 - mean) ** 2).mean(-1, keepdims=True)
+    y = (x64 - mean) / np.sqrt(var + eps)
+    if g is not None:
+        y = y * g + (b if b is not None else 0)
+    return y
+
+
+class TestLayerNorm:
+    @pytest.mark.parametrize("shape", [(8, 128), (5, 300), (2, 3, 64)])
+    def test_vs_oracle(self, rng, shape):
+        x = rng.randn(*shape).astype(np.float32) * 3
+        got = np.asarray(layer_norm(x), np.float64)
+        np.testing.assert_allclose(got, np_layer_norm(x), rtol=1e-4, atol=1e-5)
+
+    def test_affine(self, rng):
+        x = rng.randn(16, 96).astype(np.float32)
+        g = rng.randn(96).astype(np.float32)
+        b = rng.randn(96).astype(np.float32)
+        got = np.asarray(layer_norm(x, g, b), np.float64)
+        np.testing.assert_allclose(got, np_layer_norm(x, g, b), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_normalized_stats(self, rng):
+        x = rng.randn(32, 256).astype(np.float32) * 10 + 5
+        y = np.asarray(layer_norm(x))
+        np.testing.assert_allclose(y.mean(-1), 0, atol=1e-5)
+        np.testing.assert_allclose(y.std(-1), 1, atol=1e-3)
+
+
+class TestRmsNorm:
+    def test_vs_oracle(self, rng):
+        x = rng.randn(12, 200).astype(np.float32)
+        g = rng.randn(200).astype(np.float32)
+        got = np.asarray(rms_norm(x, g), np.float64)
+        x64 = x.astype(np.float64)
+        want = x64 / np.sqrt((x64**2).mean(-1, keepdims=True) + 1e-6) * g
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestTransformer:
+    def test_block_shapes_and_finite(self, rng):
+        from laser_tpu.models.transformer import (init_transformer_block,
+                                                  transformer_block)
+
+        key = jax.random.PRNGKey(0)
+        p = init_transformer_block(key, d_model=128, n_heads=2, d_ff=256)
+        x = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32) * 0.1)
+        y = transformer_block(p, x, n_heads=2, causal=True)
+        assert y.shape == x.shape
+        assert bool(jnp.isfinite(y).all())
+
+    def test_forward_logits(self, rng):
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_forward)
+
+        key = jax.random.PRNGKey(1)
+        params = init_transformer(key, n_layers=2, d_model=128, n_heads=2,
+                                  d_ff=256, vocab=50)
+        tokens = jnp.asarray(rng.randint(0, 50, (2, 32)))
+        logits = transformer_forward(params, tokens, n_heads=2)
+        assert logits.shape == (2, 32, 50)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_causal_prefix_invariance(self, rng):
+        # causal model: logits at position t must not depend on tokens > t
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_forward)
+
+        key = jax.random.PRNGKey(2)
+        params = init_transformer(key, n_layers=1, d_model=128, n_heads=2,
+                                  d_ff=128, vocab=17)
+        t1 = rng.randint(0, 17, (1, 16))
+        t2 = t1.copy()
+        t2[0, 10:] = (t2[0, 10:] + 1) % 17  # change the suffix
+        l1 = transformer_forward(params, jnp.asarray(t1), n_heads=2)
+        l2 = transformer_forward(params, jnp.asarray(t2), n_heads=2)
+        np.testing.assert_allclose(np.asarray(l1)[0, :10],
+                                   np.asarray(l2)[0, :10], rtol=1e-4,
+                                   atol=1e-5)
