@@ -164,9 +164,8 @@ class TestGraftEntry:
 
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
-        assert out.shape == (128, 10)
-        s = np.asarray(out).sum(axis=-1)
-        np.testing.assert_allclose(s, 1.0, rtol=1e-4)  # softmax rows
+        assert out.shape == (2, 128, 1024)  # (B, S, vocab) logits
+        assert bool(jnp.isfinite(out).all())
 
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
