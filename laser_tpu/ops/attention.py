@@ -50,7 +50,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
 
 @build_cache
 def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
-                 causal: bool, scale: float, dtype: str, interpret: bool):
+                 causal: bool, scale: float, dtype: str, interpret: bool,
+                 return_stats: bool = False):
     nq = SP // bq
     nk = SP // bk
     dt = jnp.dtype(dtype)
@@ -58,7 +59,11 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     # TPU default silently runs 1-pass bf16, ~1e-3 error); bf16 runs native.
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    def kernel(q_ref, k_ref, v_ref, *outs_and_scratch):
+        if return_stats:
+            o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs_and_scratch
+        else:
+            o_ref, m_ref, l_ref, acc_ref = outs_and_scratch
         iq = pl.program_id(1)
         ik = pl.program_id(2)
 
@@ -106,7 +111,12 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
         @pl.when(ik == nk - 1)
         def _fin():
-            o_ref[0] = (acc_ref[:] / l_ref[:, :D]).astype(dt)
+            # guard rows that saw no valid keys (padded/skipped): l == 0
+            lsafe = jnp.where(l_ref[:, :D] > 0, l_ref[:, :D], 1.0)
+            o_ref[0] = (acc_ref[:] / lsafe).astype(dt)
+            if return_stats:
+                mo_ref[0] = m_ref[:, :128]
+                lo_ref[0] = l_ref[:, :128]
 
     grid = (BH, nq, nk)
     stat_lanes = max(D, 128)
@@ -121,9 +131,13 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, SP, D), dt),
+        out_specs=[pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                                memory_space=pltpu.VMEM)] + (
+            [pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)] * 2 if return_stats else []),
+        out_shape=[jax.ShapeDtypeStruct((BH, SP, D), dt)] + (
+            [jax.ShapeDtypeStruct((BH, SP, 128), jnp.float32)] * 2
+            if return_stats else []),
         scratch_shapes=[
             pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running max
             pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
@@ -170,5 +184,48 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     call = _build_flash(BH, S, SP, D, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp)
-    out = call(q3, k3, v3)
+    out = call(q3, k3, v3)[0]
     return out[:, :S, :].reshape(*lead, S, D)
+
+
+def attention_with_stats(q, k, v, *, causal: bool = False,
+                         scale: Optional[float] = None,
+                         k_valid: Optional[int] = None,
+                         block_q: int = 1024, block_k: int = 1024,
+                         interpret: Optional[bool] = None):
+    """Flash attention that also returns the softmax residuals.
+
+    Returns (out, m, l): out (..., S, D) normalized; m/l (..., S) the running
+    max and denominator per query row — enough to merge partial attentions
+    over disjoint key sets with the standard log-sum-exp combination. This is
+    the building block for ring/sequence-parallel attention.
+
+    ``k_valid`` masks keys beyond that count (defaults to k's length).
+    """
+    q, k, v = map(jnp.asarray, (q, k, v))
+    *lead, S, D = q.shape
+    Sk = k.shape[-2]
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    interp = should_interpret() if interpret is None else interpret
+    BH = int(np.prod(lead)) if lead else 1
+    bq = min(block_q, round_step_up(S, 8))
+    bk = min(block_k, round_step_up(Sk, 128))
+    SPq = round_step_up(S, bq)
+    SPk = round_step_up(Sk, bk)
+    SP = max(SPq, SPk)
+    q3 = q.reshape(BH, S, D)
+    k3 = k.reshape(BH, Sk, D)
+    v3 = v.reshape(BH, Sk, D)
+    if SP != S:
+        q3 = jnp.pad(q3, ((0, 0), (0, SP - S), (0, 0)))
+    if SP != Sk:
+        k3 = jnp.pad(k3, ((0, 0), (0, SP - Sk), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, SP - Sk), (0, 0)))
+    kv = k_valid if k_valid is not None else Sk
+    call = _build_flash(BH, int(kv), SP, D, bq, bk, causal, float(scale),
+                        jnp.dtype(q.dtype).name, interp, return_stats=True)
+    out, m, l = call(q3, k3, v3)
+    out = out[:, :S, :].reshape(*lead, S, D)
+    m = m[:, :S, 0].reshape(*lead, S)
+    l = l[:, :S, 0].reshape(*lead, S)
+    return out, m, l
