@@ -13,7 +13,7 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
+from ..ops.attention import attention_trainable as attention
 from ..ops.gemm.autodiff import linear
 from ..ops.norm import layer_norm
 
@@ -86,7 +86,7 @@ def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
         x = transformer_block(blk, x, n_heads=n_heads, causal=causal)
     x = layer_norm(x, params["lnf_g"], params["lnf_b"])
     B, S, D = x.shape
-    from ..ops.gemm import gemm
+    from ..ops.gemm.autodiff import gemm_ad
 
-    logits = gemm(x.reshape(B * S, D), params["embed"], transpose_b=True)
+    logits = gemm_ad(x.reshape(B * S, D), params["embed"], None, False, True)
     return logits.reshape(B, S, -1)

@@ -10,12 +10,15 @@ pipeline (ops/gemm/kernel.py), the exp core (ops/vector_math.py), and
 lane-uniform running statistics (the multi-accumulator idea of
 ops/reductions.py).
 
-Forward-only Pallas kernel (training VJP is a later-round item — backward
-falls back to XLA autodiff through the reference implementation).
+The Pallas kernel is forward-only; ``attention`` carries a custom VJP whose
+backward recomputes through the XLA reference implementation (flash-forward
+memory savings at inference and activation-checkpointed training; a fused
+backward kernel is the planned upgrade).
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -229,3 +232,36 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     m = m[:, :S, 0].reshape(*lead, S)
     l = l[:, :S, 0].reshape(*lead, S)
     return out, m, l
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: flash forward, recompute-based backward.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_ad(q, k, v, causal, scale):
+    return attention(q, k, v, causal=causal, scale=scale)
+
+
+def _att_fwd(q, k, v, causal, scale):
+    return attention(q, k, v, causal=causal, scale=scale), (q, k, v)
+
+
+def _att_bwd(causal, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: attention_reference(q, k, v, causal=causal,
+                                            scale=scale), q, k, v)
+    return vjp(g)
+
+
+_attention_ad.defvjp(_att_fwd, _att_bwd)
+
+
+def attention_trainable(q, k, v, *, causal: bool = False,
+                        scale: Optional[float] = None) -> jax.Array:
+    """Differentiable attention: the flash kernel on the forward pass, exact
+    gradients via recomputation through the reference on the backward."""
+    *_, D = q.shape
+    return _attention_ad(q, k, v, causal,
+                         scale if scale is not None else 1.0 / math.sqrt(D))

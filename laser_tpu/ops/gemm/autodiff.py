@@ -18,22 +18,34 @@ import jax.numpy as jnp
 from .api import gemm
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gemm_ad(a: jax.Array, b: jax.Array, out_dtype: Optional[str] = None):
-    """Differentiable C = A @ B through the Pallas MXU kernel."""
-    return gemm(a, b, out_dtype=out_dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gemm_ad(a: jax.Array, b: jax.Array, out_dtype: Optional[str] = None,
+            transpose_a: bool = False, transpose_b: bool = False):
+    """Differentiable C = op(A) @ op(B) through the Pallas MXU kernel."""
+    return gemm(a, b, out_dtype=out_dtype, transpose_a=transpose_a,
+                transpose_b=transpose_b)
 
 
-def _fwd(a, b, out_dtype):
-    return gemm(a, b, out_dtype=out_dtype), (a, b)
+def _fwd(a, b, out_dtype, transpose_a, transpose_b):
+    return gemm(a, b, out_dtype=out_dtype, transpose_a=transpose_a,
+                transpose_b=transpose_b), (a, b)
 
 
-def _bwd(out_dtype, res, g):
+def _bwd(out_dtype, transpose_a, transpose_b, res, g):
     a, b = res
-    # dA = G B^T, dB = A^T G — contracted in place on the MXU (transpose
-    # flags), no HBM transpose materialization.
-    da = gemm(g, b, transpose_b=True, out_dtype=jnp.dtype(a.dtype).name)
-    db = gemm(a, g, transpose_a=True, out_dtype=jnp.dtype(b.dtype).name)
+    adt = jnp.dtype(a.dtype).name
+    bdt = jnp.dtype(b.dtype).name
+    # All four orientations, every backward contraction in place on the MXU.
+    if not transpose_a:
+        da = gemm(g, b, transpose_b=not transpose_b, out_dtype=adt)
+    else:  # C = A^T B: dA = B G^T (stored (K,M): dA^T... dA = B @ G^T)
+        da = gemm(b, g, transpose_a=transpose_b, transpose_b=True,
+                  out_dtype=adt)
+    if not transpose_b:
+        db = gemm(a, g, transpose_a=not transpose_a, out_dtype=bdt)
+    else:  # C = A B^T: dB = G^T A
+        db = gemm(g, a, transpose_a=True, transpose_b=transpose_a,
+                  out_dtype=bdt)
     return da, db
 
 

@@ -110,14 +110,85 @@ def _norm(x, gamma, beta, kind: str, axis: int, eps: float,
     return out
 
 
+def _layer_norm_reference(x, gamma, beta, axis, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=axis, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    return y.astype(x.dtype)
+
+
+def _rms_norm_reference(x, gamma, axis, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=axis, keepdims=True) + eps)
+    if gamma is not None:
+        y = y * gamma
+    return y.astype(x.dtype)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _layer_norm_ad(x, gamma, beta, axis, eps):
+    return _norm(x, gamma, beta, "layer", axis, eps, None)
+
+
+def _ln_fwd(x, gamma, beta, axis, eps):
+    return _norm(x, gamma, beta, "layer", axis, eps, None), (x, gamma, beta)
+
+
+def _ln_bwd(axis, eps, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, gm, bt: _layer_norm_reference(x, gm, bt, axis, eps),
+        x, gamma, beta)
+    return vjp(g)
+
+
+_layer_norm_ad.defvjp(_ln_fwd, _ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rms_norm_ad(x, gamma, axis, eps):
+    return _norm(x, gamma, None, "rms", axis, eps, None)
+
+
+def _rms_fwd(x, gamma, axis, eps):
+    return _norm(x, gamma, None, "rms", axis, eps, None), (x, gamma)
+
+
+def _rms_bwd(axis, eps, res, g):
+    x, gamma = res
+    _, vjp = jax.vjp(lambda x, gm: _rms_norm_reference(x, gm, axis, eps),
+                     x, gamma)
+    return vjp(g)
+
+
+_rms_norm_ad.defvjp(_rms_fwd, _rms_bwd)
+
+
 def layer_norm(x, gamma=None, beta=None, *, axis: int = -1, eps: float = 1e-6,
                interpret: Optional[bool] = None) -> jax.Array:
     """Fused LayerNorm over ``axis`` (mean/var statistics + scale/shift in
-    one kernel pass)."""
-    return _norm(x, gamma, beta, "layer", axis, eps, interpret)
+    one kernel pass). Differentiable: the fused kernel runs forward; the
+    backward recomputes through the XLA reference (exact)."""
+    if gamma is None:
+        d = jnp.asarray(x).shape[axis]
+        gamma = jnp.ones((d,), jnp.asarray(x).dtype)
+    if beta is None:
+        beta = jnp.zeros_like(gamma)
+    return _layer_norm_ad(x, gamma, beta, axis, eps)
 
 
 def rms_norm(x, gamma=None, *, axis: int = -1, eps: float = 1e-6,
              interpret: Optional[bool] = None) -> jax.Array:
-    """Fused RMSNorm over ``axis``."""
-    return _norm(x, gamma, None, "rms", axis, eps, interpret)
+    """Fused RMSNorm over ``axis`` (differentiable like layer_norm)."""
+    if gamma is None:
+        d = jnp.asarray(x).shape[axis]
+        gamma = jnp.ones((d,), jnp.asarray(x).dtype)
+    return _rms_norm_ad(x, gamma, axis, eps)

@@ -62,3 +62,22 @@ class TestAttention:
         want = attention_reference(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestTrainable:
+    def test_grads_match_reference(self, rng):
+        from laser_tpu.ops.attention import attention_trainable
+
+        q, k, v = make_qkv(rng, (1, 128, 128))
+
+        def f(q, k, v):
+            return jnp.sum(attention_trainable(q, k, v, causal=True) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)

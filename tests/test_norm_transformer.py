@@ -90,3 +90,30 @@ class TestTransformer:
         np.testing.assert_allclose(np.asarray(l1)[0, :10],
                                    np.asarray(l2)[0, :10], rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestTransformerTraining:
+    def test_loss_decreases(self, rng):
+        """End-to-end training through flash attention, fused linears and
+        layer_norm (custom VJPs + XLA autodiff compose)."""
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_forward)
+
+        key = jax.random.PRNGKey(3)
+        params = init_transformer(key, n_layers=1, d_model=128, n_heads=2,
+                                  d_ff=128, vocab=11)
+        tokens = jnp.asarray(rng.randint(0, 11, (2, 16)))
+        targets = jnp.asarray(rng.randint(0, 11, (2, 16)))
+
+        def loss_fn(p):
+            logits = transformer_forward(p, tokens, n_heads=2)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, targets[..., None], axis=-1))
+
+        l0 = float(loss_fn(params))
+        for _ in range(5):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g,
+                                            params, grads)
+        assert float(loss_fn(params)) < l0

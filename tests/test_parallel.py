@@ -173,3 +173,28 @@ class TestGraftEntry:
         if jax.device_count() < 8:
             pytest.skip("needs 8 virtual devices")
         g.dryrun_multichip(8)
+
+
+class TestGemmAdTransposes:
+    @pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+    def test_all_orientations(self, rng, ta, tb):
+        from laser_tpu.ops.gemm.autodiff import gemm_ad
+
+        M, N, K = 8, 6, 10
+        a = rng.randn(*((K, M) if ta else (M, K))).astype(np.float32)
+        b = rng.randn(*((N, K) if tb else (K, N))).astype(np.float32)
+
+        def f(a, b):
+            return jnp.sum(gemm_ad(a, b, None, ta, tb) ** 2)
+
+        def ref(a, b):
+            aa = a.T if ta else a
+            bb = b.T if tb else b
+            return jnp.sum((aa @ bb) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+        want = jax.grad(ref, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
