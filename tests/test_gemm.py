@@ -57,8 +57,10 @@ class TestGemmF32:
         assert mean_relative_error(np.asarray(got), want) < 1e-5
 
         got_t = lt.gemm(a, b, epilogue="tanh")
+        # fused epilogues use the VPU hardware approximations on TPU
+        # (tanh ~4e-5 abs; the accurate tier lives in ops/vector_math)
         np.testing.assert_allclose(np.asarray(got_t), np.tanh(oracle(a, b)),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestGemmDtypes:
