@@ -235,33 +235,85 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
 
 
 # ---------------------------------------------------------------------------
-# Trainable wrapper: flash forward, recompute-based backward.
+# Trainable wrapper: flash forward, fused flash backward kernels.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attention_ad(q, k, v, causal, scale):
-    return attention(q, k, v, causal=causal, scale=scale)
+def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
+                          interpret):
+    """Run the stats-returning forward once, keeping the PADDED tensors as
+    residuals for the backward kernels."""
+    *lead, S, D = q.shape
+    BH = int(np.prod(lead)) if lead else 1
+    bq = min(block_q, round_step_up(S, 8))
+    bk = min(block_k, round_step_up(S, 128))
+    SP = round_step_up(S, max(bq, bk))
+    q3 = q.reshape(BH, S, D)
+    k3 = k.reshape(BH, S, D)
+    v3 = v.reshape(BH, S, D)
+    if SP != S:
+        pad = ((0, 0), (0, SP - S), (0, 0))
+        q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
+    call = _build_flash(BH, S, SP, D, bq, bk, causal, float(scale),
+                        jnp.dtype(q.dtype).name, interpret, return_stats=True)
+    o3, m3, l3 = call(q3, k3, v3)
+    out = o3[:, :S, :].reshape(*lead, S, D)
+    return out, (q3, k3, v3, o3, m3, l3), (BH, S, SP, D, bq, bk)
 
 
-def _att_fwd(q, k, v, causal, scale):
-    return attention(q, k, v, causal=causal, scale=scale), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_ad(q, k, v, causal, scale, block_q, block_k):
+    return attention(q, k, v, causal=causal, scale=scale, block_q=block_q,
+                     block_k=block_k)
 
 
-def _att_bwd(causal, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: attention_reference(q, k, v, causal=causal,
-                                            scale=scale), q, k, v)
-    return vjp(g)
+def _att_fwd(q, k, v, causal, scale, block_q, block_k):
+    *lead, S, D = q.shape
+    interp = should_interpret()
+    if D % 128 != 0 and not interp:
+        # reference path forward -> recompute backward
+        out = attention_reference(q, k, v, causal=causal, scale=scale)
+        return out, (None, (q, k, v))
+    out, padded, _ = _flash_forward_padded(q, k, v, causal, scale,
+                                           block_q, block_k, interp)
+    return out, (padded, None)
+
+
+def _att_bwd(causal, scale, block_q, block_k, res, g):
+    padded, qkv = res
+    if padded is None:
+        q, k, v = qkv
+        _, vjp = jax.vjp(
+            lambda q, k, v: attention_reference(q, k, v, causal=causal,
+                                                scale=scale), q, k, v)
+        return vjp(g)
+    from .attention_bwd import flash_attention_bwd
+
+    q3, k3, v3, o3, m3, l3 = padded
+    BH, SP, D = q3.shape
+    *lead, S, _ = g.shape
+    bq = min(block_q, round_step_up(S, 8))
+    bk = min(block_k, round_step_up(S, 128))
+    g3 = g.reshape(BH, S, D)
+    if SP != S:
+        g3 = jnp.pad(g3, ((0, 0), (0, SP - S), (0, 0)))
+    dq, dk, dv = flash_attention_bwd(
+        q3, k3, v3, o3, m3, l3, g3, S=S, SP=SP, D=D, bq=bq, bk=bk,
+        causal=causal, scale=float(scale), interpret=should_interpret())
+    shape = (*lead, S, D)
+    return (dq[:, :S].reshape(shape), dk[:, :S].reshape(shape),
+            dv[:, :S].reshape(shape))
 
 
 _attention_ad.defvjp(_att_fwd, _att_bwd)
 
 
 def attention_trainable(q, k, v, *, causal: bool = False,
-                        scale: Optional[float] = None) -> jax.Array:
-    """Differentiable attention: the flash kernel on the forward pass, exact
-    gradients via recomputation through the reference on the backward."""
+                        scale: Optional[float] = None,
+                        block_q: int = 1024, block_k: int = 1024) -> jax.Array:
+    """Differentiable attention: flash kernel forward AND fused flash
+    backward kernels (O(S) memory in both directions; the S x S matrix is
+    recomputed blockwise on the MXU in the backward)."""
     *_, D = q.shape
     return _attention_ad(q, k, v, causal,
-                         scale if scale is not None else 1.0 / math.sqrt(D))
+                         scale if scale is not None else 1.0 / math.sqrt(D),
+                         block_q, block_k)

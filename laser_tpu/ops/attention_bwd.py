@@ -1,0 +1,212 @@
+"""Fused flash-attention backward kernels.
+
+Completes the training story for ops/attention.py with O(S) memory: the
+forward saves only (O, m, l); the backward recomputes each score block on
+the MXU and streams the gradients, never materializing the S x S matrix.
+
+Math (per batch-head; i = query block, j = key block; all f32 in-kernel):
+    p_ij  = exp(scale * q_i k_j^T - m_i) / l_i        (recomputed, masked)
+    dv_j  = sum_i p_ij^T dO_i
+    dp_ij = dO_i v_j^T
+    ds_ij = scale * p_ij * (dp_ij - D_i),  D_i = rowsum(dO_i * O_i)
+    dq_i  = sum_j ds_ij k_j
+    dk_j  = sum_i ds_ij^T q_i
+
+Two kernels: dQ streams over j with a (bq, D) accumulator; dK/dV stream over
+i with (bk, D) accumulators. Causal blocks above the diagonal are skipped in
+both (the same block gate as the forward).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..registry import build_cache
+
+_NEG_INF = -1e30
+
+
+def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
+                causal, bq, bk, prec):
+    """Recompute (p, ds) for one (i, j) block pair. All operands f32."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    valid = kpos < S
+    if causal:
+        qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        valid = valid & (kpos <= qpos)
+    s = jnp.where(valid, s, _NEG_INF)
+    lsafe = jnp.where(l > 0, l, 1.0)
+    p = jnp.exp(s - m) / lsafe
+    p = jnp.where(valid, p, 0.0)
+    # padded q rows carry (m=-inf, l=0) from the forward: their exp overflows
+    # to inf and must be zeroed (their dO is zero, but inf*0 = NaN)
+    p = jnp.where(l > 0, p, 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    ds = scale * p * (dp - dvec)
+    return p, ds
+
+
+@build_cache
+def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
+                  causal: bool, scale: float, dtype: str, interpret: bool):
+    dt = jnp.dtype(dtype)
+    nk = SP // bk
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dq_ref,
+               acc_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        q_start = i * bq
+        k_start = j * bk
+
+        def _step():
+            _, ds = _block_p_ds(
+                q_ref[0].astype(jnp.float32), k_ref[0].astype(jnp.float32),
+                v_ref[0].astype(jnp.float32), do_ref[0].astype(jnp.float32),
+                m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
+                scale=scale, S=S, q_start=q_start, k_start=k_start,
+                causal=causal, bq=bq, bk=bk, prec=prec)
+            acc_ref[:] += jax.lax.dot_general(
+                ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        if causal:
+            pl.when(k_start <= q_start + bq - 1)(_step)
+        else:
+            _step()
+
+        @pl.when(j == nk - 1)
+        def _fin():
+            dq_ref[0] = acc_ref[:].astype(dt)
+
+    stat = pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, SP // bq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            stat, stat, stat,
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, SP, D), dt),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+@build_cache
+def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
+                   causal: bool, scale: float, dtype: str, interpret: bool):
+    dt = jnp.dtype(dtype)
+    nq = SP // bq
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref,
+               dk_ref, dv_ref, acck_ref, accv_ref):
+        j = pl.program_id(1)  # key block (parallel)
+        i = pl.program_id(2)  # query block (streamed)
+
+        @pl.when(i == 0)
+        def _init():
+            acck_ref[:] = jnp.zeros_like(acck_ref)
+            accv_ref[:] = jnp.zeros_like(accv_ref)
+
+        q_start = i * bq
+        k_start = j * bk
+
+        def _step():
+            q = q_ref[0].astype(jnp.float32)
+            do = do_ref[0].astype(jnp.float32)
+            p, ds = _block_p_ds(
+                q, k_ref[0].astype(jnp.float32),
+                v_ref[0].astype(jnp.float32), do,
+                m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
+                scale=scale, S=S, q_start=q_start, k_start=k_start,
+                causal=causal, bq=bq, bk=bk, prec=prec)
+            accv_ref[:] += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            acck_ref[:] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+        if causal:
+            pl.when(q_start + bq - 1 >= k_start)(_step)
+        else:
+            _step()
+
+        @pl.when(i == nq - 1)
+        def _fin():
+            dk_ref[0] = acck_ref[:].astype(dt)
+            dv_ref[0] = accv_ref[:].astype(dt)
+
+    stat = pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, SP // bk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            stat, stat, stat,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((BH, SP, D), dt)] * 2,
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
+                        D: int, bq: int, bk: int, causal: bool, scale: float,
+                        interpret: bool):
+    """All inputs padded to (BH, SP, D) / stats (BH, SP, 128).
+    Returns (dq, dk, dv) padded — caller slices to S."""
+    BH = q3.shape[0]
+    dt = jnp.dtype(q3.dtype).name
+    dvec = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    d3 = jnp.broadcast_to(dvec[..., None], (BH, SP, 128)).astype(jnp.float32)
+    dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt, interpret)(
+        q3, k3, v3, g3, m3, l3, d3)
+    dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
+                            interpret)(q3, k3, v3, g3, m3, l3, d3)
+    return dq, dk, dv

@@ -81,3 +81,32 @@ class TestTrainable:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_unaligned_and_batched(self, rng, causal):
+        from laser_tpu.ops.attention import attention_trainable
+
+        q, k, v = make_qkv(rng, (2, 200, 128))  # forces padding
+
+        def f(q, k, v):
+            return jnp.sum(attention_trainable(
+                q, k, v, causal=causal, block_q=128, block_k=128) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=causal) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_grads_finite_no_nans(self, rng):
+        from laser_tpu.ops.attention import attention_trainable
+
+        q, k, v = make_qkv(rng, (1, 130, 128))  # heavy padding
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            attention_trainable(q, k, v, causal=True, block_q=128,
+                                block_k=128)))(q, k, v)
+        for t in g:
+            assert bool(jnp.isfinite(t).all())
