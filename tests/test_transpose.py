@@ -45,3 +45,28 @@ class TestLayoutConversions:
         x = rng.randn(2, 5, 9, 11).astype(np.float32)
         back = lt.nhwc2nchw(lt.nchw2nhwc(x))
         np.testing.assert_array_equal(np.asarray(back), x)
+
+
+class TestTriangularIndexInversion:
+    """The paired-swap kernel maps a flat pair index p -> (row, col) in the
+    upper triangle via fp sqrt + integer correction; verify the formula is
+    exact for every p at realistic block counts."""
+
+    @pytest.mark.parametrize("nt", [1, 2, 3, 7, 16, 64, 181])
+    def test_exact(self, nt):
+        import math
+
+        P = nt * (nt + 1) // 2
+        want = [(r, c) for c in range(nt) for r in range(c + 1)]
+        want = sorted((c * (c + 1) // 2 + r, (r, c)) for (r, c) in want)
+        for p, (r_want, c_want) in want:
+            pf = np.float32(p)
+            i = int(np.floor((np.sqrt(8.0 * pf + 1.0) - 1.0) / 2.0))
+            if (i + 1) * (i + 2) // 2 <= p:
+                i += 1
+            if i * (i + 1) // 2 > p:
+                i -= 1
+            row = p - i * (i + 1) // 2
+            col = i
+            assert (row, col) == (r_want, c_want), (p, row, col)
+        assert len(want) == P
