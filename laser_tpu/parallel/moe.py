@@ -83,3 +83,77 @@ def moe_layer(params: Dict, x: jax.Array, mesh: Mesh, *, axis: str = "ep",
         in_specs=(P(), P(axis, None, None), P(axis, None, None), P()),
         out_specs=P(), check_vma=False)
     return mapped(params["router"], params["w1"], params["w2"], x)
+
+# ---------------------------------------------------------------------------
+# Sparse dispatch: Switch-style top-1 routing with capacity + all_to_all.
+# ---------------------------------------------------------------------------
+
+def moe_layer_sparse(params: Dict, x: jax.Array, mesh: Mesh, *,
+                     axis: str = "ep", capacity_factor: float = 1.25
+                     ) -> jax.Array:
+    """Expert-parallel MoE with REAL token dispatch.
+
+    x (T, D) is token-sharded over ``axis`` (T divisible by the axis size);
+    experts are sharded the same way. Each device routes its local tokens
+    top-1, packs them into per-expert capacity buffers (Switch-transformer
+    scheme: tokens beyond capacity are dropped and contribute zeros), and an
+    ``all_to_all`` over ICI carries each buffer to the device owning the
+    expert; outputs take the reverse path and are combined with the gate
+    weight. Communication is O(T*D) instead of the dense formulation's
+    E-fold redundant compute.
+    """
+    E = params["router"].shape[1]
+    n = mesh.shape[axis]
+    if E % n:
+        raise ValueError(f"n_experts {E} not divisible by {axis} size {n}")
+    T, D = x.shape
+    if T % n:
+        raise ValueError(f"tokens {T} not divisible by {axis} size {n}")
+    e_loc = E // n
+    t_loc = T // n
+    cap = max(1, int(capacity_factor * t_loc / E) + 1)
+
+    def body(router, w1, w2, xs):
+        # xs: (t_loc, D) local tokens
+        logits = xs @ router                       # (t, E)
+        expert = jnp.argmax(logits, axis=-1)       # (t,)
+        # same gate convention as the dense oracle: softmax over the top-k
+        # (k=1 -> weight 1.0 for the selected expert)
+        gate = _topk_gates(logits, 1)
+        gate_val = jnp.take_along_axis(gate, expert[:, None], 1)[:, 0]
+        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)   # (t, E)
+        # position of each token within its expert's capacity buffer
+        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (t, E)
+        keep = (pos < cap) & (onehot > 0)
+        pos_oh = jax.nn.one_hot(pos.max(axis=-1).astype(jnp.int32), cap,
+                                dtype=jnp.float32)               # (t, cap)
+        kept = keep.any(axis=-1).astype(jnp.float32)
+        dispatch = jnp.einsum("te,tc->tec", onehot * kept[:, None], pos_oh)
+        # pack: (E, cap, D)
+        buffers = jnp.einsum("tec,td->ecd", dispatch, xs)
+        # exchange: (n, e_loc, cap, D) -> every device gets its experts' slice
+        buffers = buffers.reshape(n, e_loc, cap, D)
+        recv = jax.lax.all_to_all(buffers, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        # recv: (n, e_loc, cap, D) = per-source-device buffers for MY experts
+        def run_expert(j, acc):
+            inp = recv[:, j].reshape(n * cap, D)
+            h = linear(inp, w1[j], None, "relu")
+            h = linear(h, w2[j], None, None)
+            return acc.at[:, j].set(h.reshape(n, cap, D))
+
+        outs = jax.lax.fori_loop(
+            0, e_loc, run_expert, jnp.zeros((n, e_loc, cap, D), x.dtype))
+        # reverse exchange: send results back to the token-owning devices
+        back = jax.lax.all_to_all(outs, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        back = back.reshape(E, cap, D)
+        # combine: dropped tokens receive zeros
+        return jnp.einsum("tec,ecd->td", dispatch, back) * gate_val[:, None]
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(axis, None, None),
+                  P(axis, None)),
+        out_specs=P(axis, None), check_vma=False)
+    return mapped(params["router"], params["w1"], params["w2"], x)
