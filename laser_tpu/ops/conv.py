@@ -151,24 +151,45 @@ def _build_planewise_conv(N: int, C: int, HP: int, WP: int, c_out: int,
 @build_cache
 def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
                        kh: int, kw: int, oh: int, ow: int, dtype: str,
-                       interpret: bool):
-    """Stride-1 direct conv: grid over N; kH*kW dot_generals per image,
-    accumulated in f32. Activations are NHWC inside the kernel (the layout
-    the reference converts to for its NHWC experiments, swapaxes.nim:86)."""
-    dt = jnp.dtype(dtype)
+                       interpret: bool, patch_scratch: bool = True):
+    """Stride-1 direct conv: grid over N, NHWC in-kernel.
 
-    def kernel(x_ref, w_ref, o_ref):
+    With ``patch_scratch`` (the in-kernel im2col): all kH*kW shifted windows
+    are stacked into a (taps, oH*oW, C) VMEM scratch and contracted against
+    the (taps, C, c_out) weights in ONE dot_general over both tap and
+    channel dims — effective K = taps*C keeps the MXU fed (a lone C=64 tap
+    leaves half the contraction lanes idle; measured ~2x on ResNet mid-C
+    shapes). Without it (scratch too large): one dot per tap, accumulated.
+    """
+    dt = jnp.dtype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    taps = kh * kw
+
+    def kernel_patch(x_ref, w_ref, o_ref, p_ref):
+        # p_ref: (oH*oW, taps*C) flat patch matrix (tap-major columns,
+        # matching w's (taps*C, c_out) row order). Mosaic's matmul wants
+        # single contracting dims, so the tap axis is flattened into K.
+        for t in range(taps):
+            i, j = divmod(t, kw)
+            p_ref[:, t * C:(t + 1) * C] = x_ref[0, i:i + oh, j:j + ow,
+                                                :].reshape(oh * ow, C)
+        acc = jax.lax.dot_general(
+            p_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        o_ref[0] = acc.reshape(oh, ow, c_out).astype(dt)
+
+    def kernel_taps(x_ref, w_ref, o_ref):
         acc = jnp.zeros((oh, ow, c_out), jnp.float32)
         for i in range(kh):
             for j in range(kw):
                 window = x_ref[0, i:i + oh, j:j + ow, :]  # (oH, oW, C)
-                wij = w_ref[i, j]  # (C, c_out)
+                wij = w_ref[i * kw + j]  # (C, c_out)
                 acc = acc + jax.lax.dot_general(
                     window, wij, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST
-                    if dt == jnp.float32 else None)
+                    preferred_element_type=jnp.float32, precision=prec)
         o_ref[0] = acc.astype(dt)
+
+    kernel = kernel_patch if patch_scratch else kernel_taps
 
     return pl.pallas_call(
         kernel,
@@ -176,14 +197,19 @@ def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
         in_specs=[
             pl.BlockSpec((1, HP, WP, C), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, kw, C, c_out), lambda n: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((taps * C, c_out), lambda n: (0, 0),
+                          memory_space=pltpu.VMEM) if patch_scratch else
+             pl.BlockSpec((taps, C, c_out), lambda n: (0, 0, 0),
+                          memory_space=pltpu.VMEM)),
         ],
         out_specs=pl.BlockSpec((1, oh, ow, c_out), lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, oh, ow, c_out), dt),
+        scratch_shapes=([pltpu.VMEM((oh * ow, taps * C), dt)]
+                        if patch_scratch else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -227,14 +253,21 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
     # overflows, fall back to im2col+GEMM (the production choice in the
     # reference benches anyway).
     lane = 128
-    est = 4 * 2 * (HP * WP * _rup(C, lane) + oh * ow * _rup(c_out, lane)) \
+    itemsize = jnp.dtype(x.dtype).itemsize
+    base = itemsize * 2 * (HP * WP * _rup(C, lane) + oh * ow * _rup(c_out, lane)) \
         + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
-    if est > budget:
+    patch_bytes = itemsize * kh * kw * _rup(oh * ow, 8) * _rup(C, lane)
+    patch_ok = base + patch_bytes <= budget
+    if not patch_ok and base > budget:
         return conv2d_im2col(x, w, padding, strides)
 
     x_nhwc = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw))).transpose(0, 2, 3, 1)
-    w_hwio = w.transpose(2, 3, 1, 0)  # (kH, kW, C, c_out)
+    # weights flat (taps*C, c_out) for the patch path, (taps, C, c_out) else
+    w_t = w.transpose(2, 3, 1, 0).reshape(kh * kw, C, c_out)
+    if patch_ok:
+        w_t = w_t.reshape(kh * kw * C, c_out)
     call = _build_direct_conv(N, C, HP, WP, c_out, kh, kw,
-                              oh, ow, jnp.dtype(x.dtype).name, interp)
-    out = call(x_nhwc, w_hwio)  # (N, oH, oW, c_out)
+                              oh, ow, jnp.dtype(x.dtype).name, interp,
+                              patch_scratch=patch_ok)
+    out = call(x_nhwc, w_t)  # (N, oH, oW, c_out)
     return out.transpose(0, 3, 1, 2)
