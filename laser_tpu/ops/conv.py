@@ -214,18 +214,49 @@ def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
     )
 
 
+def _strided_via_phases(x, w, padding, strides, interpret):
+    """Strided conv = sum of s_h*s_w phase-decomposed stride-1 convs:
+    out = sum_{p,q} conv1(x[p::s_h, q::s_w], w[:, :, p::s_h, q::s_w]) —
+    each phase rides the stride-1 Pallas kernels (planewise / patch)."""
+    sh, sw = strides
+    ph, pw = padding
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    _, _, oh, ow = conv2d_out_shape(x.shape, w.shape, padding, strides)
+    total = None
+    for p in range(sh):
+        for q in range(sw):
+            wpq = w[:, :, p::sh, q::sw]
+            if wpq.shape[2] == 0 or wpq.shape[3] == 0:
+                continue
+            xpq = xp[:, :, p::sh, q::sw]
+            sub = conv2d_direct(xpq, wpq, padding=(0, 0), strides=(1, 1),
+                                interpret=interpret)
+            sub = sub[:, :, :oh, :ow]
+            total = sub if total is None else total + sub
+    return total
+
+
 def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
                   interpret: Optional[bool] = None) -> jax.Array:
     """Direct convolution (reference: conv2d_direct_convolution.nim:8-74).
 
-    Stride-1 runs the Pallas direct kernel; strided convs delegate to the
-    im2col path (the reference's own benches show im2col dominating for
-    those shapes; a fully-strided direct kernel is tracked for a later round).
+    Stride-1 runs the Pallas direct kernels (planewise for small C,
+    in-kernel-im2col otherwise); strided convs decompose into s_h*s_w
+    stride-1 phase convs on subsampled inputs/kernels (same total FLOPs).
     """
     x = jnp.asarray(x)
     w = jnp.asarray(w)
     if strides != (1, 1):
-        return conv2d_im2col(x, w, padding, strides)
+        return _strided_via_phases(x, w, padding, strides, interpret)
+    if w.shape[2] == 1 and w.shape[3] == 1 and padding == (0, 0):
+        # a 1x1 conv IS a GEMM over channels (also the phase sub-kernels of
+        # strided convs); the flagship kernel handles it best
+        N, C, H, W = x.shape
+        c_out = w.shape[0]
+        xm = x.transpose(0, 2, 3, 1).reshape(N * H * W, C)
+        out = gemm(xm, w.reshape(c_out, C), transpose_b=True,
+                   interpret=interpret)
+        return out.reshape(N, H, W, c_out).transpose(0, 3, 1, 2)
     N, C, H, W = x.shape
     c_out, c_in, kh, kw = w.shape
     assert c_in == C
@@ -257,7 +288,9 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
     base = itemsize * 2 * (HP * WP * _rup(C, lane) + oh * ow * _rup(c_out, lane)) \
         + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
     patch_bytes = itemsize * kh * kw * _rup(oh * ow, 8) * _rup(C, lane)
-    patch_ok = base + patch_bytes <= budget
+    # the in-kernel (oH,oW,C)->(oH*oW,C) reshape is only a free bitcast when
+    # ow is sublane-aligned; unaligned shapes crash/relayout — use per-tap
+    patch_ok = base + patch_bytes <= budget and ow % 8 == 0
     if not patch_ok and base > budget:
         return conv2d_im2col(x, w, padding, strides)
 

@@ -88,3 +88,33 @@ class TestVsXLA:
             precision=jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestStridedDirect:
+    """Phase-decomposed strided direct conv + the 1x1-conv-as-GEMM path."""
+
+    @pytest.mark.parametrize("cfg", [
+        ((2, 8, 20, 20), (16, 8, 3, 3), (1, 1), (2, 2)),
+        ((1, 4, 17, 19), (6, 4, 5, 5), (2, 2), (3, 2)),
+        ((2, 3, 33, 33), (8, 3, 3, 3), (1, 1), (2, 2)),
+    ])
+    def test_phases_vs_xla(self, rng, cfg):
+        ishape, kshape, padding, strides = cfg
+        x = rng.randn(*ishape).astype(np.float32)
+        w = rng.randn(*kshape).astype(np.float32)
+        got = lt.conv2d_direct(x, w, padding=padding, strides=strides)
+        want = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), strides,
+            [(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_1x1_is_gemm(self, rng):
+        x = rng.randn(2, 16, 8, 8).astype(np.float32)
+        w = rng.randn(32, 16, 1, 1).astype(np.float32)
+        got = lt.conv2d_direct(x, w)
+        want = np.einsum("oc,nchw->nohw", w[:, :, 0, 0].astype(np.float64),
+                         x.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
