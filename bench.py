@@ -194,6 +194,25 @@ def bench_attention():
                      "xla_gflops": round(fl / tx / 1e6, 1),
                      "vs_xla": round(tx / t, 3), "ms": round(t, 4)}
         log(f"{name}: {out[name]['gflops']} GFLOP/s ({out[name]['vs_xla']}x XLA)")
+
+    # training step: flash fwd + fused flash bwd vs XLA reference autodiff
+    from laser_tpu.ops.attention import attention_trainable
+
+    def train_step(fn):
+        def step(qq, kk, vv):
+            g = jax.grad(lambda a: jnp.sum(
+                fn(a, kk, vv).astype(jnp.float32)))(qq)
+            return (qq + g.astype(jnp.bfloat16) * jnp.bfloat16(1e-8))
+        return step
+
+    t = chain_rate(train_step(lambda a, b, c: attention_trainable(
+        a, b, c, causal=True)), q, k, v)
+    tx = chain_rate(jax.jit(train_step(lambda a, b, c: attention_reference(
+        a, b, c, causal=True))), q, k, v)
+    out["attention_train_causal"] = {"ms": round(t, 4),
+                                     "xla_ms": round(tx, 4),
+                                     "vs_xla": round(tx / t, 3)}
+    log(f"attention_train_causal: {t:.3f} ms ({tx/t:.2f}x XLA)")
     return out
 
 
@@ -274,6 +293,19 @@ def bench_conv():
     t = chain_rate(drift(xla_conv), x, w)
     out["conv_xla"] = {"gflops": round(fl / t / 1e6, 1), "ms": round(t, 4)}
     log(f"conv_xla: {out['conv_xla']['gflops']} GFLOP/s")
+
+    # ResNet mid-C shape: in-kernel-im2col direct vs XLA at matched precision
+    ishape, kshape = (16, 64, 56, 56), (64, 64, 3, 3)
+    x = jnp.asarray(rng.randn(*ishape), jnp.float32)
+    w = jnp.asarray(rng.randn(*kshape), jnp.float32)
+    fl = conv2d_required_ops(ishape, kshape, (1, 1), (1, 1))
+    t = chain_rate(drift(lt.conv2d_direct), x, w)
+    tx = chain_rate(drift(xla_conv), x, w)
+    out["conv_direct_midC"] = {"gflops": round(fl / t / 1e6, 1),
+                               "xla_gflops": round(fl / tx / 1e6, 1),
+                               "vs_xla": round(tx / t, 3), "ms": round(t, 4)}
+    log(f"conv_direct_midC: {out['conv_direct_midC']['gflops']} GFLOP/s "
+        f"({out['conv_direct_midC']['vs_xla']}x XLA)")
     return out
 
 

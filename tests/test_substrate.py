@@ -100,3 +100,21 @@ class TestRegistry:
         assert registry.lookup("dummy_op", dtype="f32")() == 42
         with pytest.raises(KeyError):
             registry.lookup("dummy_op", dtype="f64")
+
+
+class TestNegativeStrides:
+    def test_reversed_rows(self):
+        import jax.numpy as jnp
+
+        a = np.arange(24.0, dtype=np.float32).reshape(4, 6)
+        v = TensorView.from_array(jnp.asarray(a)).slice(slice(None, None, -1))
+        np.testing.assert_array_equal(np.asarray(v.materialize()), a[::-1])
+
+    def test_reversed_both(self):
+        import jax.numpy as jnp
+
+        a = np.arange(24.0, dtype=np.float32).reshape(4, 6)
+        v = TensorView.from_array(jnp.asarray(a)).slice(
+            slice(None, None, -1), slice(None, None, -2))
+        np.testing.assert_array_equal(np.asarray(v.materialize()),
+                                      a[::-1, ::-2])
