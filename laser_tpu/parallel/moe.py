@@ -89,18 +89,19 @@ def moe_layer(params: Dict, x: jax.Array, mesh: Mesh, *, axis: str = "ep",
 # ---------------------------------------------------------------------------
 
 def moe_layer_sparse(params: Dict, x: jax.Array, mesh: Mesh, *,
-                     axis: str = "ep", capacity_factor: float = 1.25
-                     ) -> jax.Array:
-    """Expert-parallel MoE with REAL token dispatch.
+                     axis: str = "ep", top_k: int = 1,
+                     capacity_factor: float = 1.25) -> jax.Array:
+    """Expert-parallel MoE with REAL token dispatch (top-k routing).
 
     x (T, D) is token-sharded over ``axis`` (T divisible by the axis size);
-    experts are sharded the same way. Each device routes its local tokens
-    top-1, packs them into per-expert capacity buffers (Switch-transformer
-    scheme: tokens beyond capacity are dropped and contribute zeros), and an
+    experts are sharded the same way. Each device routes its local tokens to
+    their top-k experts (each (token, expert) assignment is a dispatch slot),
+    packs slots into per-expert capacity buffers (Switch-transformer scheme:
+    slots beyond capacity are dropped and contribute zeros), and an
     ``all_to_all`` over ICI carries each buffer to the device owning the
-    expert; outputs take the reverse path and are combined with the gate
-    weight. Communication is O(T*D) instead of the dense formulation's
-    E-fold redundant compute.
+    expert; outputs take the reverse path and combine weighted by the
+    (top-k-normalized) gates. Communication is O(top_k*T*D) instead of the
+    dense formulation's E-fold redundant compute.
     """
     E = params["router"].shape[1]
     n = mesh.shape[axis]
@@ -111,26 +112,27 @@ def moe_layer_sparse(params: Dict, x: jax.Array, mesh: Mesh, *,
         raise ValueError(f"tokens {T} not divisible by {axis} size {n}")
     e_loc = E // n
     t_loc = T // n
-    cap = max(1, int(capacity_factor * t_loc / E) + 1)
+    cap = max(1, int(capacity_factor * top_k * t_loc / E) + 1)
 
     def body(router, w1, w2, xs):
         # xs: (t_loc, D) local tokens
         logits = xs @ router                       # (t, E)
-        expert = jnp.argmax(logits, axis=-1)       # (t,)
-        # same gate convention as the dense oracle: softmax over the top-k
-        # (k=1 -> weight 1.0 for the selected expert)
-        gate = _topk_gates(logits, 1)
-        gate_val = jnp.take_along_axis(gate, expert[:, None], 1)[:, 0]
-        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)   # (t, E)
-        # position of each token within its expert's capacity buffer
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (t, E)
+        gates = _topk_gates(logits, top_k)         # (t, E), top-k normalized
+        _, experts = jax.lax.top_k(logits, top_k)  # (t, k)
+        # expand to dispatch slots: slot s = (token t, choice j)
+        slot_expert = experts.reshape(-1)          # (t*k,)
+        slot_gate = jnp.take_along_axis(gates, experts, 1).reshape(-1)
+        onehot = jax.nn.one_hot(slot_expert, E, dtype=jnp.float32)  # (s, E)
+        # position of each slot within its expert's capacity buffer
+        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0              # (s, E)
         keep = (pos < cap) & (onehot > 0)
         pos_oh = jax.nn.one_hot(pos.max(axis=-1).astype(jnp.int32), cap,
-                                dtype=jnp.float32)               # (t, cap)
+                                dtype=jnp.float32)                   # (s, cap)
         kept = keep.any(axis=-1).astype(jnp.float32)
-        dispatch = jnp.einsum("te,tc->tec", onehot * kept[:, None], pos_oh)
+        dispatch = jnp.einsum("se,sc->sec", onehot * kept[:, None], pos_oh)
+        xs_rep = jnp.repeat(xs, top_k, axis=0)     # (t*k, D) slot inputs
         # pack: (E, cap, D)
-        buffers = jnp.einsum("tec,td->ecd", dispatch, xs)
+        buffers = jnp.einsum("sec,sd->ecd", dispatch, xs_rep)
         # exchange: (n, e_loc, cap, D) -> every device gets its experts' slice
         buffers = buffers.reshape(n, e_loc, cap, D)
         recv = jax.lax.all_to_all(buffers, axis, split_axis=0, concat_axis=0,
@@ -148,8 +150,11 @@ def moe_layer_sparse(params: Dict, x: jax.Array, mesh: Mesh, *,
         back = jax.lax.all_to_all(outs, axis, split_axis=0, concat_axis=0,
                                   tiled=False)
         back = back.reshape(E, cap, D)
-        # combine: dropped tokens receive zeros
-        return jnp.einsum("tec,ecd->td", dispatch, back) * gate_val[:, None]
+        # combine per slot (dropped slots give zeros), gate-weight, and sum
+        # each token's k slots
+        slot_out = jnp.einsum("sec,ecd->sd", dispatch, back)
+        slot_out = slot_out * slot_gate[:, None]
+        return slot_out.reshape(t_loc, top_k, D).sum(axis=1)
 
     mapped = jax.shard_map(
         body, mesh=mesh,

@@ -75,3 +75,16 @@ class TestSparseMoE:
             np.testing.assert_allclose(row, want[t], rtol=1e-4, atol=1e-5)
         # with capacity_factor 0.2 SOME tokens must have dropped
         assert (np.abs(got).sum(-1) < 1e-7).any()
+
+    def test_topk2_matches_dense(self, rng, mesh_ep4):
+        from laser_tpu.parallel.moe import moe_layer_sparse
+
+        key = jax.random.PRNGKey(5)
+        params = init_moe(key, n_experts=8, d_model=32, d_ff=64)
+        x = jnp.asarray(np.random.RandomState(9).randn(32, 32)
+                        .astype(np.float32))
+        got = moe_layer_sparse(params, x, mesh_ep4, top_k=2,
+                               capacity_factor=64.0)
+        want = moe_forward_dense(params, x, top_k=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
