@@ -149,12 +149,16 @@ def bench_memory_bound():
           chain_rate(jax.jit(lambda v, b, c: v + b - jnp.sin(c)), x, y, z),
           nbytes)
 
-    # sum reduction via drift chain on a 256MB array (read-bound)
+    # sum reduction on a 256MB array. The chain needs a drift add (x stays
+    # the carry), whose r+w traffic would be billed to the reduction —
+    # measure the drift alone and subtract to isolate the kernel (read-bound).
     xb = jnp.asarray(rng.randn(8192, 8192), jnp.float32)
     nbytes = 4 * xb.size
-    entry("reduce_sum_64M",
-          chain_rate(lambda v: v + lt.reduce_sum(v) * 1e-30, xb),
-          chain_rate(jax.jit(lambda v: v + jnp.sum(v) * 1e-30), xb), nbytes)
+    t_drift = chain_rate(jax.jit(lambda v: v + jnp.float32(1e-30)), xb)
+    t_ours = chain_rate(lambda v: v + lt.reduce_sum(v) * 1e-30, xb)
+    t_xla = chain_rate(jax.jit(lambda v: v + jnp.sum(v) * 1e-30), xb)
+    entry("reduce_sum_64M", max(t_ours - t_drift, 1e-6),
+          max(t_xla - t_drift, 1e-6), nbytes)
 
     # transpose on a 256MB square (both sides stream); ours uses the
     # in-place paired-swap kernel (donated)
