@@ -90,3 +90,33 @@ def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
 
     logits = gemm_ad(x.reshape(B * S, D), params["embed"], None, False, True)
     return logits.reshape(B, S, -1)
+
+
+# ---------------------------------------------------------------------------
+# Serving: greedy autoregressive decoding.
+# ---------------------------------------------------------------------------
+
+def greedy_decode(params: Dict, prompt: jax.Array, *, n_heads: int,
+                  max_new_tokens: int) -> jax.Array:
+    """Greedy decoding: append argmax tokens one at a time.
+
+    Functional reference implementation: each step re-runs the full causal
+    forward over the padded window (static shapes — jit-friendly; the
+    KV-cached incremental path is the planned optimization). prompt (B, S0)
+    int32 -> (B, S0 + max_new_tokens).
+    """
+    B, S0 = prompt.shape
+    total = S0 + max_new_tokens
+    tokens = jnp.zeros((B, total), jnp.int32)
+    tokens = tokens.at[:, :S0].set(prompt)
+
+    def step(i, tokens):
+        logits = transformer_forward(params, tokens, n_heads=n_heads,
+                                     causal=True)
+        # position i-1 predicts token i; future positions are causally unseen
+        nxt = jnp.argmax(
+            jax.lax.dynamic_index_in_dim(logits, i - 1, axis=1,
+                                         keepdims=False), axis=-1)
+        return tokens.at[:, i].set(nxt.astype(jnp.int32))
+
+    return jax.lax.fori_loop(S0, total, step, tokens)

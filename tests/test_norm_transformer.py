@@ -117,3 +117,38 @@ class TestTransformerTraining:
             params = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g,
                                             params, grads)
         assert float(loss_fn(params)) < l0
+
+
+class TestGreedyDecode:
+    def test_deterministic_and_prefix_preserving(self, rng):
+        from laser_tpu.models.transformer import greedy_decode, init_transformer
+
+        key = jax.random.PRNGKey(7)
+        params = init_transformer(key, n_layers=1, d_model=128, n_heads=2,
+                                  d_ff=128, vocab=13)
+        prompt = jnp.asarray(rng.randint(0, 13, (2, 5)))
+        out = greedy_decode(params, prompt, n_heads=2, max_new_tokens=4)
+        assert out.shape == (2, 9)
+        np.testing.assert_array_equal(np.asarray(out)[:, :5],
+                                      np.asarray(prompt))
+        out2 = greedy_decode(params, prompt, n_heads=2, max_new_tokens=4)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_matches_stepwise_argmax(self, rng):
+        """Decoded token i equals argmax of logits[i-1] on the grown prefix."""
+        from laser_tpu.models.transformer import (greedy_decode,
+                                                  init_transformer,
+                                                  transformer_forward)
+
+        key = jax.random.PRNGKey(8)
+        params = init_transformer(key, n_layers=1, d_model=128, n_heads=2,
+                                  d_ff=128, vocab=11)
+        prompt = jnp.asarray(rng.randint(0, 11, (1, 4)))
+        out = np.asarray(greedy_decode(params, prompt, n_heads=2,
+                                       max_new_tokens=3))
+        # manual recompute: thanks to causality, running the final sequence
+        # once gives the same per-step logits the loop saw
+        logits = np.asarray(transformer_forward(
+            params, jnp.asarray(out), n_heads=2, causal=True))
+        for i in range(4, 7):
+            assert out[0, i] == logits[0, i - 1].argmax()
