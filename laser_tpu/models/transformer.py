@@ -120,3 +120,95 @@ def greedy_decode(params: Dict, prompt: jax.Array, *, n_heads: int,
         return tokens.at[:, i].set(nxt.astype(jnp.int32))
 
     return jax.lax.fori_loop(S0, total, step, tokens)
+
+
+# ---------------------------------------------------------------------------
+# Serving: KV-cached incremental decoding.
+# ---------------------------------------------------------------------------
+
+def init_decode_cache(n_layers: int, B: int, n_heads: int, head_dim: int,
+                      max_len: int, dtype=jnp.float32):
+    """Per-layer K/V caches shaped (B*H, max_len, hd)."""
+    z = jnp.zeros((n_layers, 2, B * n_heads, max_len, head_dim), dtype)
+    return z
+
+
+def decode_step(params: Dict, cache: jax.Array, token: jax.Array,
+                pos: jax.Array, *, n_heads: int):
+    """One incremental decode step.
+
+    token (B,) int32, pos scalar int32 (0-based position being written).
+    Returns (logits (B, vocab), updated cache). Decode attention is a
+    masked matvec over the cache (Sq=1 leaves the MXU idle either way —
+    the flash kernel is the PREFILL path, this is the latency path).
+    """
+    import math as _math
+
+    B = token.shape[0]
+    D = params["embed"].shape[1]
+    hd = D // n_heads
+    scale = 1.0 / _math.sqrt(hd)
+    x = params["embed"][token][:, None, :]  # (B, 1, D)
+
+    new_cache = cache
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = linear(h.reshape(B, D), blk["wqkv"], blk["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # (B, D) -> (B*H, 1, hd)
+            return t.reshape(B, n_heads, hd).reshape(B * n_heads, 1, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        kc = jax.lax.dynamic_update_slice(new_cache[li, 0], k, (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(new_cache[li, 1], v, (0, pos, 0))
+        new_cache = new_cache.at[li, 0].set(kc).at[li, 1].set(vc)
+        # masked matvec attention over the cache
+        s = jnp.einsum("bqd,bkd->bqk", q, kc,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        kpos = jnp.arange(kc.shape[1])[None, None, :]
+        s = jnp.where(kpos <= pos, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bqk,bkd->bqd", p, vc,
+                       precision=jax.lax.Precision.HIGHEST)
+        o = o.reshape(B, n_heads, hd).reshape(B, D)
+        x = x + linear(o, blk["wo"], blk["bo"]).reshape(B, 1, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = linear(h.reshape(B, D), blk["w1"], blk["b1"], "gelu")
+        x = x + linear(f, blk["w2"], blk["b2"]).reshape(B, 1, D)
+
+    x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    from ..ops.gemm.autodiff import gemm_ad
+
+    logits = gemm_ad(x.reshape(B, D), params["embed"], None, False, True)
+    return logits, new_cache
+
+
+def greedy_decode_cached(params: Dict, prompt: jax.Array, *, n_heads: int,
+                         max_new_tokens: int) -> jax.Array:
+    """KV-cached greedy decoding: prefill the cache token by token, then
+    generate. Produces exactly the same tokens as ``greedy_decode``."""
+    B, S0 = prompt.shape
+    D = params["embed"].shape[1]
+    total = S0 + max_new_tokens
+    cache = init_decode_cache(len(params["blocks"]), B, n_heads,
+                              D // n_heads, total, params["embed"].dtype)
+    tokens = jnp.zeros((B, total), jnp.int32)
+    tokens = tokens.at[:, :S0].set(prompt)
+
+    def step(i, carry):
+        tokens, cache = carry
+        tok = jax.lax.dynamic_index_in_dim(tokens, i, axis=1, keepdims=False)
+        logits, cache = decode_step(params, cache, tok, i, n_heads=n_heads)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # prefill steps (i+1 < S0) keep the prompt token at i+1
+        cur = jax.lax.dynamic_index_in_dim(tokens, i + 1, axis=1,
+                                           keepdims=False)
+        write = jnp.where(i + 1 < S0, cur, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, write, i + 1,
+                                                     axis=1)
+        return tokens, cache
+
+    tokens, _ = jax.lax.fori_loop(0, total - 1, step, (tokens, cache))
+    return tokens

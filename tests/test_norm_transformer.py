@@ -152,3 +152,20 @@ class TestGreedyDecode:
             params, jnp.asarray(out), n_heads=2, causal=True))
         for i in range(4, 7):
             assert out[0, i] == logits[0, i - 1].argmax()
+
+
+class TestCachedDecode:
+    def test_matches_full_recompute(self, rng):
+        from laser_tpu.models.transformer import (greedy_decode,
+                                                  greedy_decode_cached,
+                                                  init_transformer)
+
+        key = jax.random.PRNGKey(9)
+        params = init_transformer(key, n_layers=2, d_model=128, n_heads=2,
+                                  d_ff=128, vocab=11)
+        prompt = jnp.asarray(rng.randint(0, 11, (2, 5)))
+        full = np.asarray(greedy_decode(params, prompt, n_heads=2,
+                                        max_new_tokens=4))
+        cached = np.asarray(greedy_decode_cached(params, prompt, n_heads=2,
+                                                 max_new_tokens=4))
+        np.testing.assert_array_equal(cached, full)
