@@ -8,7 +8,7 @@ row-norm kernels, and residual arithmetic in one forward.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
