@@ -254,11 +254,22 @@ def _lower(node: LuxNode) -> Callable:
             b = run_r(arrays)
             bb = run_bias(arrays) if run_bias is not None else None
             if bb is not None and bb.ndim != 1:
-                # general C = A@B + X falls back to gemm + fused add
+                # General C = act(A@B + X): the addend cannot ride the GEMM
+                # bias slot, so run a plain GEMM and fuse add+activation into
+                # one elementwise kernel — the activation must see A@B + X,
+                # not be applied before the add.
                 from ..ops.foreach import for_each as fe
 
-                r = gemm(a, b, epilogue=act)
-                return fe(lambda u, v: u + v, r, bb)
+                r = gemm(a, b)
+                if act is None:
+                    return fe(lambda u, v: u + v, r, bb)
+                from ..ops import vector_math as vm
+
+                actf = {"relu": lambda x: jnp.maximum(x, 0.0),
+                        "tanh": vm._tanh_expr,
+                        "sigmoid": vm._sigmoid_expr,
+                        "gelu": jax.nn.gelu}[act]
+                return fe(lambda u, v: actf(u + v), r, bb)
             return gemm(a, b, bias=bb, epilogue=act)
 
         return run

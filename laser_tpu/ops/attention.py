@@ -10,10 +10,12 @@ pipeline (ops/gemm/kernel.py), the exp core (ops/vector_math.py), and
 lane-uniform running statistics (the multi-accumulator idea of
 ops/reductions.py).
 
-The Pallas kernel is forward-only; ``attention`` carries a custom VJP whose
-backward recomputes through the XLA reference implementation (flash-forward
-memory savings at inference and activation-checkpointed training; a fused
-backward kernel is the planned upgrade).
+``attention_trainable`` pairs the flash forward with fused flash backward
+kernels (ops/attention_bwd.py) — O(S) memory in both directions. Head dims
+that are not lane multiples (64, 96, ...) are zero-padded to 128 for the
+kernels: zero feature columns leave Q K^T, the softmax stats, and the first
+D output/gradient columns exactly unchanged, so the flash path covers every
+head dim (no O(S^2) fallback).
 """
 
 from __future__ import annotations
@@ -99,6 +101,10 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
             corr = jnp.exp(m_prev - m_new)          # (bq, 128)
             p = jnp.exp(s - m_new[:, :1])           # (bq, bk)
+            # Rows whose every key so far is masked have m_new == sentinel,
+            # making exp(s - m_new) == 1 on masked entries; zero them so l
+            # stays 0 and the epilogue's l==0 guard yields a zero output.
+            p = jnp.where(valid, p, 0.0)
             l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(
@@ -161,8 +167,11 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               interpret: Optional[bool] = None) -> jax.Array:
     """Fused blockwise attention over (..., S, D) tensors.
 
-    Leading dims are batch/heads (flattened into the grid). D must be a
-    multiple of 128 for the compiled path; S is padded internally.
+    Leading dims are batch/heads (flattened into the grid). Any head dim is
+    supported: D is zero-padded up to a lane multiple (128) for the kernel —
+    zero feature columns contribute nothing to Q K^T and produce zero output
+    columns, which are sliced off. head_dim 64/96 therefore runs the flash
+    path (never the O(S^2) reference). S is padded internally as well.
     """
     q, k, v = map(jnp.asarray, (q, k, v))
     if q.shape != k.shape or q.shape != v.shape:
@@ -171,24 +180,23 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     *lead, S, D = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     interp = should_interpret() if interpret is None else interpret
-    if D % 128 != 0 and not interp:
-        return attention_reference(q, k, v, causal=causal, scale=scale)
 
     BH = int(np.prod(lead)) if lead else 1
+    DP = round_step_up(D, 128)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     SP = round_step_up(S, max(bq, bk))
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
-    if SP != S:
-        pad = ((0, 0), (0, SP - S), (0, 0))
+    if SP != S or DP != D:
+        pad = ((0, 0), (0, SP - S), (0, DP - D))
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
 
-    call = _build_flash(BH, S, SP, D, bq, bk, causal, float(scale),
+    call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp)
     out = call(q3, k3, v3)[0]
-    return out[:, :S, :].reshape(*lead, S, D)
+    return out[:, :S, :D].reshape(*lead, S, D)
 
 
 def attention_with_stats(q, k, v, *, causal: bool = False,
@@ -210,7 +218,10 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     Sk = k.shape[-2]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     interp = should_interpret() if interpret is None else interpret
+    if k_valid is not None and int(k_valid) <= 0:
+        raise ValueError(f"k_valid must be positive, got {k_valid}")
     BH = int(np.prod(lead)) if lead else 1
+    DP = round_step_up(D, 128)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(Sk, 128))
     SPq = round_step_up(S, bq)
@@ -219,16 +230,16 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, Sk, D)
     v3 = v.reshape(BH, Sk, D)
-    if SP != S:
-        q3 = jnp.pad(q3, ((0, 0), (0, SP - S), (0, 0)))
-    if SP != Sk:
-        k3 = jnp.pad(k3, ((0, 0), (0, SP - Sk), (0, 0)))
-        v3 = jnp.pad(v3, ((0, 0), (0, SP - Sk), (0, 0)))
+    if SP != S or DP != D:
+        q3 = jnp.pad(q3, ((0, 0), (0, SP - S), (0, DP - D)))
+    if SP != Sk or DP != D:
+        k3 = jnp.pad(k3, ((0, 0), (0, SP - Sk), (0, DP - D)))
+        v3 = jnp.pad(v3, ((0, 0), (0, SP - Sk), (0, DP - D)))
     kv = k_valid if k_valid is not None else Sk
-    call = _build_flash(BH, int(kv), SP, D, bq, bk, causal, float(scale),
+    call = _build_flash(BH, int(kv), SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp, return_stats=True)
     out, m, l = call(q3, k3, v3)
-    out = out[:, :S, :].reshape(*lead, S, D)
+    out = out[:, :S, :D].reshape(*lead, S, D)
     m = m[:, :S, 0].reshape(*lead, S)
     l = l[:, :S, 0].reshape(*lead, S)
     return out, m, l
@@ -244,20 +255,21 @@ def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
     residuals for the backward kernels."""
     *lead, S, D = q.shape
     BH = int(np.prod(lead)) if lead else 1
+    DP = round_step_up(D, 128)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     SP = round_step_up(S, max(bq, bk))
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
-    if SP != S:
-        pad = ((0, 0), (0, SP - S), (0, 0))
+    if SP != S or DP != D:
+        pad = ((0, 0), (0, SP - S), (0, DP - D))
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
-    call = _build_flash(BH, S, SP, D, bq, bk, causal, float(scale),
+    call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interpret, return_stats=True)
     o3, m3, l3 = call(q3, k3, v3)
-    out = o3[:, :S, :].reshape(*lead, S, D)
-    return out, (q3, k3, v3, o3, m3, l3), (BH, S, SP, D, bq, bk)
+    out = o3[:, :S, :D].reshape(*lead, S, D)
+    return out, (q3, k3, v3, o3, m3, l3), (BH, S, SP, DP, bq, bk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -267,41 +279,30 @@ def _attention_ad(q, k, v, causal, scale, block_q, block_k):
 
 
 def _att_fwd(q, k, v, causal, scale, block_q, block_k):
-    *lead, S, D = q.shape
     interp = should_interpret()
-    if D % 128 != 0 and not interp:
-        # reference path forward -> recompute backward
-        out = attention_reference(q, k, v, causal=causal, scale=scale)
-        return out, (None, (q, k, v))
     out, padded, _ = _flash_forward_padded(q, k, v, causal, scale,
                                            block_q, block_k, interp)
-    return out, (padded, None)
+    return out, padded
 
 
 def _att_bwd(causal, scale, block_q, block_k, res, g):
-    padded, qkv = res
-    if padded is None:
-        q, k, v = qkv
-        _, vjp = jax.vjp(
-            lambda q, k, v: attention_reference(q, k, v, causal=causal,
-                                                scale=scale), q, k, v)
-        return vjp(g)
     from .attention_bwd import flash_attention_bwd
 
-    q3, k3, v3, o3, m3, l3 = padded
-    BH, SP, D = q3.shape
-    *lead, S, _ = g.shape
+    q3, k3, v3, o3, m3, l3 = res
+    BH, SP, DP = q3.shape
+    *lead, S, D = g.shape
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     g3 = g.reshape(BH, S, D)
-    if SP != S:
-        g3 = jnp.pad(g3, ((0, 0), (0, SP - S), (0, 0)))
+    if SP != S or DP != D:
+        # zero feature columns produce zero dq/dk/dv columns (sliced below)
+        g3 = jnp.pad(g3, ((0, 0), (0, SP - S), (0, DP - D)))
     dq, dk, dv = flash_attention_bwd(
-        q3, k3, v3, o3, m3, l3, g3, S=S, SP=SP, D=D, bq=bq, bk=bk,
+        q3, k3, v3, o3, m3, l3, g3, S=S, SP=SP, D=DP, bq=bq, bk=bk,
         causal=causal, scale=float(scale), interpret=should_interpret())
     shape = (*lead, S, D)
-    return (dq[:, :S].reshape(shape), dk[:, :S].reshape(shape),
-            dv[:, :S].reshape(shape))
+    return (dq[:, :S, :D].reshape(shape), dk[:, :S, :D].reshape(shape),
+            dv[:, :S, :D].reshape(shape))
 
 
 _attention_ad.defvjp(_att_fwd, _att_bwd)

@@ -107,7 +107,11 @@ def gemm_batched(a: jax.Array, b: jax.Array, *, out_dtype=None, acc_dtype=None,
             else _acc_dtype(in_dtype))
         return r.astype(out_dtype) if out_dtype else r
     acc_dt = jnp.dtype(acc_dtype) if acc_dtype else _acc_dtype(in_dtype)
-    out_dt = jnp.dtype(out_dtype) if out_dtype else jnp.dtype(in_dtype)
+    # integer inputs default to the accumulator dtype (matching api.gemm):
+    # casting an int32 accumulator back to int8 would silently wrap
+    out_dt = (jnp.dtype(out_dtype) if out_dtype
+              else acc_dt if jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
+              else jnp.dtype(in_dtype))
     tiles = tiles or plan_tiles(M, N, K, in_dtype, acc_dt)
     interp = should_interpret() if interpret is None else interpret
     call = _build_batched(B, M, N, K, tiles.bm, tiles.bn, tiles.bk,

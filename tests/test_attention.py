@@ -54,14 +54,35 @@ class TestAttention:
         with pytest.raises(ValueError):
             attention(q, k, v[:, :64])
 
-    def test_small_head_dim_falls_back(self, rng):
-        # D=64 takes the reference path outside interpret mode; in interpret
-        # it still must be correct
-        q, k, v = make_qkv(rng, (1, 128, 64))
-        got = attention(q, k, v, causal=True)
-        want = attention_reference(q, k, v, causal=True)
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("D", [64, 96])
+    def test_small_head_dim_flash_path(self, rng, D, causal):
+        # D=64/96 are zero-padded to 128 lanes inside the flash kernel —
+        # the flash path must stay exact, never the O(S^2) fallback
+        q, k, v = make_qkv(rng, (2, 256, D))
+        got = attention(q, k, v, causal=causal, block_q=128, block_k=128)
+        want = attention_reference(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+    def test_k_valid_mid_block_masking(self, rng):
+        # k_valid cutting a key block mid-way must match attention over the
+        # truncated key set exactly (masked p entries zeroed in-kernel)
+        from laser_tpu.ops.attention import attention_with_stats
+
+        q, k, v = make_qkv(rng, (1, 256, 128))
+        out, m, l = attention_with_stats(q, k, v, k_valid=100,
+                                         block_q=128, block_k=128)
+        want = attention_reference(q, k[:, :100], v[:, :100])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_k_valid_nonpositive_rejected(self, rng):
+        from laser_tpu.ops.attention import attention_with_stats
+
+        q, k, v = make_qkv(rng, (1, 128, 128))
+        with pytest.raises(ValueError):
+            attention_with_stats(q, k, v, k_valid=0)
 
 
 class TestTrainable:
@@ -94,6 +115,25 @@ class TestTrainable:
 
         def ref(q, k, v):
             return jnp.sum(attention_reference(q, k, v, causal=causal) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("D", [64, 96])
+    def test_grads_small_head_dim(self, rng, D):
+        # flash fwd+bwd through the zero-padded head dim
+        from laser_tpu.ops.attention import attention_trainable
+
+        q, k, v = make_qkv(rng, (2, 128, D))
+
+        def f(q, k, v):
+            return jnp.sum(attention_trainable(q, k, v, causal=True) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
 
         got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
         want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)

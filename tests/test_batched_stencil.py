@@ -34,6 +34,16 @@ class TestBatchedGemm:
         want = np.einsum("bmk,bkn->bmn", a.astype(np.int64), b)
         np.testing.assert_array_equal(np.asarray(got), want)
 
+    def test_int8_defaults_to_accumulator_dtype(self, rng):
+        # int8 inputs must NOT cast the int32 accumulator back to int8
+        # (silent wraparound) when out_dtype is unspecified
+        a = rng.randint(-128, 127, (2, 128, 128)).astype(np.int8)
+        b = rng.randint(-128, 127, (2, 128, 128)).astype(np.int8)
+        got = lt.gemm_batched(a, b)
+        assert got.dtype == jnp.int32
+        want = np.einsum("bmk,bkn->bmn", a.astype(np.int64), b)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
     def test_shape_mismatch(self):
         with pytest.raises(ValueError):
             lt.gemm_batched(np.zeros((2, 4, 4), np.float32),

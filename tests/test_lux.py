@@ -96,6 +96,32 @@ class TestGemmPattern:
         np.testing.assert_allclose(np.asarray(layer(x, w, b)), want,
                                    rtol=1e-4, atol=1e-5)
 
+    def test_matrix_addend_act_order(self, rng):
+        # act(A@B + X) with a full-matrix X: the activation must be applied
+        # AFTER the add (regression: r1 advisor found act(A@B) + X)
+        @generate
+        def f(a, b, c):
+            return lux_tanh(a @ b + c)
+
+        a = rng.randn(16, 24).astype(np.float32)
+        b = rng.randn(24, 8).astype(np.float32)
+        c = rng.randn(16, 8).astype(np.float32)
+        want = np.tanh(a.astype(np.float64) @ b + c)
+        np.testing.assert_allclose(np.asarray(f(a, b, c)), want,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_matrix_addend_no_act(self, rng):
+        @generate
+        def f(a, b, c):
+            return a @ b + c
+
+        a = rng.randn(8, 12).astype(np.float32)
+        b = rng.randn(12, 16).astype(np.float32)
+        c = rng.randn(8, 16).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(f(a, b, c)),
+                                   a.astype(np.float64) @ b + c,
+                                   rtol=1e-4, atol=1e-5)
+
     def test_matmul_feeding_elementwise(self, rng):
         @generate
         def f(a, b, c):
