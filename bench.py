@@ -44,7 +44,9 @@ def _hbm(gbps):
 
 
 def bench_gemm(M, dtype, autotune=True):
-    """Square MxMxM GEMM: ours (pallas) vs jnp.dot at matched precision."""
+    """Square MxMxM GEMM: gemm() (auto dispatch — the product path) vs
+    jnp.dot at matched precision, plus the Pallas kernel number for the
+    record (the fused-case engine; plain matmuls dispatch to XLA)."""
     import laser_tpu as lt
     from laser_tpu.bench import chain_rate
     from laser_tpu.ops.gemm.autotune import autotune_gemm
@@ -58,7 +60,10 @@ def bench_gemm(M, dtype, autotune=True):
     tiles = autotune_gemm(M, M, M, dtype) if autotune else None
 
     t_ours = chain_rate(
-        lambda x, y: lt.gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype), a, b)
+        lambda x, y: lt.gemm(x, y, alpha=0.05, out_dtype=dtype), a, b)
+    t_pallas = chain_rate(
+        lambda x, y: lt.gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype,
+                             backend="pallas"), a, b)
     xla_prec = jax.lax.Precision.HIGHEST if is_f32 else None
     t_xla = chain_rate(
         lambda x, y: (jnp.dot(x, y, precision=xla_prec) * scale).astype(dtype), a, b)
@@ -68,6 +73,8 @@ def bench_gemm(M, dtype, autotune=True):
         "xla_gflops": round(xla, 1),
         "vs_xla": round(ours / xla, 3),
         "pct_peak": _roof(ours, dtype),
+        "pallas_gflops": round(fl / t_pallas / 1e6, 1),
+        "pallas_pct_peak": _roof(fl / t_pallas / 1e6, dtype),
         "ms": round(t_ours, 4),
         "tiles": [tiles.bm, tiles.bn, tiles.bk] if tiles else None,
     }

@@ -56,7 +56,7 @@ def _acc_dtype(in_dtype) -> jnp.dtype:
 def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
          c: Optional[jax.Array] = None, bias: Optional[jax.Array] = None,
          epilogue: Optional[str] = None, out_dtype=None, acc_dtype=None,
-         tiles: Optional[GemmTiles] = None, backend: str = "pallas",
+         tiles: Optional[GemmTiles] = None, backend: Optional[str] = None,
          transpose_a: bool = False, transpose_b: bool = False,
          interpret: Optional[bool] = None) -> jax.Array:
     """out = epilogue(alpha * (op(a) @ op(b)) + beta * c + bias).
@@ -66,12 +66,21 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
     (no HBM transpose). The fused ``epilogue``/``bias`` implements the
     reference's declared roadmap feature (README.md:238-245).
 
-    backend: "pallas" (default — our MXU kernel, ~82% roofline on v5e) or
-    "xla" (lax.dot_general + fused XLA epilogue, ~94% roofline for the plain
-    large-matmul case; see docs/PERF_NOTES.md on the Mosaic codegen gap).
+    backend: None (default) picks automatically — plain matmuls (no
+    epilogue/bias/C) dispatch to XLA's matmul, which outruns Mosaic's
+    matmul codegen on current toolchains (~94% vs ~82% roofline on v5e;
+    docs/PERF_NOTES.md), exactly as the reference dispatches per-ISA to the
+    fastest ukernel (gemm.nim:228-247) and judges itself against vendor
+    BLAS rather than purity (README.md:209-210). Every fused case runs the
+    Pallas MXU kernel, where fusion beats XLA's unfused epilogue. Pass
+    "pallas" or "xla" to force a path.
     """
-    if backend not in ("pallas", "xla"):
-        raise ValueError(f"gemm backend must be 'pallas' or 'xla', got {backend!r}")
+    if backend not in (None, "auto", "pallas", "xla"):
+        raise ValueError(
+            f"gemm backend must be None/'auto'/'pallas'/'xla', got {backend!r}")
+    if backend in (None, "auto"):
+        fused = epilogue is not None or bias is not None or c is not None
+        backend = "pallas" if fused else "xla"
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     ka = a.shape[0] if transpose_a else a.shape[1]

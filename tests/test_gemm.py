@@ -26,7 +26,7 @@ class TestGemmF32:
         M, N, K = mnk
         a = rng.randn(M, K).astype(np.float32)
         b = rng.randn(K, N).astype(np.float32)
-        got = lt.gemm(a, b)
+        got = lt.gemm(a, b, backend="pallas")
         assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
 
     def test_alpha_beta(self, rng):
@@ -44,7 +44,7 @@ class TestGemmF32:
         a = rng.randn(M, K).astype(np.float32)
         b = rng.randn(K, N).astype(np.float32)
         tiles = GemmTiles(bm=128, bn=128, bk=128, vmem_limit_bytes=1 << 24)
-        got = lt.gemm(a, b, tiles=tiles)
+        got = lt.gemm(a, b, tiles=tiles, backend="pallas")
         assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
 
     def test_epilogues(self, rng):
@@ -69,7 +69,7 @@ class TestGemmDtypes:
         a = rng.randn(M, K).astype(np.float32)
         b = rng.randn(K, N).astype(np.float32)
         got = lt.gemm(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
-                      out_dtype=jnp.float32)
+                      out_dtype=jnp.float32, backend="pallas")
         # bf16 inputs: tolerance matches bf16 rounding of inputs (~1e-2)
         want = (a.astype(jnp.bfloat16).astype(np.float64)
                 @ np.asarray(jnp.asarray(b, jnp.bfloat16), np.float64))
@@ -87,7 +87,7 @@ class TestGemmDtypes:
         M, N, K = 128, 128, 128
         a = rng.randint(-20, 20, (M, K)).astype(np.int8)
         b = rng.randint(-20, 20, (K, N)).astype(np.int8)
-        got = lt.gemm(a, b)
+        got = lt.gemm(a, b, backend="pallas")
         assert got.dtype == jnp.int32
         np.testing.assert_array_equal(
             np.asarray(got), a.astype(np.int32) @ b.astype(np.int32))
@@ -163,21 +163,21 @@ class TestTransposedOperands:
         M, N, K = 48, 40, 56
         at = rng.randn(K, M).astype(np.float32)  # stored (K, M)
         b = rng.randn(K, N).astype(np.float32)
-        got = lt.gemm(at, b, transpose_a=True)
+        got = lt.gemm(at, b, transpose_a=True, backend="pallas")
         assert mean_relative_error(np.asarray(got), oracle(at.T, b)) < 1e-5
 
     def test_transpose_b(self, rng):
         M, N, K = 48, 40, 56
         a = rng.randn(M, K).astype(np.float32)
         bt = rng.randn(N, K).astype(np.float32)  # stored (N, K)
-        got = lt.gemm(a, bt, transpose_b=True)
+        got = lt.gemm(a, bt, transpose_b=True, backend="pallas")
         assert mean_relative_error(np.asarray(got), oracle(a, bt.T)) < 1e-5
 
     def test_both_with_tails(self, rng):
         M, N, K = 67, 43, 91
         at = rng.randn(K, M).astype(np.float32)
         bt = rng.randn(N, K).astype(np.float32)
-        got = lt.gemm(at, bt, transpose_a=True, transpose_b=True)
+        got = lt.gemm(at, bt, transpose_a=True, transpose_b=True, backend="pallas")
         assert mean_relative_error(np.asarray(got), oracle(at.T, bt.T)) < 1e-5
 
     def test_strided_colmajor_uses_transpose_path(self, rng):
@@ -187,6 +187,21 @@ class TestTransposedOperands:
         bt = rng.randn(N, K).astype(np.float32)
         got = lt.gemm_strided(M, N, K, 1.0, a, K, 1, bt, 1, K, 0.0, None, N, 1)
         assert mean_relative_error(np.asarray(got), oracle(a, bt.T)) < 1e-5
+
+    def test_auto_dispatch(self, rng):
+        # default backend: plain matmul -> XLA (faster on current Mosaic),
+        # fused epilogue/bias/C -> Pallas; both must match the oracle
+        M, N, K = 96, 64, 80
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        bias = rng.randn(N).astype(np.float32)
+        plain = lt.gemm(a, b)
+        assert mean_relative_error(np.asarray(plain), oracle(a, b)) < 1e-5
+        fused = lt.gemm(a, b, bias=jnp.asarray(bias), epilogue="relu")
+        want = np.maximum(oracle(a, b) + bias[None, :], 0)
+        assert mean_relative_error(np.asarray(fused), want) < 1e-5
+        with pytest.raises(ValueError):
+            lt.gemm(a, b, backend="mxu")
 
     def test_xla_backend_transposes(self, rng):
         M, N, K = 16, 20, 24
