@@ -82,7 +82,9 @@ def bench_gemm(M, dtype, autotune=True):
 
 def bench_gemm_int8(M):
     """int8 -> int32 MXU GEMM (the TPU-idiomatic answer to the reference's
-    integer GEMM benches, gemm_bench_int32.nim: 27.9 GINTOP/s on 18 cores)."""
+    integer GEMM benches, gemm_bench_int32.nim: 27.9 GINTOP/s on 18 cores).
+    The chain's int8 drift-add is measured alone and subtracted so only the
+    kernel is billed (same isolation as the reduction bench)."""
     import laser_tpu as lt
     from laser_tpu.bench import chain_rate
     from laser_tpu.device_info import detect
@@ -91,17 +93,47 @@ def bench_gemm_int8(M):
     a = jnp.asarray(rng.randint(-8, 8, (M, M)), jnp.int8)
     b = jnp.asarray(rng.randint(-8, 8, (M, M)), jnp.int8)
     fl = 2 * M**3
+    t_drift = chain_rate(jax.jit(lambda x: x + jnp.int8(1)), a)
 
     def step(x, y):
         out = lt.gemm(x, y)  # int32 accum on the MXU int8 path
         drift = (jnp.sum(out, dtype=jnp.int32) & 1).astype(jnp.int8)
         return x + drift
 
-    t = chain_rate(step, a, b)
+    t = max(chain_rate(step, a, b) - t_drift, 1e-6)
     rate = fl / t / 1e6
     peak = detect().int8_tops * 1e3
     return {"gintops": round(rate, 1), "ms": round(t, 4),
             "pct_peak": round(100 * rate / peak, 2)}
+
+
+def bench_gemm_int32(M):
+    """Native limb-decomposed int32 MXU GEMM (exact mod 2^32) vs XLA's
+    int32 dot. Reference headline: 27.9 GINTOP/s int32 1920^3 on 18 cores
+    (gemm_bench_int32.nim results block)."""
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.ops.gemm.int32_kernel import gemm_int32
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randint(-1000, 1000, (M, M)), jnp.int32)
+    b = jnp.asarray(rng.randint(-1000, 1000, (M, M)), jnp.int32)
+    fl = 2 * M**3
+    t_drift = chain_rate(jax.jit(lambda x: x + jnp.int32(1)), a)
+
+    def ours(x, y):
+        return x + (jnp.sum(gemm_int32(x, y), dtype=jnp.int32) & 1)
+
+    def xla(x, y):
+        o = jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return x + (jnp.sum(o, dtype=jnp.int32) & 1)
+
+    t = max(chain_rate(ours, a, b) - t_drift, 1e-6)
+    tx = max(chain_rate(jax.jit(xla), a, b) - t_drift, 1e-6)
+    return {"gintops": round(fl / t / 1e6, 1),
+            "xla_gintops": round(fl / tx / 1e6, 1),
+            "vs_xla": round(tx / t, 3), "ms": round(t, 4),
+            "reference_cpu_gintops": 27.9}
 
 
 def bench_memory_bound():
@@ -342,6 +374,10 @@ def main():
         detail["gemm_int8_4096"] = bench_gemm_int8(4096)
         log(f"gemm_int8_4096: {detail['gemm_int8_4096']['gintops']} GINTOP/s "
             f"({detail['gemm_int8_4096']['pct_peak']}% int8 roofline)")
+        detail["gemm_int32_2048"] = bench_gemm_int32(2048)
+        log(f"gemm_int32_2048: {detail['gemm_int32_2048']['gintops']} GINTOP/s "
+            f"({detail['gemm_int32_2048']['vs_xla']}x XLA int32; "
+            f"reference CPU 27.9)")
 
     if args.full:
         log("== memory-bound kernels ==")

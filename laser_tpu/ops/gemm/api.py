@@ -37,7 +37,9 @@ def _dispatch(in_dtype: np.dtype) -> str:
     name = jnp.dtype(in_dtype).name
     if name in _MXU_DTYPES:
         return "mxu"
-    if name in ("int32", "int64", "uint32", "uint64", "float64"):
+    if name in ("int32", "uint32"):
+        return "int32"  # native limb-decomposed MXU kernel (int32_kernel.py)
+    if name in ("int64", "uint64", "float64"):
         return "xla"  # exactness-preserving XLA dot_general fallback
     raise NotImplementedError(f"gemm: unsupported dtype {name}")
 
@@ -78,9 +80,8 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
     if backend not in (None, "auto", "pallas", "xla"):
         raise ValueError(
             f"gemm backend must be None/'auto'/'pallas'/'xla', got {backend!r}")
-    if backend in (None, "auto"):
-        fused = epilogue is not None or bias is not None or c is not None
-        backend = "pallas" if fused else "xla"
+    if backend == "auto":
+        backend = None
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     ka = a.shape[0] if transpose_a else a.shape[1]
@@ -108,8 +109,36 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
     if path == "xla" or backend == "xla" or M == 0 or N == 0 or K == 0:
         return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
                          transpose_a, transpose_b)
-
     interp = should_interpret() if interpret is None else interpret
+
+    if path == "int32":
+        # native limb-decomposed MXU kernel; exotic combos (bias/activation
+        # on integers, mixed dtypes) keep the generic fallback
+        native_ok = (backend != "xla" and bias is None
+                     and epilogue in (None, "none")
+                     and out_dt == jnp.dtype(in_dtype)
+                     and acc_dt == jnp.dtype(in_dtype)
+                     and (c is None or c.dtype == jnp.dtype(in_dtype)))
+        if native_ok:
+            from .int32_kernel import gemm_int32
+
+            at = jnp.swapaxes(a, 0, 1) if transpose_a else a
+            bt = jnp.swapaxes(b, 0, 1) if transpose_b else b
+            return gemm_int32(at, bt, alpha=alpha, beta=beta, c=c,
+                              tiles=tiles, interpret=interp)
+        return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
+                         transpose_a, transpose_b)
+
+    if backend is None:
+        fused = epilogue is not None or bias is not None or c is not None
+        # plain float matmuls: XLA's matmul codegen wins (~94% vs ~82%
+        # roofline). int8 is the opposite (Pallas 76% vs XLA 48% of peak) —
+        # keep every int8 call on our kernel.
+        is_int8 = jnp.dtype(in_dtype).itemsize == 1
+        backend = "pallas" if (fused or is_int8) else "xla"
+    if backend == "xla":
+        return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
+                         transpose_a, transpose_b)
     tiles = tiles or plan_tiles(M, N, K, in_dtype, acc_dt, has_c_input=has_c)
     fn = build_gemm(M, N, K, tiles.bm, tiles.bn, tiles.bk,
                     jnp.dtype(in_dtype).name, out_dt.name, acc_dt.name,

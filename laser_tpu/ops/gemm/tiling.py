@@ -80,15 +80,24 @@ def plan_tiles(M: int, N: int, K: int, in_dtype, acc_dtype=np.float32,
 
     # Measured on v5e: wide-N tiles win (the MXU streams B's lanes); 512x1024
     # is the robust default at large sizes, with autotune refining further.
-    bm = o_bm or min(512, Mr)
-    bn = o_bn or min(1024, Nr)
+    # int8 is the exception: its K dim is cheap in VMEM (1 byte) and the
+    # kernel is launch-overhead-sensitive, so the largest K block wins
+    # (75.9% of int8 peak at 1024x512x4096 vs 63.7% at 512x1024x2048).
+    if itemsize == 1:
+        bm = o_bm or min(1024, Mr)
+        bn = o_bn or min(512, Nr)
+        kc_cap = 4096
+    else:
+        bm = o_bm or min(512, Mr)
+        bn = o_bn or min(1024, Nr)
+        kc_cap = 2048
     bm = round_step_up(bm, align)
     bn = round_step_up(bn, align)
 
     if o_bk:
         bk = round_step_up(o_bk, align)
     else:
-        bk = round_step_up(min(2048, Kr), align)
+        bk = round_step_up(min(kc_cap, Kr), align)
         while bk > align and not fit(bm, bn, bk):
             bk -= align
     # If even the minimum bk doesn't fit, shrink bm/bn.

@@ -83,6 +83,47 @@ class TestGemmDtypes:
         np.testing.assert_array_equal(np.asarray(got),
                                       a.astype(np.int64) @ b.astype(np.int64))
 
+    def test_int32_wraparound_semantics(self, rng):
+        # overflowing products must wrap mod 2^32 exactly like the
+        # reference's mullo ukernels (gemm_ukernel_avx512.nim:40-56); the
+        # native path decomposes into signed base-256 limbs on the MXU
+        M, N, K = 33, 129, 260
+        a = rng.randint(-2**31, 2**31, (M, K), dtype=np.int64).astype(np.int32)
+        b = rng.randint(-2**31, 2**31, (K, N), dtype=np.int64).astype(np.int32)
+        got = np.asarray(lt.gemm(a, b))
+        want = ((a.astype(np.int64) @ b.astype(np.int64)) % 2**32)
+        want = want.astype(np.uint32).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_int32_alpha_beta_c(self, rng):
+        M, N, K = 32, 48, 16
+        a = rng.randint(-1000, 1000, (M, K)).astype(np.int32)
+        b = rng.randint(-1000, 1000, (K, N)).astype(np.int32)
+        c = rng.randint(-1000, 1000, (M, N)).astype(np.int32)
+        got = np.asarray(lt.gemm(a, b, alpha=3, beta=-2, c=c))
+        want = 3 * (a.astype(np.int64) @ b.astype(np.int64)) - 2 * c
+        want = (want % 2**32).astype(np.uint32).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_uint32_exact(self, rng):
+        M, N, K = 16, 24, 40
+        a = rng.randint(0, 2**32, (M, K), dtype=np.uint64).astype(np.uint32)
+        b = rng.randint(0, 2**32, (K, N), dtype=np.uint64).astype(np.uint32)
+        got = np.asarray(lt.gemm(a, b))
+        assert got.dtype == np.uint32
+        want = ((a.astype(np.uint64) @ b.astype(np.uint64))
+                % 2**32).astype(np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_int32_transposed_operands(self, rng):
+        M, N, K = 20, 30, 40
+        a = rng.randint(-100, 100, (M, K)).astype(np.int32)
+        b = rng.randint(-100, 100, (K, N)).astype(np.int32)
+        got = np.asarray(lt.gemm(np.ascontiguousarray(a.T), b,
+                                 transpose_a=True))
+        np.testing.assert_array_equal(
+            got, a.astype(np.int64) @ b.astype(np.int64))
+
     def test_int8_to_int32(self, rng):
         M, N, K = 128, 128, 128
         a = rng.randint(-20, 20, (M, K)).astype(np.int8)
