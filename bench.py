@@ -188,6 +188,29 @@ def bench_memory_bound():
           chain_rate(jax.jit(lambda v, b, c: v + b - jnp.sin(c)), x, y, z),
           nbytes)
 
+    # in-kernel strided iteration: every-2nd-row of a 256MB base, fused
+    # o = 2x, vs XLA's strided-slice+multiply. The XLA side carries an
+    # optimization_barrier so the result array is actually materialized
+    # (without it XLA DCEs everything but one element — a fake 441 GB/s);
+    # the full-array drift carry is measured alone and subtracted.
+    from laser_tpu.tensor import TensorView
+
+    Mb, Cb = 16384, 4096
+    xb2 = jnp.asarray(rng.randn(Mb, Cb), jnp.float32)
+    nbytes = 2 * (Mb // 2) * Cb * 4
+    t_drift = chain_rate(jax.jit(lambda b: b + jnp.float32(1e-30)), xb2)
+
+    def _strided_step(b):
+        v = TensorView(b.reshape(-1), (Mb // 2, Cb), (2 * Cb, 1), Cb)
+        out = lt.for_each(lambda p: p * 2.0, v)
+        return b + out[0, 0] * 1e-30
+    def _strided_xla(b):
+        out = jax.lax.optimization_barrier(b[1::2] * 2.0)
+        return b + out[0, 0] * 1e-30
+    entry("foreach_strided_every2row",
+          max(chain_rate(_strided_step, xb2) - t_drift, 1e-6),
+          max(chain_rate(jax.jit(_strided_xla), xb2) - t_drift, 1e-6), nbytes)
+
     # sum reduction on a 256MB array. The chain needs a drift add (x stays
     # the carry), whose r+w traffic would be billed to the reduction —
     # measure the drift alone and subtract to isolate the kernel (read-bound).

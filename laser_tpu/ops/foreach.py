@@ -114,8 +114,12 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
     ``for_each(lambda x, y, z: x + y - jnp.sin(z), a, b, c)`` — the reference's
     headline fusion demo (foreach.nim README example, iter_bench_prod.nim:25-45).
 
-    Strided ``TensorView`` operands are materialized first (the strided branch);
-    contiguous operands flow through zero-copy (the contiguous branch).
+    Contiguous operands flow through zero-copy (the contiguous branch).
+    Regular strided ``TensorView`` operands (sliced / every-k-th / offset /
+    leading-axis-reversed windows) stream in ONE kernel via the dense-embed
+    BlockSpec path (ops/strided.py — forEachStrided's no-copy contract,
+    foreach.nim:64-113); irregular views materialize first (the gather
+    fallback).
 
     ``donate=True`` aliases the first operand's buffer as the output (the
     RawMutableView analog — caller must not reuse that operand). This is a
@@ -124,9 +128,17 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
     fresh HBM pages serializes against the input stream.
     """
     views = [as_view(op) for op in operands]
+    interp = should_interpret() if interpret is None else interpret
+    if any(not v.is_c_contiguous() for v in views):
+        # in-kernel strided branch (single pass, no materialization)
+        from .strided import strided_for_each
+
+        out_dt = out_dtype or jnp.result_type(*[v.dtype for v in views])
+        out = strided_for_each(fn, views, out_dt, interp)
+        if out is not None:
+            return out
     mats, shape, size, rows, width = _prepare_flat(views, pad_value)
     out_dtype = out_dtype or jnp.result_type(*[m.dtype for m in mats])
-    interp = should_interpret() if interpret is None else interpret
 
     br = _block_rows(rows, width, len(mats))
     grid = (cdiv(rows, br),)

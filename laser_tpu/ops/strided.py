@@ -1,0 +1,303 @@
+"""In-kernel strided iteration: fused elementwise kernels over strided views.
+
+TPU-native rebuild of the reference's ``forEachStrided`` branch
+(laser/strided_iteration/foreach.nim:64-113 — odometer walk with
+backstrides, no materialization pass). Round-1 routed every non-contiguous
+view through ``TensorView.materialize()`` (an XLA gather copy) before the
+fused kernel; this module removes that extra HBM round-trip for the regular
+strided views that dominate practice (sliced / every-k-th / offset /
+leading-axis-reversed windows of a dense base).
+
+Mechanism. A strided view whose strides are monotone and nested
+(st_i % st_{i+1} == 0) is exactly a *dense reshape* of its buffer with some
+dims acting as the view's axes and the rest as constant-index "skip" dims:
+
+    base[1::2, :]  of (M, C)  ==  buffer.reshape(M//2, 2, C)[:, 1, :]
+
+The reshape is free (row-major), so one Pallas kernel can stream the view
+directly: skip dims ABOVE the last-two-dims region ride the BlockSpec index
+map as constant block indices (block size 1 — zero extra traffic); a skip
+dim INSIDE the last-two region is loaded at full extent (Mosaic requires
+the trailing block dims be whole or tile-aligned — sub-(8,128) HBM slices
+do not exist at the DMA level) and the digit is selected on the VPU, which
+reads s x the bytes but still beats materialize's gather+write+re-read.
+Offsets fold into index-map digits; negative strides on index-map-only axes
+fold into reversed index maps.
+
+Out of scope (falls back to materialize in the caller): lane-axis
+irregularity (inner stride != 1, reversed lanes — Mosaic has no lane-strided
+selects or `rev`), non-monotone (transposed) views — those route to the
+dedicated transpose kernels — and offset digits on the two blocked axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tensor import TensorView
+from ..utils import cdiv, round_step_up
+
+# role tags for dense dims
+LEAD = "lead"        # a leading view axis: block 1, index map = coord (+digit)
+ROW = "row"          # the blocked view axis (second-minor): block br
+LANE = "lane"        # the minor view axis: block = full dense extent
+SKIP = "skip"        # skip dim above the last-two region: block 1, digit map
+SKIPFULL = "skipfull"  # skip dim between row and lane: full load + VPU select
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseDim:
+    extent: int
+    role: str
+    # LEAD: (leading_axis_index, digit, flipped); SKIP/SKIPFULL: digit
+    param: object = None
+
+
+@dataclasses.dataclass(frozen=True)
+class StridedEmbed:
+    """A view expressed as dense_shape + per-dim roles over its flat buffer."""
+
+    dense_shape: Tuple[int, ...]
+    dims: Tuple[DenseDim, ...]
+    logical_shape: Tuple[int, ...]  # squeezed view shape (lead..., R, C)
+
+
+def _squeeze(view: TensorView):
+    dims = [(sh, st) for sh, st in zip(view.shape, view.strides) if sh != 1]
+    return dims
+
+
+def plan_embedding(view: TensorView) -> Optional[StridedEmbed]:
+    """Express ``view`` as a free dense reshape + roles, or None if the view
+    is outside the regular class (caller then materializes)."""
+    dims = _squeeze(view)
+    if len(dims) < 2:
+        return None  # 1-D strided: lane stride != 1 unsupported; contiguous
+        # 1-D is already the fast path upstream
+    offset = view.offset
+    flips = [False] * len(dims)
+    norm = []
+    for i, (sh, st) in enumerate(dims):
+        if st < 0:
+            offset += (sh - 1) * st
+            st = -st
+            flips[i] = True
+        if st == 0:
+            return None  # broadcast views unsupported
+        norm.append((sh, st))
+    # monotone check (transposes route to the transpose kernels instead)
+    for (sa, a), (sb, b) in zip(norm, norm[1:]):
+        if a <= b:
+            return None
+    # lane axis must be truly contiguous, not flipped
+    if norm[-1][1] != 1 or flips[-1]:
+        return None
+    # the blocked row axis cannot be flipped (no sublane `rev` on TPU)
+    if flips[-2]:
+        return None
+
+    # Build dense dims minor -> major, peeling offset digits as we go.
+    # A stride gap between axis and axis+1 becomes a skip dim: SKIPFULL when
+    # it is wedged between the blocked row axis and the lane axis (it then
+    # lives in Mosaic's constrained last-two region and must be loaded at
+    # full extent + VPU-selected), SKIP otherwise (block 1, digit index map).
+    rev_dims: List[DenseDim] = []
+    acc = 1
+    lane_axis = len(norm) - 1
+    row_axis = len(norm) - 2
+    for axis in range(lane_axis, -1, -1):
+        sh, st = norm[axis]
+        if st % acc:
+            return None
+        gap = st // acc
+        if gap > 1:
+            digit = (offset // acc) % gap
+            role = SKIPFULL if axis == row_axis else SKIP
+            rev_dims.append(DenseDim(int(gap), role, int(digit)))
+            acc *= gap
+        digit = (offset // acc) % sh
+        if axis == lane_axis:
+            if digit:
+                return None  # lane window offsets unsupported
+            rev_dims.append(DenseDim(sh, LANE))
+        elif axis == row_axis:
+            if digit:
+                return None  # row start must be block-aligned (digit 0)
+            rev_dims.append(DenseDim(sh, ROW))
+        else:
+            if digit:
+                # a digit on a view axis would index past its dense extent
+                # (the extent IS the view span); such offsets belong to skip
+                # dims — fall back. Pure leading slices never reach here
+                # (they are contiguous-with-offset).
+                return None
+            rev_dims.append(DenseDim(sh, LEAD, (axis, 0, flips[axis])))
+        acc *= sh
+    # top-level gap: whatever remains of the buffer above the view's span
+    top_digit = offset // acc
+    remaining = view.buffer.size // acc
+    if view.buffer.size % acc:
+        return None  # dense reshape would need a copying slice
+    if remaining > 1:
+        rev_dims.append(DenseDim(int(remaining), SKIP, int(top_digit)))
+    elif top_digit:
+        return None
+
+    # verify the offset decomposition reconstructs exactly
+    rec = 0
+    stride = 1
+    for d in rev_dims:
+        if d.role in (SKIP, SKIPFULL):
+            rec += d.param * stride
+        elif d.role == LEAD:
+            rec += d.param[1] * stride
+        stride *= d.extent
+    if rec != offset:
+        return None
+
+    dims_maj = tuple(reversed(rev_dims))
+    dense_shape = tuple(d.extent for d in dims_maj)
+    logical = tuple(sh for sh, _ in norm)
+    return StridedEmbed(dense_shape, dims_maj, logical)
+
+
+def _kernel_cost_ok(embeds: Sequence[StridedEmbed], itemsizes,
+                    budget: int) -> Optional[int]:
+    """Pick rows-per-block br (or None if even br=8 blows the VMEM budget)."""
+    logical = embeds[0].logical_shape
+    C = logical[-1]
+    span = []
+    for e, isz in zip(embeds, itemsizes):
+        s = C * isz
+        for d in e.dims:
+            if d.role == SKIPFULL:
+                s *= d.extent
+        span.append(s)
+    # x2: Mosaic double-buffers every streamed block
+    per_row = 2 * (sum(span) + C * max(itemsizes))
+    br = (budget // max(per_row, 1)) // 8 * 8
+    if br < 8:
+        return None
+    return int(min(br, round_step_up(logical[-2], 8), 512))
+
+
+def build_strided_foreach(fn: Callable, views: Sequence[TensorView],
+                          embeds: Sequence[StridedEmbed], out_dtype,
+                          interpret: bool) -> jax.Array:
+    """Run ``fn`` over the strided views in ONE kernel, return the dense
+    result with the views' logical (unsqueezed) shape."""
+    logical = embeds[0].logical_shape
+    for e in embeds[1:]:
+        if e.logical_shape != logical:
+            raise ValueError("strided operands disagree on squeezed shape")
+    lead = logical[:-2]
+    R, C = logical[-2], logical[-1]
+    from ..device_info import vmem_budget_bytes
+
+    # elementwise streams gain nothing from giant blocks; 32MB of blocks
+    # keeps the pipeline deep and far from the scoped-vmem ceiling
+    budget = min(vmem_budget_bytes(), 32 * 1024 * 1024)
+    br = _kernel_cost_ok(embeds, [v.dtype.itemsize for v in views], budget)
+    if br is None:
+        return None  # caller falls back
+    g0 = int(np.prod(lead)) if lead else 1
+    grid = (g0, cdiv(R, br))
+
+    def make_imap(e: StridedEmbed):
+        def imap(gl, gr):
+            coords = []
+            rem = gl
+            for n in reversed(lead):
+                coords.append(rem % n)
+                rem = rem // n
+            coords.reverse()
+            out = []
+            for d in e.dims:
+                if d.role == LEAD:
+                    ax, digit, flipped = d.param
+                    c = coords[ax]
+                    if flipped:
+                        c = lead[ax] - 1 - c
+                    out.append(c + digit)
+                elif d.role == ROW:
+                    out.append(gr)
+                elif d.role in (LANE, SKIPFULL):
+                    out.append(0)
+                else:  # SKIP above the blocked region: digit IS the block idx
+                    out.append(d.param)
+            return tuple(out)
+        return imap
+
+    def block_shape(e: StridedEmbed):
+        bs = []
+        for d in e.dims:
+            if d.role == ROW:
+                bs.append(br)
+            elif d.role in (LANE, SKIPFULL):
+                bs.append(d.extent)
+            else:
+                bs.append(1)
+        return tuple(bs)
+
+    def extract(x, e: StridedEmbed):
+        # x: loaded block; drop block-1 dims, select SKIPFULL digits
+        idx = []
+        for d in e.dims:
+            if d.role in (ROW, LANE):
+                idx.append(slice(None))
+            elif d.role == SKIPFULL:
+                idx.append(d.param)
+            else:
+                idx.append(0)
+        return x[tuple(idx)]
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        blocks = [extract(r[:], e) for r, e in zip(refs[:-1], embeds)]
+        out_ref[0] = fn(*blocks).astype(out_dtype)
+
+    in_specs = [pl.BlockSpec(block_shape(e), make_imap(e),
+                             memory_space=pltpu.VMEM) for e in embeds]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, br, C), lambda gl, gr: (gl, gr, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g0, R, C), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*[v.buffer.reshape(e.dense_shape) for v, e in zip(views, embeds)])
+    return out.reshape(*lead, R, C) if lead else out.reshape(R, C)
+
+
+def strided_for_each(fn: Callable, views: Sequence[TensorView], out_dtype,
+                     interpret: bool) -> Optional[jax.Array]:
+    """Single-kernel fused iteration over strided views; None if the views
+    fall outside the supported regular class (caller materializes)."""
+    shape = views[0].shape
+    for v in views[1:]:
+        if v.shape != shape:
+            raise ValueError(f"operand shape mismatch: {v.shape} vs {shape}")
+    embeds = []
+    for v in views:
+        e = plan_embedding(v)
+        if e is None:
+            return None
+        embeds.append(e)
+    if any(e.logical_shape != embeds[0].logical_shape for e in embeds):
+        return None
+    out = build_strided_foreach(fn, views, embeds, out_dtype, interpret)
+    if out is None:
+        return None
+    # restore the original (unsqueezed) shape
+    return out.reshape(views[0].shape)

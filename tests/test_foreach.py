@@ -39,6 +39,66 @@ class TestForEach:
             lt.for_each(lambda a, b: a + b, np.zeros(3), np.zeros(4))
 
 
+class TestStridedInKernel:
+    """In-kernel strided iteration (ops/strided.py): regular views must plan
+    an embedding (single-pass kernel, no materialize) AND be correct; views
+    outside the class must still be correct via the fallback."""
+
+    def _view(self, base, shape, strides, offset=0):
+        return TensorView(jnp.asarray(base).reshape(-1), shape, strides, offset)
+
+    def test_plans_embedding_for_regular_views(self, rng):
+        from laser_tpu.ops.strided import plan_embedding
+
+        base = rng.randn(64, 256).astype(np.float32)
+        M, C = base.shape
+        # every-2nd-row, offset row windows, rank-3 skips all embed
+        assert plan_embedding(self._view(base, (32, C), (2 * C, 1))) is not None
+        assert plan_embedding(self._view(base, (32, C), (2 * C, 1), C)) is not None
+        assert plan_embedding(self._view(base, (16, C), (4 * C, 1), 2 * C)) is not None
+        # lane-strided and transposed views do not (fallback class)
+        assert plan_embedding(self._view(base, (M, C // 2), (C, 2))) is None
+        assert plan_embedding(self._view(base, (C, M), (1, C))) is None
+
+    @pytest.mark.parametrize("step,off", [(2, 0), (2, 1), (4, 2)])
+    def test_row_subsampling(self, rng, step, off):
+        base = rng.randn(64, 256).astype(np.float32)
+        C = base.shape[1]
+        v = self._view(base, (64 // step, C), (step * C, 1), off * C)
+        out = lt.for_each(lambda x: x * 2.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[off::step] * 2,
+                                   rtol=1e-6)
+
+    def test_leading_axis_flip(self, rng):
+        base = rng.randn(4, 32, 128).astype(np.float32)
+        v = self._view(base, (4, 32, 128), (-32 * 128, 128, 1), 3 * 32 * 128)
+        out = lt.for_each(lambda x: x + 1.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[::-1] + 1, rtol=1e-6)
+
+    def test_flip_plus_mid_skip(self, rng):
+        base = rng.randn(4, 32, 128).astype(np.float32)
+        v = self._view(base, (4, 16, 128), (-32 * 128, 2 * 128, 1),
+                       3 * 32 * 128)
+        out = lt.for_each(lambda x: x * 3.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[::-1, 0::2] * 3,
+                                   rtol=1e-6)
+
+    def test_mixed_strided_and_contiguous(self, rng):
+        base = rng.randn(64, 256).astype(np.float32)
+        b = rng.randn(32, 256).astype(np.float32)
+        v = self._view(base, (32, 256), (512, 1), 0)
+        out = lt.for_each(lambda x, y: x + jnp.sin(y), v, b)
+        np.testing.assert_allclose(np.asarray(out), base[::2] + np.sin(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_unsupported_views_fall_back_correctly(self, rng):
+        base = rng.randn(64, 256).astype(np.float32)
+        # every-2nd-column (lane stride 2): materialize fallback
+        v = self._view(base, (64, 128), (256, 2), 0)
+        out = lt.for_each(lambda x: x * 3.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[:, ::2] * 3, rtol=1e-6)
+
+
 class TestMapReduce:
     def test_sum_of_squares(self, rng):
         x = rng.randn(100_000).astype(np.float32)
