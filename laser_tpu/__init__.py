@@ -21,6 +21,10 @@ from .ops import (  # noqa: E402
     for_each,
     for_each_staged,
     map_reduce,
+    map_reduce_staged,
+    mean_var,
+    argmax,
+    argmin,
     reduce_max,
     reduce_mean,
     reduce_min,

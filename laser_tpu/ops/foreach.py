@@ -265,3 +265,114 @@ def for_each_staged(*operands, before_loop=None, in_loop: Callable,
     del before_loop  # accumulator init is the `identity` element on TPU
     return map_reduce(in_loop, *operands, reduce_fn=after_loop,
                       identity=identity, **kw)
+
+
+# ---------------------------------------------------------------------------
+# General staged reduction: arbitrary accumulator pytrees + combine fns.
+# The full forEachStaged contract (foreach_staged.nim:318, ex05 thread-local
+# accumulators): each "thread" (grid step) folds its block into a private
+# accumulator of ANY structure; a user combine merges them. Unlike the
+# reference's omp_critical merge, the cross-block combine here is a fixed
+# pairwise tree -> deterministic.
+# ---------------------------------------------------------------------------
+
+class StageCtx:
+    """Per-block context handed to ``block_fn``: a validity mask (True for
+    in-range elements, None when the whole block is valid) and the flat
+    element offset of the block's first element (row-major over the logical
+    array) — enough to build global indices (argmax) or counts (mean/var)."""
+
+    def __init__(self, valid, offset, width):
+        self.valid = valid
+        self.offset = offset
+        self.width = width
+
+    def flat_indices(self, shape):
+        """(br, width) int32 global flat indices for this block."""
+        r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return self.offset + r * self.width + c
+
+
+def map_reduce_staged(block_fn: Callable, *operands, combine: Callable,
+                      interpret: Optional[bool] = None):
+    """Fused block-fold + deterministic tree combine over an accumulator
+    pytree of SCALAR leaves.
+
+    block_fn(ctx, *blocks) -> pytree of scalars  (one block's accumulator)
+    combine(acc_a, acc_b)  -> pytree of scalars  (associative merge)
+
+    Examples built on this: single-pass mean+variance (Chan's parallel
+    Welford combine) and argmax with global-index carry — the reference's
+    ex05 class of kernels that the plain ``map_reduce`` (identity+binop
+    only) cannot express.
+    """
+    views = [as_view(op) for op in operands]
+    mats, _, size, rows, width = _prepare_flat(views, 0)
+    interp = should_interpret() if interpret is None else interpret
+
+    cfg = get_config()
+    br = max(ROW_ALIGN, min(rows, cfg.reduction_grain // width))
+    br = round_step_up(br, ROW_ALIGN)
+    nblocks = cdiv(rows, br)
+    padded_tail = rows * width != size or rows % br != 0
+
+    # Probe the accumulator structure with abstract values.
+    probe_blocks = [jax.ShapeDtypeStruct((br, width), m.dtype) for m in mats]
+    acc_struct = jax.eval_shape(
+        lambda *bs: block_fn(StageCtx(
+            jnp.ones((br, width), jnp.bool_) if padded_tail else None,
+            jnp.int32(0), width), *bs), *probe_blocks)
+    leaves_struct, treedef = jax.tree_util.tree_flatten(acc_struct)
+    for l in leaves_struct:
+        if l.shape != ():
+            raise ValueError("map_reduce_staged accumulator leaves must be "
+                             f"scalars, got shape {l.shape}")
+    n_leaves = len(leaves_struct)
+
+    def kernel(*refs):
+        out_refs = refs[-n_leaves:]
+        blocks = [r[:] for r in refs[:-n_leaves]]
+        i = pl.program_id(0)
+        offset = i * br * width
+        valid = None
+        if padded_tail:
+            ids = offset + jax.lax.broadcasted_iota(
+                jnp.int32, (br, width), 0) * width + jax.lax.broadcasted_iota(
+                jnp.int32, (br, width), 1)
+            valid = ids < size
+        acc = block_fn(StageCtx(valid, offset, width), *blocks)
+        leaves = jax.tree_util.tree_leaves(acc)
+        for ref, leaf, st in zip(out_refs, leaves, leaves_struct):
+            ref[0] = jnp.full((8, 128), leaf, st.dtype)
+
+    partial_leaves = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM) for _ in mats],
+        out_specs=[pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(n_leaves)],
+        out_shape=[jax.ShapeDtypeStruct((nblocks, 8, 128), l.dtype)
+                   for l in leaves_struct],
+        interpret=interp,
+    )(*mats)
+
+    # Deterministic pairwise combine over the per-block accumulators.
+    accs = treedef.unflatten([p[:, 0, 0] for p in partial_leaves])
+    n = nblocks
+    while n > 1:
+        h = n // 2
+        lo = jax.tree_util.tree_map(lambda a: a[:h], accs)
+        hi = jax.tree_util.tree_map(lambda a: a[h:2 * h], accs)
+        merged = combine(lo, hi)
+        if n % 2:
+            tail = jax.tree_util.tree_map(lambda a: a[2 * h:], accs)
+            merged = jax.tree_util.tree_map(
+                lambda m, t: jnp.concatenate([m, t]), merged, tail)
+            n = h + 1
+        else:
+            n = h
+        accs = merged
+    return jax.tree_util.tree_map(lambda a: a[0], accs)

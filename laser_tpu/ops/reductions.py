@@ -53,3 +53,86 @@ def reduce_mean(x, *, acc_dtype=None, interpret=None) -> jax.Array:
 
     v = as_view(x)
     return reduce_sum(x, acc_dtype=acc_dtype, interpret=interpret) / v.size
+
+
+# ---------------------------------------------------------------------------
+# Staged reductions with structured accumulators (the ex05 class the plain
+# identity+binop map_reduce cannot express; VERDICT r1 #8).
+# ---------------------------------------------------------------------------
+
+def mean_var(x, *, interpret=None):
+    """Single-pass mean and (population) variance.
+
+    Per block: count/mean/M2 computed on the VPU; across blocks: Chan's
+    parallel Welford combine — numerically stable, one read of the data
+    (vs the naive two-pass or the cancellation-prone sum/sumsq trick).
+    Returns (mean, var) as f32 scalars.
+    """
+    from .foreach import map_reduce_staged
+
+    def block_fn(ctx, b):
+        b = b.astype(jnp.float32)
+        if ctx.valid is not None:
+            n = jnp.sum(ctx.valid.astype(jnp.float32))
+            nsafe = jnp.maximum(n, 1.0)
+            m = jnp.sum(jnp.where(ctx.valid, b, 0.0)) / nsafe
+            m2 = jnp.sum(jnp.where(ctx.valid, (b - m) ** 2, 0.0))
+        else:
+            n = jnp.float32(b.size)
+            m = jnp.mean(b)
+            m2 = jnp.sum((b - m) ** 2)
+        return {"n": n, "mean": m, "m2": m2}
+
+    def combine(a, b):
+        n = a["n"] + b["n"]
+        nsafe = jnp.maximum(n, 1.0)
+        d = b["mean"] - a["mean"]
+        mean = a["mean"] + d * b["n"] / nsafe
+        m2 = a["m2"] + b["m2"] + d * d * a["n"] * b["n"] / nsafe
+        return {"n": n, "mean": mean, "m2": m2}
+
+    acc = map_reduce_staged(block_fn, x, combine=combine, interpret=interpret)
+    return acc["mean"], acc["m2"] / jnp.maximum(acc["n"], 1.0)
+
+
+def _arg_reduce(x, *, take_max: bool, interpret=None):
+    from .foreach import map_reduce_staged
+
+    dt = _dtype_of(x)
+    if jnp.issubdtype(dt, jnp.floating):
+        sentinel = -np.inf if take_max else np.inf
+    else:
+        info = np.iinfo(np.dtype(dt))
+        sentinel = info.min if take_max else info.max
+
+    def block_fn(ctx, b):
+        ids = ctx.flat_indices(b.shape)
+        if ctx.valid is not None:
+            b = jnp.where(ctx.valid, b, jnp.asarray(sentinel, b.dtype))
+        # first-occurrence convention: among equal values pick smallest index
+        best = jnp.max(b) if take_max else jnp.min(b)
+        hit = b == best
+        idx = jnp.min(jnp.where(hit, ids, jnp.int32(2**31 - 1)))
+        return {"val": best, "idx": idx}
+
+    def combine(a, b):
+        a_wins = (a["val"] > b["val"]) if take_max else (a["val"] < b["val"])
+        tie = a["val"] == b["val"]
+        val = jnp.where(a_wins, a["val"], b["val"])
+        idx = jnp.where(a_wins, a["idx"],
+                        jnp.where(tie, jnp.minimum(a["idx"], b["idx"]),
+                                  b["idx"]))
+        return {"val": val, "idx": idx}
+
+    acc = map_reduce_staged(block_fn, x, combine=combine, interpret=interpret)
+    return acc["idx"], acc["val"]
+
+
+def argmax(x, *, interpret=None):
+    """(flat_index, value) of the maximum — single fused pass, deterministic
+    first-occurrence tie-breaking (numpy convention)."""
+    return _arg_reduce(x, take_max=True, interpret=interpret)
+
+
+def argmin(x, *, interpret=None):
+    return _arg_reduce(x, take_max=False, interpret=interpret)

@@ -120,6 +120,59 @@ class TestMapReduce:
         out = lt.map_reduce(lambda a: a, x, reduce_fn=jnp.max, identity=-np.inf)
         assert float(out) == x.max()
 
+    def test_welford_mean_var(self, rng):
+        # single-pass mean+variance via arbitrary-accumulator staging
+        x = rng.randn(123_457).astype(np.float32) * 3 + 5
+        m, v = lt.mean_var(x)
+        np.testing.assert_allclose(float(m), x.astype(np.float64).mean(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(v), x.astype(np.float64).var(),
+                                   rtol=1e-4)
+
+    def test_argmax_argmin(self, rng):
+        x = rng.randn(50_001).astype(np.float32)
+        i, v = lt.argmax(x)
+        assert int(i) == int(np.argmax(x)) and float(v) == x.max()
+        i2, v2 = lt.argmin(x)
+        assert int(i2) == int(np.argmin(x)) and float(v2) == x.min()
+
+    def test_argmax_ties_first_occurrence(self):
+        x = np.zeros(10_000, np.float32)
+        x[137] = 7.0
+        x[9000] = 7.0
+        i, v = lt.argmax(x)
+        assert int(i) == 137 and float(v) == 7.0
+
+    def test_argmax_2d_flat_index(self, rng):
+        x = rng.randn(257, 130).astype(np.float32)
+        i, v = lt.argmax(x)
+        assert int(i) == int(np.argmax(x))
+
+    def test_staged_custom_pytree(self, rng):
+        # count of positives + sum of negatives in one pass
+        import jax.numpy as jnp
+        from laser_tpu.ops.foreach import map_reduce_staged
+
+        x = rng.randn(10_000).astype(np.float32)
+
+        def block_fn(ctx, b):
+            pos = b > 0
+            neg = b < 0
+            if ctx.valid is not None:
+                pos = pos & ctx.valid
+                neg = neg & ctx.valid
+            return {"npos": jnp.sum(pos.astype(jnp.float32)),
+                    "sneg": jnp.sum(jnp.where(neg, b, 0.0))}
+
+        def combine(a, b):
+            return {"npos": a["npos"] + b["npos"],
+                    "sneg": a["sneg"] + b["sneg"]}
+
+        acc = map_reduce_staged(block_fn, x, combine=combine)
+        assert int(acc["npos"]) == int((x > 0).sum())
+        np.testing.assert_allclose(float(acc["sneg"]), x[x < 0].sum(),
+                                   rtol=1e-5)
+
     def test_determinism(self, rng):
         # Unlike the reference (reductions.nim:58-63), our reduction order is
         # fixed: two runs give bit-identical results.
