@@ -188,6 +188,82 @@ def sigmoid(x, *, algorithm: Optional[str] = None, donate: bool = False,
                     donate=donate)
 
 
+def _softmax_online(x2, rows: int, cols: int, interp: bool) -> jax.Array:
+    """Blockwise (online) row softmax for rows that overflow VMEM.
+
+    The flash-attention statistics trick applied to a bare softmax: stream
+    the row in column blocks keeping running (m, l); a second sweep over the
+    same blocks emits exp(x - m)/l. One kernel, grid (rows, 2*ncols): the
+    phase flag is just the column-step index. Column tails are masked
+    in-kernel (no padded copy of a multi-GB array); row tails (rows % 8)
+    pay one pad copy — rare and cheap relative to the stream.
+    """
+    dt = x2.dtype
+    rp = round_step_up(rows, 8)
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)), constant_values=-np.inf)
+    bc = 64 * 1024  # 8 rows x 64k lanes x 4B = 2MB per block
+    bc = min(bc, round_step_up(cols, LANES))
+    nc = cdiv(cols, bc)
+    cpad = nc * bc != cols  # last block reads past the row edge
+    br = 8
+
+    def kernel(x_ref, o_ref, m_ref, l_ref):
+        k = pl.program_id(1)
+        j = k % nc
+
+        @pl.when(k == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, -np.inf)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        v = x_ref[:].astype(jnp.float32)
+        if cpad:
+            cpos = j * bc + jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1)
+            v = jnp.where(cpos < cols, v, -np.inf)
+
+        @pl.when(k < nc)
+        def _accumulate():
+            m_prev = m_ref[:]
+            m_cur = jnp.max(v, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            msafe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            corr = jnp.where(jnp.isfinite(m_prev), _exp_expr(m_prev - msafe), 0.0)
+            e = _exp_expr(v - msafe[:, :1])
+            e = jnp.where(v == -jnp.inf, 0.0, e)
+            l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
+                jnp.sum(e, axis=-1, keepdims=True), corr.shape)
+            m_ref[:] = m_new
+
+        @pl.when(k >= nc)
+        def _emit():
+            msafe = jnp.where(jnp.isfinite(m_ref[:, :1]), m_ref[:, :1], 0.0)
+            e = _exp_expr(v - msafe)
+            e = jnp.where(v == -jnp.inf, 0.0, e)
+            lsafe = jnp.where(l_ref[:, :1] > 0, l_ref[:, :1], 1.0)
+            o_ref[:] = (e / lsafe).astype(dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(rp // br, 2 * nc),
+        in_specs=[pl.BlockSpec((br, bc), lambda i, k: (i, k % nc),
+                               memory_space=pltpu.VMEM)],
+        # during the accumulate phase every step maps to out block (i, 0);
+        # its garbage content is overwritten by the first emit step (k == nc)
+        out_specs=pl.BlockSpec(
+            (br, bc), lambda i, k: (i, jnp.maximum(k - nc, 0)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, cols), dt),
+        scratch_shapes=[pltpu.VMEM((br, LANES), jnp.float32),
+                        pltpu.VMEM((br, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interp,
+    )(x2)
+    return out[:rows, :cols]
+
+
 def softmax(x, *, axis: int = -1, donate: bool = False,
             interpret: Optional[bool] = None) -> jax.Array:
     """Fused row softmax: ONE kernel doing max-reduce, exp, sum-reduce, scale.
@@ -205,13 +281,18 @@ def softmax(x, *, axis: int = -1, donate: bool = False,
 
     cp = round_step_up(cols, LANES)
     rp = round_step_up(rows, 8)
-    # Rows must fit VMEM (8 rows + temps); enormous rows take a 3-pass XLA
-    # path (the blockwise/online-softmax kernel is a later-round item).
+    # Rows too large for a single VMEM block stream through the blockwise
+    # online-softmax kernel instead (two reads + one write, vs XLA's
+    # three-pass reduce/exp-sum/divide).
     from ..device_info import vmem_budget_bytes
 
-    if 8 * cp * 4 * 6 > vmem_budget_bytes():
-        out = jax.nn.softmax(x, axis=-1)  # x already has the axis last here
-        if axis != -1 and axis != x.ndim - 1:
+    interp_early = should_interpret() if interpret is None else interpret
+    # Single-block footprint: (in + out) x double-buffer x f32 temps measures
+    # ~32 bytes per lane-element at br=8 (scoped-vmem report on v5e).
+    if 8 * cp * 32 > vmem_budget_bytes():
+        out = _softmax_online(x2, rows, cols, interp_early)
+        out = out.reshape(orig_shape)
+        if axis != -1 and axis != len(orig_shape) - 1:
             out = jnp.moveaxis(out, -1, axis)
         return out
     if (rp, cp) != (rows, cols):
@@ -245,6 +326,8 @@ def softmax(x, *, axis: int = -1, donate: bool = False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, cp), x2.dtype),
         input_output_aliases=alias,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interp,
     )(x2)
     if (rp, cp) != (rows, cols):

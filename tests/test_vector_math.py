@@ -5,6 +5,7 @@ libm oracle over the full clamp range including the ±88 boundaries, plus the
 reference's special-value semantics (exp_log_avx2.nim:29-47 fast_clamp:
 +inf -> huge, -inf -> ~0, NaN propagates)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -106,6 +107,28 @@ class TestSoftmax:
         x = np.full((8, 128), -1000.0, np.float32)
         got = np.asarray(lt.softmax(x))
         np.testing.assert_allclose(got, 1.0 / 128, rtol=1e-5)
+
+    @pytest.mark.parametrize("shape", [(16, 1000), (9, 300), (8, 131149)])
+    def test_online_blockwise_kernel(self, rng, shape):
+        # the VMEM-overflow path: streaming (m, l) accumulation then a
+        # second emit sweep — must match jax.nn.softmax on any row length,
+        # including row and column tails
+        from laser_tpu.ops.vector_math import _softmax_online
+
+        R, C = shape
+        x = (rng.randn(R, C) * 3).astype(np.float32)
+        got = np.asarray(_softmax_online(jnp.asarray(x), R, C, True))
+        want = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_huge_rows_route_to_online(self, rng):
+        # rows past the single-block VMEM budget must take the fused online
+        # kernel (not an XLA fallback) and stay correct. On the cpu-sim
+        # budget (11MB) a 65536-wide row overflows the single block.
+        x = (rng.randn(4, 65536) * 3).astype(np.float32)
+        got = np.asarray(lt.softmax(x))
+        want = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
 class TestBf16Smoke:
