@@ -327,6 +327,59 @@ def bench_stencil_sampling():
     return out
 
 
+def bench_decode():
+    """Serving path: flash prefill + KV-cached greedy decode tokens/s.
+
+    Model matches entry(): 2 layers, d_model 256, 4 heads (head_dim 64 on
+    the padded flash path), vocab 1024. Prefill S0=512; 64 new tokens."""
+    import time
+
+    from laser_tpu.models.transformer import (greedy_decode_cached,
+                                              init_transformer)
+
+    key = jax.random.PRNGKey(0)
+    params = init_transformer(key, n_layers=2, d_model=256, n_heads=4,
+                              d_ff=512, vocab=1024)
+    B, new = 4, 64
+    out = {}
+    for tag, s0 in [("decode_s512", 512), ("decode_s1024", 1024)]:
+        # On-device repetition with data-dependent chaining (the tunnel
+        # round trip is ~25-40 ms, comparable to one decode): measure K
+        # chained decodes and 1, and difference out the fixed overhead.
+        def make(K):
+            @jax.jit
+            def run(p, prompts):
+                def body(i, acc):
+                    toks = greedy_decode_cached(
+                        p, prompts[i] + (acc & 0), n_heads=4,
+                        max_new_tokens=new)
+                    return acc + toks[0, -1]
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return run
+
+        K = 8
+        prompts = jax.random.randint(jax.random.fold_in(key, s0),
+                                     (K, B, s0), 0, 1024)
+        r1, rK = make(1), make(K)
+        np.asarray(r1(params, prompts))
+        np.asarray(rK(params, prompts))  # compile both
+        def t(f):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(params, prompts))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        per = max((t(rK) - t(r1)) / (K - 1), 1e-9)
+        toks = B * new / per
+        out[tag] = {"tokens_per_s": round(toks, 1),
+                    "ms_total": round(per * 1e3, 2),
+                    "prompt_len": s0, "new_tokens": new, "batch": B}
+        log(f"{tag}: {toks:.0f} tok/s ({per*1e3:.1f} ms for B{B} S0={s0} "
+            f"+{new})")
+    return out
+
+
 def bench_conv():
     """Reference conv config N16 C3->20 224^2 k3 s1 p1 (conv2d_bench.nim)."""
     import laser_tpu as lt
@@ -409,6 +462,8 @@ def main():
         detail.update(bench_attention())
         log("== conv ==")
         detail.update(bench_conv())
+        log("== serving ==")
+        detail.update(bench_decode())
         log("== stencil / sampling ==")
         detail.update(bench_stencil_sampling())
         with open("BENCH_DETAIL.json", "w") as f:

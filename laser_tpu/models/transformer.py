@@ -185,10 +185,55 @@ def decode_step(params: Dict, cache: jax.Array, token: jax.Array,
     return logits, new_cache
 
 
+def prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
+            n_heads: int):
+    """ONE flash-attention forward over the whole prompt that also writes
+    every prompt position's K/V into the decode cache.
+
+    This is the serving prefill path: cost ~= one causal forward (the flash
+    kernel on the MXU), vs the round-1 behavior of S0 sequential
+    ``decode_step`` matvecs. Returns (last-position logits (B, vocab),
+    updated cache).
+    """
+    B, S0 = prompt.shape
+    D = params["embed"].shape[1]
+    hd = D // n_heads
+    x = params["embed"][prompt]  # (B, S0, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = linear(h.reshape(B * S0, D), blk["wqkv"], blk["bqkv"])
+        q, k, v = jnp.split(qkv.reshape(B, S0, 3 * D), 3, axis=-1)
+
+        def heads(t):  # (B, S0, D) -> (B, H, S0, hd)
+            return t.reshape(B, S0, n_heads, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        # write the prompt K/V into the cache (positions [0, S0))
+        cache = cache.at[li, 0, :, :S0, :].set(
+            kh.reshape(B * n_heads, S0, hd))
+        cache = cache.at[li, 1, :, :S0, :].set(
+            vh.reshape(B * n_heads, S0, hd))
+        o = attention(qh, kh, vh, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(B * S0, D)
+        x = x + linear(o, blk["wo"], blk["bo"]).reshape(B, S0, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = linear(h.reshape(B * S0, D), blk["w1"], blk["b1"], "gelu")
+        x = x + linear(f, blk["w2"], blk["b2"]).reshape(B, S0, D)
+
+    x = layer_norm(x[:, -1, :], params["lnf_g"], params["lnf_b"])
+    from ..ops.gemm.autodiff import gemm_ad
+
+    logits = gemm_ad(x.reshape(B, D), params["embed"], None, False, True)
+    return logits, cache
+
+
 def greedy_decode_cached(params: Dict, prompt: jax.Array, *, n_heads: int,
                          max_new_tokens: int) -> jax.Array:
-    """KV-cached greedy decoding: prefill the cache token by token, then
-    generate. Produces exactly the same tokens as ``greedy_decode``."""
+    """KV-cached greedy decoding: ONE flash prefill forward over the prompt
+    (writing the cache), then incremental ``decode_step`` generation.
+    Produces exactly the same tokens as ``greedy_decode``."""
     B, S0 = prompt.shape
     D = params["embed"].shape[1]
     total = S0 + max_new_tokens
@@ -197,18 +242,17 @@ def greedy_decode_cached(params: Dict, prompt: jax.Array, *, n_heads: int,
     tokens = jnp.zeros((B, total), jnp.int32)
     tokens = tokens.at[:, :S0].set(prompt)
 
+    logits, cache = prefill(params, prompt, cache, n_heads=n_heads)
+    tokens = tokens.at[:, S0].set(jnp.argmax(logits, -1).astype(jnp.int32))
+
     def step(i, carry):
         tokens, cache = carry
         tok = jax.lax.dynamic_index_in_dim(tokens, i, axis=1, keepdims=False)
         logits, cache = decode_step(params, cache, tok, i, n_heads=n_heads)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        # prefill steps (i+1 < S0) keep the prompt token at i+1
-        cur = jax.lax.dynamic_index_in_dim(tokens, i + 1, axis=1,
-                                           keepdims=False)
-        write = jnp.where(i + 1 < S0, cur, nxt)
-        tokens = jax.lax.dynamic_update_index_in_dim(tokens, write, i + 1,
-                                                     axis=1)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, nxt, i + 1, axis=1)
         return tokens, cache
 
-    tokens, _ = jax.lax.fori_loop(0, total - 1, step, (tokens, cache))
+    tokens, _ = jax.lax.fori_loop(S0, total - 1, step, (tokens, cache))
     return tokens

@@ -169,3 +169,29 @@ class TestCachedDecode:
         cached = np.asarray(greedy_decode_cached(params, prompt, n_heads=2,
                                                  max_new_tokens=4))
         np.testing.assert_array_equal(cached, full)
+
+    def test_prefill_cache_matches_stepwise(self, rng):
+        # the flash prefill must leave the cache exactly as S0 sequential
+        # decode_steps would (same K/V per layer and position)
+        from laser_tpu.models.transformer import (decode_step,
+                                                  init_decode_cache,
+                                                  init_transformer, prefill)
+
+        key = jax.random.PRNGKey(3)
+        params = init_transformer(key, n_layers=2, d_model=128, n_heads=2,
+                                  d_ff=96, vocab=13)
+        prompt = jnp.asarray(rng.randint(0, 13, (2, 6)))
+        B, S0 = prompt.shape
+        cache0 = init_decode_cache(2, B, 2, 64, 8)
+
+        logits_p, cache_p = prefill(params, prompt, cache0, n_heads=2)
+
+        cache_s = cache0
+        for i in range(S0):
+            logits_s, cache_s = decode_step(params, cache_s, prompt[:, i],
+                                            jnp.int32(i), n_heads=2)
+        np.testing.assert_allclose(np.asarray(cache_p[:, :, :, :S0]),
+                                   np.asarray(cache_s[:, :, :, :S0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_s), rtol=1e-3, atol=1e-4)
