@@ -56,7 +56,12 @@ def attention_reference(q, k, v, *, causal: bool = False,
 @build_cache
 def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                  causal: bool, scale: float, dtype: str, interpret: bool,
-                 return_stats: bool = False):
+                 return_stats: bool = False, use_offsets: bool = False):
+    """``use_offsets``: the kernel takes two SMEM scalars (q_off, k_off) —
+    global sequence positions of the local q/k chunks — and evaluates the
+    causal mask in GLOBAL coordinates. One kernel then covers every ring
+    step: a past chunk is fully visible, the diagonal chunk is triangular,
+    and a future chunk's blocks are all skipped (near-zero cost)."""
     nq = SP // bq
     nk = SP // bk
     dt = jnp.dtype(dtype)
@@ -64,7 +69,13 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     # TPU default silently runs 1-pass bf16, ~1e-3 error); bf16 runs native.
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
-    def kernel(q_ref, k_ref, v_ref, *outs_and_scratch):
+    def kernel(*refs):
+        if use_offsets:
+            qoff_ref, koff_ref, q_ref, k_ref, v_ref, *outs_and_scratch = refs
+            q_off, k_off = qoff_ref[0], koff_ref[0]
+        else:
+            q_ref, k_ref, v_ref, *outs_and_scratch = refs
+            q_off = k_off = 0
         if return_stats:
             o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs_and_scratch
         else:
@@ -78,7 +89,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        # Causal: blocks entirely above the diagonal contribute nothing.
+        # Causal: blocks entirely above the (global) diagonal are skipped.
         q_start = iq * bq
         k_start = ik * bk
 
@@ -90,10 +101,10 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                                     precision=prec)
             s = s * scale
             kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            valid = kpos < S  # sequence-padding mask
+            valid = kpos < S  # sequence-padding mask (local coordinates)
             if causal:
                 qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-                valid = valid & (kpos <= qpos)
+                valid = valid & (kpos + k_off <= qpos + q_off)
             s = jnp.where(valid, s, _NEG_INF)
 
             m_prev = m_ref[:]                      # (bq, 128) lane-uniform
@@ -113,8 +124,8 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             m_ref[:] = m_new
 
         if causal:
-            # blocks strictly above the diagonal are skipped entirely
-            pl.when(k_start <= q_start + bq - 1)(_step)
+            # blocks strictly above the (global) diagonal are skipped entirely
+            pl.when(k_start + k_off <= q_start + q_off + bq - 1)(_step)
         else:
             _step()
 
@@ -129,10 +140,12 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
     grid = (BH, nq, nk)
     stat_lanes = max(D, 128)
-    return pl.pallas_call(
+    offset_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                    if use_offsets else [])
+    call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=offset_specs + [
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
@@ -159,6 +172,14 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             bytes_accessed=4 * BH * SP * D * dt.itemsize),
         interpret=interpret,
     )
+    if not use_offsets:
+        return call
+
+    def with_offsets(q3, k3, v3, q_off, k_off):
+        return call(jnp.asarray(q_off, jnp.int32).reshape(1),
+                    jnp.asarray(k_off, jnp.int32).reshape(1), q3, k3, v3)
+
+    return with_offsets
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -202,6 +223,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 def attention_with_stats(q, k, v, *, causal: bool = False,
                          scale: Optional[float] = None,
                          k_valid: Optional[int] = None,
+                         q_offset=None, k_offset=None,
                          block_q: int = 1024, block_k: int = 1024,
                          interpret: Optional[bool] = None):
     """Flash attention that also returns the softmax residuals.
@@ -212,6 +234,10 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     the building block for ring/sequence-parallel attention.
 
     ``k_valid`` masks keys beyond that count (defaults to k's length).
+    ``q_offset``/``k_offset`` (traced int32 scalars) place the q/k chunks at
+    global sequence positions for the causal mask — the single-kernel ring
+    step: past chunks come out fully visible, the diagonal triangular, and
+    future chunks all-skipped.
     """
     q, k, v = map(jnp.asarray, (q, k, v))
     *lead, S, D = q.shape
@@ -236,9 +262,16 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
         k3 = jnp.pad(k3, ((0, 0), (0, SP - Sk), (0, DP - D)))
         v3 = jnp.pad(v3, ((0, 0), (0, SP - Sk), (0, DP - D)))
     kv = k_valid if k_valid is not None else Sk
+    use_off = q_offset is not None or k_offset is not None
     call = _build_flash(BH, int(kv), SP, DP, bq, bk, causal, float(scale),
-                        jnp.dtype(q.dtype).name, interp, return_stats=True)
-    out, m, l = call(q3, k3, v3)
+                        jnp.dtype(q.dtype).name, interp, return_stats=True,
+                        use_offsets=use_off)
+    if use_off:
+        out, m, l = call(q3, k3, v3,
+                         q_offset if q_offset is not None else 0,
+                         k_offset if k_offset is not None else 0)
+    else:
+        out, m, l = call(q3, k3, v3)
     out = out[:, :S, :D].reshape(*lead, S, D)
     m = m[:, :S, 0].reshape(*lead, S)
     l = l[:, :S, 0].reshape(*lead, S)

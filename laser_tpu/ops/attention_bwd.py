@@ -30,8 +30,10 @@ _NEG_INF = -1e30
 
 
 def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
-                causal, bq, bk, prec):
-    """Recompute (p, ds) for one (i, j) block pair. All operands f32."""
+                causal, bq, bk, prec, q_off=0, k_off=0):
+    """Recompute (p, ds) for one (i, j) block pair. All operands f32.
+    q_off/k_off are global chunk offsets for the ring (sequence-parallel)
+    backward: the causal mask is evaluated in global coordinates."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
@@ -39,7 +41,7 @@ def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
     valid = kpos < S
     if causal:
         qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        valid = valid & (kpos <= qpos)
+        valid = valid & (kpos + k_off <= qpos + q_off)
     s = jnp.where(valid, s, _NEG_INF)
     lsafe = jnp.where(l > 0, l, 1.0)
     p = jnp.exp(s - m) / lsafe
@@ -56,13 +58,21 @@ def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
 
 @build_cache
 def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
-                  causal: bool, scale: float, dtype: str, interpret: bool):
+                  causal: bool, scale: float, dtype: str, interpret: bool,
+                  use_offsets: bool = False):
     dt = jnp.dtype(dtype)
     nk = SP // bk
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
-    def kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dq_ref,
-               acc_ref):
+    def kernel(*refs):
+        if use_offsets:
+            (qoff_ref, koff_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
+             d_ref, dq_ref, acc_ref) = refs
+            q_off, k_off = qoff_ref[0], koff_ref[0]
+        else:
+            (q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dq_ref,
+             acc_ref) = refs
+            q_off = k_off = 0
         i = pl.program_id(1)
         j = pl.program_id(2)
 
@@ -79,13 +89,14 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 v_ref[0].astype(jnp.float32), do_ref[0].astype(jnp.float32),
                 m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
                 scale=scale, S=S, q_start=q_start, k_start=k_start,
-                causal=causal, bq=bq, bk=bk, prec=prec)
+                causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
+                k_off=k_off)
             acc_ref[:] += jax.lax.dot_general(
                 ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
 
         if causal:
-            pl.when(k_start <= q_start + bq - 1)(_step)
+            pl.when(k_start + k_off <= q_start + q_off + bq - 1)(_step)
         else:
             _step()
 
@@ -95,10 +106,12 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
     stat = pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0),
                         memory_space=pltpu.VMEM)
+    offset_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                    if use_offsets else [])
     return pl.pallas_call(
         kernel,
         grid=(BH, SP // bq, nk),
-        in_specs=[
+        in_specs=offset_specs + [
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
@@ -121,13 +134,21 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
 @build_cache
 def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
-                   causal: bool, scale: float, dtype: str, interpret: bool):
+                   causal: bool, scale: float, dtype: str, interpret: bool,
+                   use_offsets: bool = False):
     dt = jnp.dtype(dtype)
     nq = SP // bq
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
-    def kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref,
-               dk_ref, dv_ref, acck_ref, accv_ref):
+    def kernel(*refs):
+        if use_offsets:
+            (qoff_ref, koff_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
+             d_ref, dk_ref, dv_ref, acck_ref, accv_ref) = refs
+            q_off, k_off = qoff_ref[0], koff_ref[0]
+        else:
+            (q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, d_ref, dk_ref,
+             dv_ref, acck_ref, accv_ref) = refs
+            q_off = k_off = 0
         j = pl.program_id(1)  # key block (parallel)
         i = pl.program_id(2)  # query block (streamed)
 
@@ -147,7 +168,8 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 v_ref[0].astype(jnp.float32), do,
                 m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
                 scale=scale, S=S, q_start=q_start, k_start=k_start,
-                causal=causal, bq=bq, bk=bk, prec=prec)
+                causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
+                k_off=k_off)
             accv_ref[:] += jax.lax.dot_general(
                 p, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
@@ -156,7 +178,7 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 preferred_element_type=jnp.float32, precision=prec)
 
         if causal:
-            pl.when(q_start + bq - 1 >= k_start)(_step)
+            pl.when(q_start + q_off + bq - 1 >= k_start + k_off)(_step)
         else:
             _step()
 
@@ -167,10 +189,12 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
     stat = pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
+    offset_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                    if use_offsets else [])
     return pl.pallas_call(
         kernel,
         grid=(BH, SP // bk, nq),
-        in_specs=[
+        in_specs=offset_specs + [
             pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
@@ -198,13 +222,32 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
 def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
                         D: int, bq: int, bk: int, causal: bool, scale: float,
-                        interpret: bool):
+                        interpret: bool, q_off=None, k_off=None, dvec=None):
     """All inputs padded to (BH, SP, D) / stats (BH, SP, 128).
-    Returns (dq, dk, dv) padded — caller slices to S."""
+    Returns (dq, dk, dv) padded — caller slices to S.
+
+    q_off/k_off (traced int32 scalars) place the chunks at global sequence
+    positions for the ring backward; ``dvec`` overrides the locally-computed
+    rowsum(dO*O) when the caller holds the GLOBAL softmax statistics."""
     BH = q3.shape[0]
     dt = jnp.dtype(q3.dtype).name
-    dvec = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    if dvec is None:
+        dvec = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32),
+                       axis=-1)
     d3 = jnp.broadcast_to(dvec[..., None], (BH, SP, 128)).astype(jnp.float32)
+    use_off = q_off is not None or k_off is not None
+    if use_off:
+        qo = jnp.asarray(q_off if q_off is not None else 0,
+                         jnp.int32).reshape(1)
+        ko = jnp.asarray(k_off if k_off is not None else 0,
+                         jnp.int32).reshape(1)
+        dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt,
+                           interpret, use_offsets=True)(
+            qo, ko, q3, k3, v3, g3, m3, l3, d3)
+        dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
+                                interpret, use_offsets=True)(
+            qo, ko, q3, k3, v3, g3, m3, l3, d3)
+        return dq, dk, dv
     dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt, interpret)(
         q3, k3, v3, g3, m3, l3, d3)
     dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,

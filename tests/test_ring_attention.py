@@ -48,6 +48,45 @@ class TestRing:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_vs_reference(self, rng, mesh_sp4, causal):
+        # sequence-parallel TRAINING: jax.grad through the ring (fused flash
+        # backward per chunk, grads rotated home) vs the single-device oracle
+        q, k, v = make_qkv(rng, (2, 256, 128))
+
+        def ring_loss(q, k, v):
+            o = ring_attention(q, k, v, mesh_sp4, causal=causal,
+                               block_q=64, block_k=128)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def ref_loss(q, k, v):
+            o = attention_reference(q, k, v, causal=causal)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        got = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_single_pass_causal_stats(self, rng):
+        # global-offset causal kernel: a past chunk must equal the full
+        # (non-causal) result and a future chunk must contribute nothing
+        q, k, v = make_qkv(rng, (1, 128, 128))
+        o_full, m_full, l_full = attention_with_stats(q, k, v, causal=False)
+        # q chunk at global rows [128, 256), k chunk at [0, 128): all past
+        o_p, m_p, l_p = attention_with_stats(q, k, v, causal=True,
+                                             q_offset=jnp.int32(128),
+                                             k_offset=jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_full),
+                                   rtol=2e-5, atol=2e-5)
+        # q chunk at [0, 128), k chunk at [128, 256): all future -> l == 0
+        o_f, m_f, l_f = attention_with_stats(q, k, v, causal=True,
+                                             q_offset=jnp.int32(0),
+                                             k_offset=jnp.int32(128))
+        assert float(jnp.abs(o_f).max()) == 0.0
+        assert float(jnp.abs(l_f).max()) == 0.0
+
     def test_indivisible_raises(self, rng, mesh_sp4):
         q, k, v = make_qkv(rng, (1, 130, 128))
         with pytest.raises(ValueError):
