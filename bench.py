@@ -175,17 +175,26 @@ def bench_memory_bound():
           chain_rate(lambda v: lt.sigmoid(v, algorithm="fast", donate=True), x),
           chain_rate(jax.jit(jax.nn.sigmoid), x), nbytes)
 
-    # fused 3-tensor o = x + y - sin z (iter_bench workload): 4 arrays moved
+    # fused 3-tensor o = x + y - sin z (iter_bench workload): 4 arrays moved.
+    # The XLA comparator re-reads all operands through an in-body
+    # optimization_barrier: without it XLA hoists the loop-invariant y/sin(z)
+    # out of the timing loop and reports a physically impossible 842 GB/s
+    # for 4-stream traffic (the round-1 0.69x "loss" was that artifact;
+    # fair measurement is 1.00x).
     n = 16 * 1024 * 1024
     x = jnp.asarray(rng.randn(n).reshape(4096, 4096), jnp.float32)
     y = jnp.asarray(rng.randn(4096, 4096), jnp.float32)
     z = jnp.asarray(rng.randn(4096, 4096), jnp.float32)
     nbytes = 4 * 4 * n
+
+    def xla_fair(v, b, c):
+        v2, b2, c2 = jax.lax.optimization_barrier((v, b, c))
+        return v2 + b2 - jnp.sin(c2)
     entry("foreach_fused_16M",
           chain_rate(lambda v, b, c: lt.for_each(
               lambda p, q, r: p + q - jnp.sin(r), v, b, c, donate=True),
               x, y, z),
-          chain_rate(jax.jit(lambda v, b, c: v + b - jnp.sin(c)), x, y, z),
+          chain_rate(jax.jit(xla_fair), x, y, z),
           nbytes)
 
     # in-kernel strided iteration: every-2nd-row of a 256MB base, fused

@@ -147,13 +147,16 @@ lux_sigmoid = _unop("sigmoid")
 lux_abs = _unop("abs")
 
 
-def lux_sum(x: LuxNode) -> LuxNode:
-    """Full reduction (fused with its elementwise operand)."""
-    return LuxNode("reduce", "sum", (x,))
+def lux_sum(x: LuxNode, axis: Optional[int] = None) -> LuxNode:
+    """Reduction, fused with its elementwise operand. ``axis=None`` reduces
+    to a scalar (map_reduce kernel); ``axis=-1`` reduces rows in ONE fused
+    row_reduce kernel (pass_build_loops' per-axis iteration domains,
+    pass_build_loops.nim:28-186 analog)."""
+    return LuxNode("reduce", "sum", (x,), axis=axis)
 
 
-def lux_max(x: LuxNode) -> LuxNode:
-    return LuxNode("reduce", "max", (x,))
+def lux_max(x: LuxNode, axis: Optional[int] = None) -> LuxNode:
+    return LuxNode("reduce", "max", (x,), axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +209,18 @@ def _match_gemm_epilogue(node: LuxNode):
     return lhs, rhs, bias, act
 
 
+def _broadcast_operands(ops):
+    """Broadcast mixed-shape operands to a common shape (numpy rules) so the
+    fused kernel sees same-shaped blocks. Rank-1-vs-2D bias broadcasts pay
+    one materialization; same-shaped operands pass through untouched."""
+    shapes = {tuple(o.shape) for o in ops}
+    if len(shapes) == 1:
+        return ops
+    target = jnp.broadcast_shapes(*[o.shape for o in ops])
+    return [o if tuple(o.shape) == tuple(target)
+            else jnp.broadcast_to(o, target) for o in ops]
+
+
 def _lower(node: LuxNode) -> Callable:
     """Return run(arrays: dict idx->array) -> jax array."""
     from ..ops.foreach import for_each, map_reduce
@@ -215,31 +230,47 @@ def _lower(node: LuxNode) -> Callable:
         idxs = node.leaves()
 
         def run(arrays):
+            ops = _broadcast_operands([jnp.asarray(arrays[i]) for i in idxs])
             fn = lambda *blocks: _eval_elementwise(
                 node, dict(zip(idxs, blocks)))
-            return for_each(fn, *[arrays[i] for i in idxs])
+            return for_each(fn, *ops)
 
         return run
 
     if node.kind == "reduce":
         operand = node.args[0]
+        red = {"sum": jnp.sum, "max": jnp.max}[node.op]
+        ident = {"sum": 0.0, "max": -jnp.inf}[node.op]
         if not operand.is_elementwise_tree():
             inner = _lower(operand)
-            red = {"sum": jnp.sum, "max": jnp.max}[node.op]
 
             def run(arrays):
-                return red(inner(arrays))
+                v = inner(arrays)
+                return red(v, axis=node.axis) if node.axis is not None \
+                    else red(v)
 
             return run
         idxs = operand.leaves()
-        red = {"sum": jnp.sum, "max": jnp.max}[node.op]
-        ident = {"sum": 0.0, "max": -jnp.inf}[node.op]
 
         def run(arrays):
+            ops = [jnp.asarray(arrays[i]) for i in idxs]
+            ops = _broadcast_operands(ops)
             fn = lambda *blocks: _eval_elementwise(
                 operand, dict(zip(idxs, blocks)))
-            return map_reduce(fn, *[arrays[i] for i in idxs],
-                              reduce_fn=red, identity=ident)
+            if node.axis is None:
+                return map_reduce(fn, *ops, reduce_fn=red, identity=ident)
+            ax = node.axis if node.axis >= 0 else ops[0].ndim + node.axis
+            if ax == ops[0].ndim - 1 and ops[0].ndim == 2:
+                from ..ops.foreach import row_reduce
+
+                out = row_reduce(fn, *ops, reduce_fn=red, identity=ident)
+                if out is not None:
+                    return out
+            # other axes / VMEM-overflow rows: fused elementwise kernel
+            # then an XLA reduction
+            from ..ops.foreach import for_each
+
+            return red(for_each(fn, *ops), axis=node.axis)
 
         return run
 
@@ -301,6 +332,45 @@ def generate(f: Callable) -> Callable:
 
     nparams = len(inspect.signature(f).parameters)
     graph = f(*[LuxNode("input", value=i) for i in range(nparams)])
+
+    if isinstance(graph, tuple):
+        # Multi-output: when every output is an elementwise tree, fuse them
+        # all into ONE kernel pass over the shared operands (the reference's
+        # forEach writes several tensors in one loop body).
+        if not all(isinstance(g, LuxNode) for g in graph):
+            raise TypeError("lux function must return LuxNode expression(s)")
+        if all(g.is_elementwise_tree() for g in graph):
+            all_idxs: List[int] = []
+            for g in graph:
+                g.leaves(all_idxs)
+
+            def run_multi(arrays):
+                from ..ops.foreach import for_each_multi
+
+                ops = _broadcast_operands(
+                    [jnp.asarray(arrays[i]) for i in all_idxs])
+                env_of = dict(zip(all_idxs, range(len(all_idxs))))
+
+                def fn(*blocks):
+                    env = {i: blocks[env_of[i]] for i in all_idxs}
+                    return tuple(_eval_elementwise(g, env) for g in graph)
+
+                return for_each_multi(fn, *ops)
+        else:
+            runs = [_lower(g) for g in graph]
+
+            def run_multi(arrays):
+                return tuple(r(arrays) for r in runs)
+
+        @functools.wraps(f)
+        def compiled_multi(*arrays):
+            if len(arrays) != nparams:
+                raise TypeError(f"{f.__name__} expects {nparams} arrays")
+            return run_multi(dict(enumerate(arrays)))
+
+        compiled_multi.lux_graph = graph
+        return compiled_multi
+
     if not isinstance(graph, LuxNode):
         raise TypeError("lux function must return a LuxNode expression")
     run = _lower(graph)

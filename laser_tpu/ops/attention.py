@@ -112,10 +112,13 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
             corr = jnp.exp(m_prev - m_new)          # (bq, 128)
             p = jnp.exp(s - m_new[:, :1])           # (bq, bk)
-            # Rows whose every key so far is masked have m_new == sentinel,
-            # making exp(s - m_new) == 1 on masked entries; zero them so l
-            # stays 0 and the epilogue's l==0 guard yields a zero output.
-            p = jnp.where(valid, p, 0.0)
+            # No explicit p-mask is needed: key block 0 is always processed
+            # first and holds >= 1 valid key for every real query row
+            # (k_valid >= 1 is enforced; causal rows always see key 0; a ring
+            # diagonal chunk's rows see key k_off <= their global position;
+            # fully-future ring chunks skip every block, leaving l == 0 for
+            # the epilogue guard). So masked entries always have a REAL
+            # m_new and exp(-1e30 - m_new) == 0 exactly.
             l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(

@@ -168,6 +168,111 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
     return out.reshape(-1)[:size].reshape(shape)
 
 
+def for_each_multi(fn: Callable, *operands, out_dtypes=None,
+                   interpret: Optional[bool] = None, pad_value=0):
+    """Like ``for_each`` but ``fn`` returns a TUPLE of block arrays — one
+    fused kernel produces every output in a single pass over the operands
+    (the multi-output fusion the reference's forEach body allows by writing
+    to several tensors in one loop)."""
+    views = [as_view(op) for op in operands]
+    interp = should_interpret() if interpret is None else interpret
+    mats, shape, size, rows, width = _prepare_flat(views, pad_value)
+    probe = jax.eval_shape(
+        lambda *bs: fn(*bs),
+        *[jax.ShapeDtypeStruct((8, width), m.dtype) for m in mats])
+    if not isinstance(probe, (tuple, list)):
+        raise TypeError("for_each_multi fn must return a tuple of blocks")
+    n_out = len(probe)
+    out_dts = ([jnp.dtype(d) for d in out_dtypes] if out_dtypes
+               else [p.dtype for p in probe])
+
+    br = _block_rows(rows, width, len(mats) + n_out)
+    grid = (cdiv(rows, br),)
+
+    def kernel(*refs):
+        outs = refs[-n_out:]
+        vals = fn(*[r[:] for r in refs[:-n_out]])
+        for o_ref, v, dt in zip(outs, vals, out_dts):
+            o_ref[:] = v.astype(dt)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM) for _ in mats],
+        out_specs=[pl.BlockSpec((br, width), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((rows, width), dt) for dt in out_dts],
+        interpret=interp,
+    )(*mats)
+    res = []
+    for o in outs:
+        if rows * width == size:
+            res.append(o.reshape(shape))
+        else:
+            res.append(o.reshape(-1)[:size].reshape(shape))
+    return tuple(res)
+
+
+def row_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
+               identity=0.0, out_dtype=None,
+               interpret: Optional[bool] = None):
+    """Fused map + last-axis reduction: ONE kernel computes
+    reduce(map_fn(*ops), axis=-1) for 2-D same-shaped operands whose rows
+    fit VMEM (caller falls back to XLA otherwise — see lux lowering)."""
+    views = [as_view(op) for op in operands]
+    shape = views[0].shape
+    for v in views[1:]:
+        if v.shape != shape:
+            raise ValueError("row_reduce operand shape mismatch")
+    if len(shape) != 2:
+        raise ValueError("row_reduce expects 2-D operands")
+    rows, cols = shape
+    interp = should_interpret() if interpret is None else interpret
+    cp = round_step_up(cols, LANES)
+    rp = round_step_up(rows, 8)
+    from ..device_info import vmem_budget_bytes
+
+    itemsize = max(v.dtype.itemsize for v in views)
+    if 8 * cp * itemsize * (len(views) + 2) * 4 > vmem_budget_bytes():
+        return None  # rows overflow VMEM; caller uses the XLA path
+    mats = []
+    for v in views:
+        m = v.materialize()
+        if (rp, cp) != (rows, cols):
+            m = jnp.pad(m, ((0, rp - rows), (0, cp - cols)))
+        mats.append(m)
+    out_dt = jnp.dtype(out_dtype) if out_dtype else jnp.result_type(
+        *[m.dtype for m in mats])
+    br = max(8, min(rp, (2 * 1024 * 1024 // max(cp * itemsize, 1)) // 8 * 8))
+    col_tail = cp != cols
+
+    def kernel(*refs):
+        o_ref = refs[-1]
+        v = map_fn(*[r[:] for r in refs[:-1]])
+        if col_tail:
+            # mask the MAPPED values (map_fn(0) need not be the identity)
+            cpos = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            v = jnp.where(cpos < cols, v, jnp.asarray(identity, v.dtype))
+        o_ref[:] = jnp.broadcast_to(
+            reduce_fn(v, axis=-1, keepdims=True), o_ref.shape).astype(out_dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(rp, br),),
+        in_specs=[pl.BlockSpec((br, cp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM) for _ in mats],
+        out_specs=pl.BlockSpec((br, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, LANES), out_dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interp,
+    )(*mats)
+    return out[:rows, 0]
+
+
 def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
                combine_fn: Optional[Callable] = None, identity=0.0,
                out_dtype=None, acc_dtype=None,

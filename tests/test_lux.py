@@ -4,8 +4,8 @@ elementwise fusion demos; plus the reduction and GEMM-epilogue lowerings)."""
 import numpy as np
 
 from laser_tpu import lux
-from laser_tpu.lux import (generate, lux_exp, lux_sigmoid, lux_sin, lux_sum,
-                           lux_tanh)
+from laser_tpu.lux import (generate, lux_exp, lux_max, lux_sigmoid,
+                           lux_sin, lux_sum, lux_tanh)
 
 
 class TestElementwise:
@@ -95,6 +95,62 @@ class TestGemmPattern:
         want = 1 / (1 + np.exp(-(x.astype(np.float64) @ w + b)))
         np.testing.assert_allclose(np.asarray(layer(x, w, b)), want,
                                    rtol=1e-4, atol=1e-5)
+
+    def test_axis_reduction_fused_rows(self, rng):
+        # lux_sum(expr, axis=-1): one fused map+row-reduce kernel
+        @generate
+        def f(a, b):
+            return lux_sum(a * b, axis=-1)
+
+        a = rng.randn(37, 300).astype(np.float32)
+        b = rng.randn(37, 300).astype(np.float32)
+        want = (a.astype(np.float64) * b).sum(-1)
+        # f32 row accumulation: absolute tolerance for near-zero row sums
+        np.testing.assert_allclose(np.asarray(f(a, b)), want, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_axis_reduction_max_axis0(self, rng):
+        @generate
+        def f(a):
+            return lux_max(a + 1.0, axis=0)
+
+        a = rng.randn(16, 24).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(f(a)), (a + 1).max(0), rtol=1e-6)
+
+    def test_broadcasting_tree(self, rng):
+        # rank-1 row vector broadcast against a matrix inside the fused expr
+        @generate
+        def f(a, b):
+            return a * 2.0 + b
+
+        a = rng.randn(24, 128).astype(np.float32)
+        b = rng.randn(128).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(f(a, b)), a * 2 + b[None, :],
+                                   rtol=1e-6)
+
+    def test_multi_output_single_pass(self, rng):
+        # tuple of elementwise trees -> ONE fused kernel
+        @generate
+        def f(a, b):
+            return a + b, a * b
+
+        a = rng.randn(32, 64).astype(np.float32)
+        b = rng.randn(32, 64).astype(np.float32)
+        s, p = f(a, b)
+        np.testing.assert_allclose(np.asarray(s), a + b, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p), a * b, rtol=1e-6)
+
+    def test_multi_output_mixed(self, rng):
+        # one elementwise output + one reduction: lowered separately
+        @generate
+        def f(a):
+            return a * 3.0, lux_sum(a)
+
+        a = rng.randn(1000).astype(np.float32)
+        e, s = f(a)
+        np.testing.assert_allclose(np.asarray(e), a * 3, rtol=1e-6)
+        np.testing.assert_allclose(float(s), a.astype(np.float64).sum(),
+                                   rtol=1e-5)
 
     def test_matrix_addend_act_order(self, rng):
         # act(A@B + X) with a full-matrix X: the activation must be applied
