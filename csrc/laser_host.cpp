@@ -26,6 +26,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -119,6 +120,49 @@ int laser_fenwick_sample_one(void* h, double u) {
   return static_cast<Fenwick*>(h)->sample(u);
 }
 
+namespace {
+
+// With-replacement inner loop: the tree is read-only, so two levers apply
+// that the reference's single-descent loop leaves on the table:
+//   * INTERLEAVE: run W descents in lockstep per thread — each tree level
+//     issues W independent loads instead of one latency-chained load
+//     (the multi-accumulator trick of reductions_sse3.nim, applied to
+//     pointer chasing).
+//   * THREADS: chunk the output across cores; each chunk's RNG is seeded
+//     from (seed, chunk) so results are deterministic for a given seed
+//     regardless of thread count or timing.
+constexpr int kInterleave = 8;
+
+void sample_chunk(const Fenwick* f, double tot, uint64_t seed, int32_t* out,
+                  int count) {
+  SplitMix64 rng(seed);
+  int s = 0;
+  const int n = f->n;
+  const auto* tree = f->tree.data();
+  for (; s + kInterleave <= count; s += kInterleave) {
+    double u[kInterleave];
+    int pos[kInterleave];
+    for (int w = 0; w < kInterleave; ++w) {
+      u[w] = rng.uniform() * tot;
+      pos[w] = 0;
+    }
+    for (int mask = f->log2n; mask > 0; mask >>= 1) {
+      for (int w = 0; w < kInterleave; ++w) {
+        int next = pos[w] + mask;
+        if (next <= n && tree[next] <= u[w]) {
+          u[w] -= tree[next];
+          pos[w] = next;
+        }
+      }
+    }
+    for (int w = 0; w < kInterleave; ++w)
+      out[s + w] = pos[w] < n ? pos[w] : n - 1;
+  }
+  for (; s < count; ++s) out[s] = f->sample(rng.uniform() * tot);
+}
+
+}  // namespace
+
 // Draw `num` samples. replacement=0 zeroes each drawn weight (sampling
 // without replacement with true weight updates — the case where the F+tree
 // beats CDF rebuild by O(n/log n), reference results: 9.37 M/s vs 0.82 M/s).
@@ -126,20 +170,45 @@ int laser_fenwick_sample_one(void* h, double u) {
 void laser_fenwick_sample(void* h, uint64_t seed, int num, int replacement,
                           int32_t* out) {
   Fenwick* f = static_cast<Fenwick*>(h);
-  SplitMix64 rng(seed);
   if (replacement) {
     double tot = f->total();
-    for (int s = 0; s < num; ++s) out[s] = f->sample(rng.uniform() * tot);
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = static_cast<int>(hw ? (hw > 16 ? 16 : hw) : 1);
+    const int kMinPerThread = 1 << 15;
+    if (nthreads > 1 && num / nthreads < kMinPerThread)
+      nthreads = num / kMinPerThread > 1 ? num / kMinPerThread : 1;
+    if (nthreads <= 1) {
+      sample_chunk(f, tot, seed, out, num);
+      return;
+    }
+    std::vector<std::thread> workers;
+    int base = num / nthreads, rem = num % nthreads;
+    int off = 0;
+    for (int t = 0; t < nthreads; ++t) {
+      int count = base + (t < rem ? 1 : 0);
+      // per-chunk seed: deterministic for a given `seed` independent of
+      // thread scheduling
+      uint64_t cs = seed ^ (0xA5A5A5A5DEADBEEFULL + 0x9E3779B97F4A7C15ULL *
+                            static_cast<uint64_t>(t + 1));
+      workers.emplace_back(sample_chunk, f, tot, cs, out + off, count);
+      off += count;
+    }
+    for (auto& w : workers) w.join();
     return;
   }
+  // Without replacement: inherently sequential (each draw reweights the
+  // tree), but the running total replaces the per-draw O(log n) total().
+  SplitMix64 rng(seed);
   std::vector<std::pair<int, double>> drawn;
   drawn.reserve(num);
+  double tot = f->total();
   for (int s = 0; s < num; ++s) {
-    double tot = f->total();
     int idx = tot > 0 ? f->sample(rng.uniform() * tot) : 0;
     out[s] = idx;
-    drawn.emplace_back(idx, f->get(idx));
+    double w = f->get(idx);
+    drawn.emplace_back(idx, w);
     f->update(idx, 0.0);
+    tot -= w;
   }
   for (auto it = drawn.rbegin(); it != drawn.rend(); ++it)
     f->update(it->first, it->second);

@@ -36,7 +36,7 @@ def _build_and_load() -> ctypes.CDLL:
     if not os.path.exists(so_path):
         tmp = so_path + ".tmp"
         cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-               "-fPIC", src, "-o", tmp]
+               "-fPIC", "-pthread", src, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
