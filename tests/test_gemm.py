@@ -115,6 +115,43 @@ class TestGemmDtypes:
                 % 2**32).astype(np.uint32)
         np.testing.assert_array_equal(got, want)
 
+    def test_int64_f64_paths_with_x64(self):
+        # int64/f64 require jax_enable_x64 (off by default, and a global
+        # flag) — prove the XLA-fallback paths work in a child process.
+        # TPU has no native f64/int64 arithmetic; these are the
+        # exactness-preserving fallbacks (the reference's generic ukernel
+        # analog), documented in PARITY.md.
+        import subprocess
+        import sys
+
+        code = """
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import laser_tpu as lt
+
+rng = np.random.RandomState(0xDEADBEEF)
+a = rng.randint(-2**40, 2**40, (16, 24)).astype(np.int64)
+b = rng.randint(-2**40, 2**40, (24, 8)).astype(np.int64)
+got = np.asarray(lt.gemm(a, b))
+want_obj = a.astype(object) @ b.astype(object)
+want = np.asarray([[int(x) % 2**64 for x in row] for row in want_obj],
+                  dtype=np.uint64).astype(np.int64)
+assert got.dtype == np.int64, got.dtype
+assert np.array_equal(got, want), "int64 wraparound mismatch"
+
+af = rng.randn(32, 16).astype(np.float64)
+bf = rng.randn(16, 20).astype(np.float64)
+gotf = np.asarray(lt.gemm(af, bf))
+assert gotf.dtype == np.float64
+assert np.abs(gotf - af @ bf).max() < 1e-12
+print("OK")
+"""
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=300)
+        assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
     def test_int32_transposed_operands(self, rng):
         M, N, K = 20, 30, 40
         a = rng.randint(-100, 100, (M, K)).astype(np.int32)
