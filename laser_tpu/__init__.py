@@ -43,6 +43,7 @@ from .ops.gemm import (  # noqa: E402
 from .ops.stencil import stencil_solve  # noqa: E402
 from .ops.attention import attention, attention_reference, attention_with_stats  # noqa: E402
 from .ops.norm import layer_norm, rms_norm  # noqa: E402
+from .ops.optim import adamw_init, adamw_step, sgd_momentum_step  # noqa: E402
 from .ops.quant import dequantize_int8, gemm_quantized, quantize_int8  # noqa: E402
 from .ops.vector_math import exp, log, sigmoid, softmax, tanh  # noqa: E402
 from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batched  # noqa: E402

@@ -193,9 +193,19 @@ def copy_from_raw(flat, shape, dtype=None) -> jax.Array:
 
 def deep_copy(x) -> jax.Array:
     """deepCopy analog (reference: initialization.nim:42-75): contiguous
-    result regardless of the source view's strides. On immutable JAX arrays a
-    contiguous source is already safe to share; strided views materialize."""
-    return as_view(x).materialize()
+    result regardless of the source view's strides. Contiguous sources are
+    already safe to share (immutable); regular strided views stream through
+    ONE fused kernel (ops/strided.py — the forEachStrided copy the reference
+    uses for deepCopy, initialization.nim:68); irregular views gather."""
+    v = as_view(x)
+    if not v.is_c_contiguous():
+        from .ops.strided import strided_for_each
+        from .config import should_interpret
+
+        out = strided_for_each(lambda b: b, [v], v.dtype, should_interpret())
+        if out is not None:
+            return out
+    return v.materialize()
 
 
 def set_zero(x) -> jax.Array:
