@@ -53,3 +53,23 @@ def load_checkpoint(path: str, like: Any = None) -> Any:
         return leaves, side
     _, treedef = jax.tree_util.tree_flatten(like)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# -- training-state checkpointing (params + optimizer moments + step) --------
+
+def save_train_state(path: str, params: Any, m: Any, v: Any, step: int,
+                     *, metadata: dict | None = None) -> None:
+    """Checkpoint a full AdamW training state for exact resume: parameters,
+    both moment trees, and the step count (bias correction depends on it)."""
+    save_checkpoint(path, {"params": params, "m": m, "v": v}, step=step,
+                    metadata=metadata)
+
+
+def load_train_state(path: str, params_like: Any):
+    """Restore (params, m, v, step) saved by ``save_train_state``."""
+    like = {"params": params_like, "m": params_like, "v": params_like}
+    state = load_checkpoint(path, like)
+    base = path[:-4] if path.endswith(".npz") else path
+    with open(base + ".json") as f:
+        step = json.load(f)["step"]
+    return state["params"], state["m"], state["v"], step

@@ -256,3 +256,40 @@ def greedy_decode_cached(params: Dict, prompt: jax.Array, *, n_heads: int,
 
     tokens, _ = jax.lax.fori_loop(S0, total - 1, step, (tokens, cache))
     return tokens
+
+
+def sample_decode_cached(params: Dict, prompt: jax.Array, key: jax.Array, *,
+                         n_heads: int, max_new_tokens: int,
+                         temperature: float = 1.0, top_k: int = 0,
+                         top_p: float = 1.0) -> jax.Array:
+    """Stochastic serving: flash prefill + KV-cached sampling decode with
+    temperature / top-k / nucleus filtering (ops/sampling.py:sample_logits).
+    temperature=0 reduces to ``greedy_decode_cached``."""
+    from ..ops.sampling import sample_logits
+
+    B, S0 = prompt.shape
+    D = params["embed"].shape[1]
+    total = S0 + max_new_tokens
+    cache = init_decode_cache(len(params["blocks"]), B, n_heads,
+                              D // n_heads, total, params["embed"].dtype)
+    tokens = jnp.zeros((B, total), jnp.int32)
+    tokens = tokens.at[:, :S0].set(prompt)
+
+    logits, cache = prefill(params, prompt, cache, n_heads=n_heads)
+    tokens = tokens.at[:, S0].set(sample_logits(
+        jax.random.fold_in(key, S0), logits, temperature=temperature,
+        top_k=top_k, top_p=top_p))
+
+    def step(i, carry):
+        tokens, cache = carry
+        tok = jax.lax.dynamic_index_in_dim(tokens, i, axis=1, keepdims=False)
+        logits, cache = decode_step(params, cache, tok, i, n_heads=n_heads)
+        nxt = sample_logits(jax.random.fold_in(key, i + 1), logits,
+                            temperature=temperature, top_k=top_k,
+                            top_p=top_p)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, nxt, i + 1, axis=1)
+        return tokens, cache
+
+    tokens, _ = jax.lax.fori_loop(S0, total - 1, step, (tokens, cache))
+    return tokens

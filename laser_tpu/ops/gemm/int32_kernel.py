@@ -164,16 +164,33 @@ def gemm_int32(a: jax.Array, b: jax.Array, *, alpha: int = 1, beta: int = 0,
         b = jax.lax.bitcast_convert_type(b, jnp.int32)
         if c is not None:
             c = jax.lax.bitcast_convert_type(c, jnp.int32)
+    # Mosaic's int8 tiling is (32, 128); zero-pad up front (zero limbs are
+    # zero digits — products contribute nothing mod 2^32, so padding is
+    # exact). Large matrices are already aligned and pay nothing.
+    Mp = _pad_to(M, 32)
+    Kp = _pad_to(K, 128)
+    Np = _pad_to(N, 128)
+    if (Mp, Kp, Np) != (M, K, N):
+        a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
+        b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
+        if c is not None:
+            c = jnp.pad(c, ((0, Mp - M), (0, Np - N)))
     from .tiling import plan_tiles
 
-    t = tiles or plan_tiles(M, N, K, jnp.int32, jnp.int32,
+    t = tiles or plan_tiles(Mp, Np, Kp, jnp.int32, jnp.int32,
                             has_c_input=c is not None)
-    fn = build_gemm_int32(M, N, K, t.bm, t.bn, t.bk, c is not None,
+    fn = build_gemm_int32(Mp, Np, Kp, t.bm, t.bn, t.bk, c is not None,
                           interpret, t.vmem_limit_bytes)
     out = fn(alpha, beta, int32_limbs(a), int32_limbs(b), c)
+    if (Mp, Np) != (M, N):
+        out = out[:M, :N]
     if was_uint:
         out = jax.lax.bitcast_convert_type(out, jnp.uint32)
     return out
+
+
+def _pad_to(x: int, step: int) -> int:
+    return ((x + step - 1) // step) * step
 
 
 def _align(x: int, align: int = 128) -> int:

@@ -51,3 +51,39 @@ def sample_multinomial_batch(key: jax.Array, weights: jax.Array,
     keys = jax.random.split(key, weights.shape[0])
     return jax.vmap(lambda k, w: sample_multinomial(
         k, w, num_samples, replacement=replacement))(keys, weights)
+
+
+def sample_logits(key: jax.Array, logits: jax.Array, *,
+                  temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+    """Serving-grade token sampling from (B, vocab) logits.
+
+    Order of operations (the standard serving stack): temperature scale →
+    top-k filter → nucleus (top-p) filter → Gumbel-max draw. temperature=0
+    is greedy argmax. All static shapes, fully jittable (the filters mask
+    rather than gather, so no data-dependent shapes). Returns (B,) int32.
+    """
+    logits = jnp.asarray(logits)
+    if logits.ndim != 2:
+        raise ValueError("sample_logits expects (B, vocab) logits")
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    x = logits.astype(jnp.float32) / jnp.float32(temperature)
+
+    if top_k and top_k < x.shape[-1]:
+        # mask everything below the k-th largest logit
+        kth = jax.lax.top_k(x, top_k)[0][:, -1:]
+        x = jnp.where(x >= kth, x, -jnp.inf)
+
+    if top_p < 1.0:
+        # nucleus: keep the smallest prefix of the sorted distribution with
+        # cumulative probability >= top_p (the first token always survives)
+        sx = jnp.sort(x, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sx, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        keep = csum - probs < top_p  # strictly-before mass below the cut
+        cutoff = jnp.min(jnp.where(keep, sx, jnp.inf), axis=-1, keepdims=True)
+        x = jnp.where(x >= cutoff, x, -jnp.inf)
+
+    g = jax.random.gumbel(key, x.shape, jnp.float32)
+    return jnp.argmax(x + g, axis=-1).astype(jnp.int32)

@@ -72,3 +72,25 @@ class TestCheckpoint:
         with tempfile.TemporaryDirectory() as d:
             with pytest.raises(ValueError, match="packed"):
                 save_checkpoint(os.path.join(d, "bad"), {"w": packed})
+
+
+class TestTrainState:
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        import laser_tpu as lt
+        from laser_tpu.models.checkpoint import (load_train_state,
+                                                 save_train_state)
+
+        params = {"w": jnp.asarray(rng.randn(8, 16), jnp.float32),
+                  "b": jnp.asarray(rng.randn(16), jnp.float32)}
+        m, v = lt.adamw_init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        params, m, v = lt.adamw_step(params, g, m, v, 1, lr=1e-2)
+        p = str(tmp_path / "state")
+        save_train_state(p, params, m, v, step=1)
+        p2, m2, v2, step = load_train_state(p, params)
+        assert step == 1
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(p2[k]),
+                                          np.asarray(params[k]))
+            np.testing.assert_array_equal(np.asarray(m2[k]),
+                                          np.asarray(m[k]))
