@@ -56,7 +56,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
 @build_cache
 def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                  causal: bool, scale: float, dtype: str, interpret: bool,
-                 return_stats: bool = False, use_offsets: bool = False):
+                 return_stats: bool = False, use_offsets: bool = False,
+                 kv_heads: Optional[tuple] = None):
     """``use_offsets``: the kernel takes two SMEM scalars (q_off, k_off) —
     global sequence positions of the local q/k chunks — and evaluates the
     causal mask in GLOBAL coordinates. One kernel then covers every ring
@@ -145,16 +146,26 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     stat_lanes = max(D, 128)
     offset_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                     if use_offsets else [])
+    if kv_heads is not None:
+        # GQA: the flat grid dim b enumerates B*Hq query heads; the K/V
+        # arrays hold only B*Hkv heads — translate b to its kv head
+        # (group = Hq // Hkv consecutive q heads share one kv head).
+        Hq, Hkv = kv_heads
+        group = Hq // Hkv
+
+        def kv_map(b, i, j):
+            return ((b // Hq) * Hkv + (b % Hq) // group, j, 0)
+    else:
+        def kv_map(b, i, j):
+            return (b, j, 0)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=offset_specs + [
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
                                 memory_space=pltpu.VMEM)] + (
@@ -342,6 +353,94 @@ def _att_bwd(causal, scale, block_q, block_k, res, g):
 
 
 _attention_ad.defvjp(_att_fwd, _att_bwd)
+
+
+def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                  causal: bool = False, scale: Optional[float] = None,
+                  block_q: int = 1024, block_k: int = 1024,
+                  interpret: Optional[bool] = None) -> jax.Array:
+    """Grouped-query attention: q (B, Hq, S, D), k/v (B, Hkv, S, D) with
+    Hq a multiple of Hkv (MQA is Hkv=1). The kernel reads each K/V head
+    once from HBM — the grid's head dimension maps consecutive q-head
+    groups onto their shared kv head — so KV memory traffic is Hkv/Hq of
+    the repeated-KV formulation (the whole point of GQA serving)."""
+    q, k, v = map(jnp.asarray, (q, k, v))
+    if q.ndim != 4 or k.ndim != 4:
+        raise ValueError("attention_gqa expects (B, H, S, D) tensors")
+    B, Hq, S, D = q.shape
+    _, Hkv, Sk, Dk = k.shape
+    if Sk != S or Dk != D or k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} {v.shape} vs "
+                         f"q {q.shape}")
+    if Hq % Hkv:
+        raise ValueError(f"Hq={Hq} not a multiple of Hkv={Hkv}")
+    if Hq == Hkv:
+        return attention(q, k, v, causal=causal, scale=scale,
+                         block_q=block_q, block_k=block_k,
+                         interpret=interpret)
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    interp = should_interpret() if interpret is None else interpret
+    DP = round_step_up(D, 128)
+    bq = min(block_q, round_step_up(S, 8))
+    bk = min(block_k, round_step_up(S, 128))
+    SP = round_step_up(S, max(bq, bk))
+    q3 = q.reshape(B * Hq, S, D)
+    k3 = k.reshape(B * Hkv, S, D)
+    v3 = v.reshape(B * Hkv, S, D)
+    if SP != S or DP != D:
+        pad = ((0, 0), (0, SP - S), (0, DP - D))
+        q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
+    call = _build_flash(B * Hq, S, SP, DP, bq, bk, causal, float(scale),
+                        jnp.dtype(q.dtype).name, interp,
+                        kv_heads=(Hq, Hkv))
+    out = call(q3, k3, v3)[0]
+    return out[:, :S, :D].reshape(B, Hq, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gqa_ad(q, k, v, causal, scale, block_q, block_k):
+    return attention_gqa(q, k, v, causal=causal, scale=scale,
+                         block_q=block_q, block_k=block_k)
+
+
+def _gqa_fwd(q, k, v, causal, scale, block_q, block_k):
+    out = attention_gqa(q, k, v, causal=causal, scale=scale,
+                        block_q=block_q, block_k=block_k)
+    return out, (q, k, v)
+
+
+def _gqa_bwd(causal, scale, block_q, block_k, res, g):
+    # Backward via KV expansion: repeat K/V across the group, run the fused
+    # MHA flash backward, then SUM dk/dv over each group (the exact VJP of
+    # the broadcast). Pays group-x KV memory only in the backward.
+    q, k, v = res
+    B, Hq, S, D = q.shape
+    Hkv = k.shape[1]
+    grp = Hq // Hkv
+    ke = jnp.repeat(k, grp, axis=1)
+    ve = jnp.repeat(v, grp, axis=1)
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: _attention_ad(qq, kk, vv, causal, scale,
+                                         block_q, block_k), q, ke, ve)
+    dq, dke, dve = vjp(g)
+    dk = dke.reshape(B, Hkv, grp, S, D).sum(2)
+    dv = dve.reshape(B, Hkv, grp, S, D).sum(2)
+    return dq, dk, dv
+
+
+_gqa_ad.defvjp(_gqa_fwd, _gqa_bwd)
+
+
+def attention_gqa_trainable(q, k, v, *, causal: bool = False,
+                            scale: Optional[float] = None,
+                            block_q: int = 1024,
+                            block_k: int = 1024) -> jax.Array:
+    """Differentiable GQA: native grouped flash forward; backward expands
+    K/V across the group and group-sums dk/dv."""
+    *_, D = q.shape
+    return _gqa_ad(q, k, v, causal,
+                   scale if scale is not None else 1.0 / math.sqrt(D),
+                   block_q, block_k)
 
 
 def attention_trainable(q, k, v, *, causal: bool = False,

@@ -150,3 +150,53 @@ class TestTrainable:
                                 block_k=128)))(q, k, v)
         for t in g:
             assert bool(jnp.isfinite(t).all())
+
+
+class TestGQA:
+    def gqa_reference(self, q, k, v, causal):
+        B, Hq, S, D = q.shape
+        Hkv = k.shape[1]
+        ke = jnp.repeat(k, Hq // Hkv, axis=1)
+        ve = jnp.repeat(v, Hq // Hkv, axis=1)
+        return attention_reference(q, ke, ve, causal=causal)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("heads", [(8, 2), (4, 1), (4, 4)])
+    def test_vs_expanded_reference(self, rng, heads, causal):
+        from laser_tpu.ops.attention import attention_gqa
+
+        Hq, Hkv = heads
+        q = jnp.asarray(rng.randn(2, Hq, 128, 64).astype(np.float32) * 0.4)
+        k = jnp.asarray(rng.randn(2, Hkv, 128, 64).astype(np.float32) * 0.4)
+        v = jnp.asarray(rng.randn(2, Hkv, 128, 64).astype(np.float32) * 0.4)
+        got = attention_gqa(q, k, v, causal=causal, block_q=64, block_k=128)
+        want = self.gqa_reference(q, k, v, causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_shape_validation(self, rng):
+        from laser_tpu.ops.attention import attention_gqa
+
+        q = jnp.zeros((1, 6, 64, 64), jnp.float32)
+        k = jnp.zeros((1, 4, 64, 64), jnp.float32)
+        with pytest.raises(ValueError):
+            attention_gqa(q, k, k)  # 6 % 4 != 0
+
+    def test_grads_match_expanded(self, rng):
+        from laser_tpu.ops.attention import attention_gqa_trainable
+
+        q = jnp.asarray(rng.randn(1, 4, 128, 64).astype(np.float32) * 0.4)
+        k = jnp.asarray(rng.randn(1, 2, 128, 64).astype(np.float32) * 0.4)
+        v = jnp.asarray(rng.randn(1, 2, 128, 64).astype(np.float32) * 0.4)
+
+        def f(q, k, v):
+            return jnp.sum(attention_gqa_trainable(q, k, v, causal=True) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(self.gqa_reference(q, k, v, True) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for gg, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
