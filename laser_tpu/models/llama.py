@@ -1,0 +1,214 @@
+"""Modern decoder family (LLaMA-class block) built on the laser kernels.
+
+The second transformer family (models/transformer.py is the classic
+pre-LN MHA encoder/decoder): RMSNorm -> RoPE -> grouped-query flash
+attention -> SwiGLU FFN, untied in/out embeddings. Exercises the round-2
+kernel surface end to end: GQA (ops/attention.py:attention_gqa_trainable),
+rotary embeddings (ops/rope.py), fused RMSNorm rows (ops/norm.py), the
+flash prefill + KV-cached decode pattern, and the fused linear VJPs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention_gqa_trainable
+from ..ops.gemm.autodiff import gemm_ad, linear
+from ..ops.norm import rms_norm
+from ..ops.rope import apply_rope, rope_tables
+
+Params = Dict[str, jax.Array]
+
+
+def init_llama(key: jax.Array, *, n_layers: int, d_model: int, n_heads: int,
+               n_kv_heads: int, d_ff: int, vocab: int, max_len: int = 2048,
+               dtype=jnp.float32) -> Dict:
+    if d_model % n_heads or n_heads % n_kv_heads:
+        raise ValueError("d_model % n_heads and n_heads % n_kv_heads must be 0")
+    hd = d_model // n_heads
+    keys = jax.random.split(key, 6 * n_layers + 2)
+    s = jnp.sqrt(1.0 / d_model).astype(dtype)
+    sf = jnp.sqrt(1.0 / d_ff).astype(dtype)
+    blocks = []
+    for i in range(n_layers):
+        k = keys[6 * i: 6 * (i + 1)]
+        blocks.append({
+            "wq": jax.random.normal(k[0], (d_model, n_heads * hd), dtype) * s,
+            "wkv": jax.random.normal(k[1], (d_model, 2 * n_kv_heads * hd),
+                                     dtype) * s,
+            "wo": jax.random.normal(k[2], (n_heads * hd, d_model), dtype) * s,
+            "w_gate": jax.random.normal(k[3], (d_model, d_ff), dtype) * s,
+            "w_up": jax.random.normal(k[4], (d_model, d_ff), dtype) * s,
+            "w_down": jax.random.normal(k[5], (d_ff, d_model), dtype) * sf,
+            "rms1": jnp.ones((d_model,), dtype),
+            "rms2": jnp.ones((d_model,), dtype),
+        })
+    cos, sin = rope_tables(max_len, hd)
+    return {
+        "embed": jax.random.normal(keys[-2], (vocab, d_model), dtype) * 0.02,
+        "unembed": jax.random.normal(keys[-1], (d_model, vocab), dtype) * s,
+        "blocks": blocks,
+        "rms_f": jnp.ones((d_model,), dtype),
+        "rope_cos": cos, "rope_sin": sin,
+    }
+
+
+def _qkv(blk, x, B, S, H, Hkv, hd, cos, sin, pos=0):
+    D = x.shape[-1]
+    q = linear(x.reshape(B * S, D), blk["wq"], None)
+    kv = linear(x.reshape(B * S, D), blk["wkv"], None)
+    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    kv = kv.reshape(B, S, 2, Hkv, hd).transpose(2, 0, 3, 1, 4)
+    k, v = kv[0], kv[1]
+    q = apply_rope(q, cos, sin, position_offset=pos)
+    k = apply_rope(k, cos, sin, position_offset=pos)
+    return q, k, v
+
+
+def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
+                  n_kv_heads: int) -> jax.Array:
+    """tokens (B, S) int32 -> logits (B, S, vocab). Causal. Head counts are
+    static call args (they must not live in the differentiable pytree)."""
+    H, Hkv = n_heads, n_kv_heads
+    x = params["embed"][tokens]
+    B, S, D = x.shape
+    hd = D // H
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    for blk in params["blocks"]:
+        h = rms_norm(x, blk["rms1"])
+        q, k, v = _qkv(blk, h, B, S, H, Hkv, hd, cos, sin)
+        o = attention_gqa_trainable(q, k, v, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(B * S, H * hd)
+        x = x + linear(o, blk["wo"], None).reshape(B, S, D)
+
+        h = rms_norm(x, blk["rms2"])
+        h2 = h.reshape(B * S, D)
+        gate = linear(h2, blk["w_gate"], None)
+        up = linear(h2, blk["w_up"], None)
+        f = jax.nn.silu(gate) * up  # SwiGLU
+        x = x + linear(f, blk["w_down"], None).reshape(B, S, D)
+    x = rms_norm(x, params["rms_f"])
+    logits = gemm_ad(x.reshape(B * S, D), params["unembed"], None,
+                     False, False)
+    return logits.reshape(B, S, -1)
+
+
+# -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------
+
+def init_llama_cache(params: Dict, B: int, max_len: int, *, n_heads: int,
+                     n_kv_heads: int):
+    n_layers = len(params["blocks"])
+    hd = params["embed"].shape[1] // n_heads
+    return jnp.zeros((n_layers, 2, B * n_kv_heads, max_len, hd),
+                     params["embed"].dtype)
+
+
+def llama_prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
+                  n_heads: int, n_kv_heads: int):
+    """One causal GQA flash forward over the prompt; writes K/V into the
+    cache. Returns (last-position logits, cache)."""
+    from ..ops.attention import attention_gqa
+
+    H, Hkv = n_heads, n_kv_heads
+    x = params["embed"][prompt]
+    B, S, D = x.shape
+    hd = D // H
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"])
+        q, k, v = _qkv(blk, h, B, S, H, Hkv, hd, cos, sin)
+        cache = cache.at[li, 0, :, :S, :].set(k.reshape(B * Hkv, S, hd))
+        cache = cache.at[li, 1, :, :S, :].set(v.reshape(B * Hkv, S, hd))
+        o = attention_gqa(q, k, v, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(B * S, H * hd)
+        x = x + linear(o, blk["wo"], None).reshape(B, S, D)
+        h = rms_norm(x, blk["rms2"])
+        h2 = h.reshape(B * S, D)
+        f = jax.nn.silu(linear(h2, blk["w_gate"], None)) * linear(
+            h2, blk["w_up"], None)
+        x = x + linear(f, blk["w_down"], None).reshape(B, S, D)
+    x = rms_norm(x[:, -1, :], params["rms_f"])
+    logits = gemm_ad(x.reshape(B, D), params["unembed"], None, False, False)
+    return logits, cache
+
+
+def llama_decode_step(params: Dict, cache: jax.Array, token: jax.Array,
+                      pos: jax.Array, *, n_heads: int, n_kv_heads: int):
+    """One incremental decode step (GQA masked matvec over the cache)."""
+    H, Hkv = n_heads, n_kv_heads
+    grp = H // Hkv
+    B = token.shape[0]
+    D = params["embed"].shape[1]
+    hd = D // H
+    scale = 1.0 / math.sqrt(hd)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    x = params["embed"][token][:, None, :]
+
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"])
+        q, k, v = _qkv(blk, h, B, 1, H, Hkv, hd, cos, sin, pos=pos)
+        kc = jax.lax.dynamic_update_slice(
+            cache[li, 0], k.reshape(B * Hkv, 1, hd), (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            cache[li, 1], v.reshape(B * Hkv, 1, hd), (0, pos, 0))
+        cache = cache.at[li, 0].set(kc).at[li, 1].set(vc)
+        # (B, H, 1, hd) q against (B*Hkv, L, hd) caches: expand per group
+        qf = q.reshape(B, Hkv, grp, hd)
+        kcf = kc.reshape(B, Hkv, -1, hd)
+        vcf = vc.reshape(B, Hkv, -1, hd)
+        s = jnp.einsum("bhgd,bhkd->bhgk", qf, kcf,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        kpos = jnp.arange(kcf.shape[2])[None, None, None, :]
+        s = jnp.where(kpos <= pos, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhgk,bhkd->bhgd", p, vcf,
+                       precision=jax.lax.Precision.HIGHEST)
+        o = o.reshape(B, H * hd)
+        x = x + linear(o, blk["wo"], None).reshape(B, 1, D)
+        h = rms_norm(x, blk["rms2"])
+        h2 = h.reshape(B, D)
+        f = jax.nn.silu(linear(h2, blk["w_gate"], None)) * linear(
+            h2, blk["w_up"], None)
+        x = x + linear(f, blk["w_down"], None).reshape(B, 1, D)
+    x = rms_norm(x[:, 0, :], params["rms_f"])
+    logits = gemm_ad(x, params["unembed"], None, False, False)
+    return logits, cache
+
+
+def llama_generate(params: Dict, prompt: jax.Array, key, *,
+                   n_heads: int, n_kv_heads: int, max_new_tokens: int,
+                   temperature: float = 0.0, top_k: int = 0,
+                   top_p: float = 1.0) -> jax.Array:
+    """Flash prefill + KV-cached generation (greedy at temperature 0)."""
+    from ..ops.sampling import sample_logits
+
+    B, S0 = prompt.shape
+    total = S0 + max_new_tokens
+    cache = init_llama_cache(params, B, total, n_heads=n_heads,
+                             n_kv_heads=n_kv_heads)
+    tokens = jnp.zeros((B, total), jnp.int32).at[:, :S0].set(prompt)
+
+    logits, cache = llama_prefill(params, prompt, cache, n_heads=n_heads,
+                                  n_kv_heads=n_kv_heads)
+    tokens = tokens.at[:, S0].set(sample_logits(
+        jax.random.fold_in(key, S0), logits, temperature=temperature,
+        top_k=top_k, top_p=top_p))
+
+    def step(i, carry):
+        tokens, cache = carry
+        tok = jax.lax.dynamic_index_in_dim(tokens, i, axis=1, keepdims=False)
+        logits, cache = llama_decode_step(params, cache, tok, i,
+                                          n_heads=n_heads,
+                                          n_kv_heads=n_kv_heads)
+        nxt = sample_logits(jax.random.fold_in(key, i + 1), logits,
+                            temperature=temperature, top_k=top_k, top_p=top_p)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, i + 1,
+                                                     axis=1)
+        return tokens, cache
+
+    tokens, _ = jax.lax.fori_loop(S0, total - 1, step, (tokens, cache))
+    return tokens

@@ -1,0 +1,96 @@
+"""Modern decoder family (RMSNorm + RoPE + GQA + SwiGLU) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laser_tpu.models.llama import (init_llama, init_llama_cache,
+                                    llama_decode_step, llama_forward,
+                                    llama_generate, llama_prefill)
+from laser_tpu.ops.rope import apply_rope, rope_tables
+
+CFG = dict(n_layers=2, d_model=128, n_heads=4, n_kv_heads=2, d_ff=96,
+           vocab=19, max_len=64)
+H, HKV = CFG["n_heads"], CFG["n_kv_heads"]
+
+
+class TestRope:
+    def test_rotation_preserves_norm(self, rng):
+        cos, sin = rope_tables(32, 16)
+        x = jnp.asarray(rng.randn(2, 32, 16), jnp.float32)
+        y = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                                   np.linalg.norm(np.asarray(x), axis=-1),
+                                   rtol=1e-5)
+
+    def test_relative_property(self, rng):
+        # <rope(q,m), rope(k,n)> depends only on (m - n)
+        cos, sin = rope_tables(64, 16)
+        q = jnp.asarray(rng.randn(16), jnp.float32)
+        k = jnp.asarray(rng.randn(16), jnp.float32)
+
+        def dot_at(m, n):
+            qr = apply_rope(q[None, None, :], cos, sin, position_offset=m)
+            kr = apply_rope(k[None, None, :], cos, sin, position_offset=n)
+            return float(jnp.sum(qr * kr))
+
+        np.testing.assert_allclose(dot_at(5, 2), dot_at(13, 10), rtol=1e-5)
+        np.testing.assert_allclose(dot_at(0, 0), dot_at(31, 31), rtol=1e-5)
+
+    def test_offset_matches_slice(self, rng):
+        cos, sin = rope_tables(64, 16)
+        x = jnp.asarray(rng.randn(1, 8, 16), jnp.float32)
+        full = apply_rope(jnp.tile(x, (1, 1, 1)), cos, sin,
+                          position_offset=jnp.int32(5))
+        # same values as rotating inside a longer window at positions 5..12
+        big = apply_rope(jnp.pad(x, ((0, 0), (5, 64 - 13), (0, 0))), cos, sin)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(big[:, 5:13]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestLlama:
+    def test_forward_and_grads(self, rng):
+        params = init_llama(jax.random.PRNGKey(0), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+
+        def loss(p):
+            lg = llama_forward(p, toks, n_heads=H, n_kv_heads=HKV)
+            return jnp.mean(lg ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(l))
+        flat = jax.tree_util.tree_leaves(
+            {k: v for k, v in g.items() if k != "rope_cos" and k != "rope_sin"})
+        assert all(bool(jnp.isfinite(x).all()) for x in flat)
+        assert float(jnp.abs(g["blocks"][0]["wq"]).max()) > 0
+
+    def test_prefill_matches_stepwise(self, rng):
+        params = init_llama(jax.random.PRNGKey(1), **CFG)
+        prompt = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 6)))
+        B, S0 = prompt.shape
+        cache0 = init_llama_cache(params, B, 10, n_heads=H, n_kv_heads=HKV)
+        lg_p, cache_p = llama_prefill(params, prompt, cache0, n_heads=H,
+                                      n_kv_heads=HKV)
+        cache_s = cache0
+        for i in range(S0):
+            lg_s, cache_s = llama_decode_step(params, cache_s, prompt[:, i],
+                                              jnp.int32(i), n_heads=H,
+                                              n_kv_heads=HKV)
+        np.testing.assert_allclose(np.asarray(cache_p[:, :, :, :S0]),
+                                   np.asarray(cache_s[:, :, :, :S0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_generate_greedy_matches_full_recompute(self, rng):
+        params = init_llama(jax.random.PRNGKey(2), **CFG)
+        prompt = jnp.asarray(rng.randint(0, CFG["vocab"], (1, 5)))
+        out = llama_generate(params, prompt, jax.random.PRNGKey(0),
+                             n_heads=H, n_kv_heads=HKV, max_new_tokens=4,
+                             temperature=0.0)
+        # replay: each generated token must be the argmax of the full
+        # causal forward at its position
+        lg = llama_forward(params, out, n_heads=H, n_kv_heads=HKV)
+        for i in range(5, 9):
+            assert int(out[0, i]) == int(np.asarray(lg)[0, i - 1].argmax())
