@@ -8,9 +8,11 @@ API parity with the reference driver
     functional, it *returns* the new C instead of mutating.
   * the dtype x ISA static dispatch table (gemm.nim:228-247) becomes a dtype ->
     kernel-path dispatch: f32/bf16/f16 -> MXU Pallas kernel; int8 -> MXU int8
-    path (native on v5e+, the TPU-idiomatic bonus); int32/int64/f64 ->
-    exactness-preserving fallbacks (see ``_dispatch``) since the MXU has no
-    native path for them — the analog of laser's generic ukernel.
+    path (native on v5e+, the TPU-idiomatic bonus); int32/int64 -> native
+    limb-decomposed MXU kernels, exact mod 2^32/2^64 (int32_kernel.py,
+    int64_kernel.py); f64 -> native Ozaki-slice MXU kernel (f64_kernel.py).
+    The XLA dot_general fallback remains reachable via backend="xla" (the
+    analog of laser's generic ukernel).
   * arbitrary strides: contiguous and pure-transpose layouts are zero-copy;
     anything else goes through one materialization pass (the packing analog —
     laser also repacks every operand before the microkernel ever sees it,
@@ -39,8 +41,10 @@ def _dispatch(in_dtype: np.dtype) -> str:
         return "mxu"
     if name in ("int32", "uint32"):
         return "int32"  # native limb-decomposed MXU kernel (int32_kernel.py)
-    if name in ("int64", "uint64", "float64"):
-        return "xla"  # exactness-preserving XLA dot_general fallback
+    if name in ("int64", "uint64"):
+        return "int64"  # native 8-limb MXU kernel (int64_kernel.py)
+    if name == "float64":
+        return "f64"  # native Ozaki-slice MXU kernel (f64_kernel.py)
     raise NotImplementedError(f"gemm: unsupported dtype {name}")
 
 
@@ -82,6 +86,43 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
             f"gemm backend must be None/'auto'/'pallas'/'xla', got {backend!r}")
     if backend == "auto":
         backend = None
+
+    # f64 on an accelerator must branch BEFORE jnp.asarray: the TPU stores
+    # f64 as a lossy f32 pair (values beyond 2^128 become inf), so the exact
+    # path keeps operands on the host and ships only int8 digits to the MXU
+    # (f64_kernel.py). Gated on jax_enable_x64 to preserve JAX's standard
+    # silent-downcast semantics when the flag is off.
+    dts = [getattr(x, "dtype", None) for x in (a, b)]
+    if (jax.config.jax_enable_x64 and backend != "xla"
+            and jax.default_backend() != "cpu"
+            and any(d is not None and jnp.dtype(d) == jnp.float64
+                    for d in dts)):
+        if any(isinstance(x, jax.core.Tracer) for x in (a, b)):
+            raise NotImplementedError(
+                "f64 gemm cannot run under jit on TPU: the device stores "
+                "f64 as lossy f32 pairs. Call it eagerly (host-orchestrated "
+                "exact path) or use gemm(..., backend='xla').")
+        from .f64_kernel import gemm_f64
+
+        a_np = np.asarray(a, np.float64)
+        b_np = np.asarray(b, np.float64)
+        if transpose_a:
+            a_np = a_np.T
+        if transpose_b:
+            b_np = b_np.T
+        if a_np.ndim != 2 or b_np.ndim != 2 or a_np.shape[1] != b_np.shape[0]:
+            raise ValueError(
+                f"gemm shape mismatch: {a_np.shape} x {b_np.shape}")
+        r = gemm_f64(a_np, b_np, alpha=alpha, beta=beta,
+                     c=None if c is None else np.asarray(c, np.float64),
+                     bias=None if bias is None else np.asarray(bias),
+                     epilogue=epilogue,
+                     interpret=should_interpret() if interpret is None
+                     else interpret)
+        if out_dtype is not None and jnp.dtype(out_dtype) != jnp.float64:
+            r = r.astype(jnp.dtype(out_dtype))
+        return r
+
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     ka = a.shape[0] if transpose_a else a.shape[1]
@@ -111,23 +152,45 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
                          transpose_a, transpose_b)
     interp = should_interpret() if interpret is None else interpret
 
-    if path == "int32":
-        # native limb-decomposed MXU kernel; exotic combos (bias/activation
+    if path in ("int32", "int64"):
+        # native limb-decomposed MXU kernels; exotic combos (bias/activation
         # on integers, mixed dtypes) keep the generic fallback
-        native_ok = (backend != "xla" and bias is None
+        native_ok = (bias is None
                      and epilogue in (None, "none")
                      and out_dt == jnp.dtype(in_dtype)
                      and acc_dt == jnp.dtype(in_dtype)
                      and (c is None or c.dtype == jnp.dtype(in_dtype)))
         if native_ok:
-            from .int32_kernel import gemm_int32
-
             at = jnp.swapaxes(a, 0, 1) if transpose_a else a
             bt = jnp.swapaxes(b, 0, 1) if transpose_b else b
-            return gemm_int32(at, bt, alpha=alpha, beta=beta, c=c,
-                              tiles=tiles, interpret=interp)
+            if path == "int32":
+                from .int32_kernel import gemm_int32
+
+                return gemm_int32(at, bt, alpha=alpha, beta=beta, c=c,
+                                  tiles=tiles, interpret=interp)
+            from .int64_kernel import gemm_int64
+
+            return gemm_int64(at, bt, alpha=alpha, beta=beta, c=c,
+                              interpret=interp)
         return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
                          transpose_a, transpose_b)
+
+    if path == "f64":
+        # Ozaki-slice MXU kernel (exact-digit int8 cross products); the
+        # epilogue/bias tail is a cheap f64 elementwise pass on the combined
+        # result. Finite inputs only — backend="xla" keeps the IEEE-complete
+        # emulated path.
+        from .f64_kernel import gemm_f64
+
+        at = jnp.swapaxes(a, 0, 1) if transpose_a else a
+        bt = jnp.swapaxes(b, 0, 1) if transpose_b else b
+        r = gemm_f64(at, bt, alpha=alpha, beta=beta,
+                     c=c.astype(jnp.float64) if c is not None else None,
+                     bias=bias, epilogue=epilogue, interpret=interp)
+        if jnp.dtype(out_dt) != jnp.float64:
+            r = np.asarray(r).astype(out_dt) if isinstance(r, np.ndarray) \
+                else r.astype(out_dt)
+        return r
 
     if backend is None:
         fused = epilogue is not None or bias is not None or c is not None

@@ -1,0 +1,196 @@
+"""Native float64 GEMM on the MXU — Ozaki-style int8 slice decomposition.
+
+Parity component for the reference's f64 microkernels
+(laser/primitives/matrix_multiplication/gemm_ukernel_avx512.nim:23-38 f64x8,
+gemm_ukernel_sse2.nim:13-17), benchmarked at 441.5 GFLOP/s on 18 AVX512
+cores (benchmarks/gemm/gemm_bench_float64.nim:234-258).
+
+The TPU has no f64 ALU — and its X64 emulation mode stores f64 as a *lossy*
+f32 pair (~2^-49 precision, overflows above f32 range; measured in
+docs/PERF_NOTES.md). So exact f64 cannot even live in device memory. The
+exact path that remains is integer: slice each f64 into signed 7-bit digits
+of its mantissa (relative to a per-row / per-column power-of-two scale) and
+reconstruct the product from exact int8 x int8 -> int32 cross-products on
+the MXU — the Ozaki splitting scheme, reformulated for signed digits:
+
+    A[i,:] = 2^(sa_i) * sum_p dA_p[i,:] * 128^-(p+1)      dA in [-64, 64]
+    B[:,j] = 2^(sb_j) * sum_q dB_q[:,j] * 128^-(q+1)
+
+    C[i,j] = 2^(sa_i + sb_j) * sum_s S_s[i,j] * 128^-(s+2)
+    S_s    = sum_{p+q=s} dA_p @ dB_q                      (int32, exact)
+
+Every step is exact except (a) the digit tails beyond ``slices`` planes
+(<= 2^(-7*slices) relative to the row/col scale) and (b) the final f64
+combine (one rounding per bucket). With the default 8 slices and buckets
+s < 8 (36 int8 MXU matmuls), the worst-case error bound is slightly
+*tighter* than the classical f64 inner-product bound K*u*|a||b| — verified
+against a NumPy f64 oracle in tests. ``slices=4`` gives a fast tier
+(10 matmuls, ~2^-28 relative error: f32-grade accuracy at f64 dynamic range).
+
+Execution model (dtype-driven, like every laser dispatch):
+  * CPU backend (tests, interpret mode): pure JAX end to end — jittable.
+  * TPU backend: host-orchestrated. Digit extraction and the f64 combine run
+    in NumPy on the host (IEEE-exact), only the bucketed int8 GEMM runs on
+    the device. The result is a host ndarray — by construction, since the
+    device cannot represent it. Not jittable on TPU (a tracer cannot leave
+    the device); ``gemm(backend="xla")`` keeps a jittable (lossy, emulated)
+    path available.
+
+Finite inputs only (like every Ozaki-scheme implementation): Inf/NaN would
+need to propagate through integer digits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limb_kernel import gemm_limbs, max_k_for
+
+_DEFAULT_SLICES = 8
+
+_NP_EPILOGUES = {
+    None: lambda r: r,
+    "none": lambda r: r,
+    "relu": lambda r: np.maximum(r, 0),
+    "tanh": np.tanh,
+    "sigmoid": lambda r: 1.0 / (1.0 + np.exp(-r)),
+    "gelu": lambda r: 0.5 * r * (1.0 + np.tanh(
+        0.7978845608028654 * (r + 0.044715 * r ** 3))),
+}
+
+
+def f64_digits(x: jax.Array, axis: int, slices: int):
+    """Decompose (R, C) f64 into (slices, R, C) int8 digits + int32 scales
+    (pure JAX; exact only where f64 arithmetic is IEEE, i.e. on CPU).
+
+    ``axis`` is the contraction axis (1 for A, 0 for B): the power-of-two
+    scale is shared along it, one per row of A / column of B.
+    sum_p digits[p] * 128^-(p+1) == ldexp(x, -scale) up to 2^(-7*slices).
+    """
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    # amax = m * 2^e with m in [0.5, 1); scale = e + 1 puts |xs| <= 0.5 so
+    # every digit fits [-64, 64].
+    _, e = jnp.frexp(jnp.where(amax > 0, amax, 1.0))
+    scale = (e + 1).astype(jnp.int32)
+    t = jnp.ldexp(x, -scale)
+    digits = []
+    for _ in range(slices):
+        t = t * 128.0
+        d = jnp.round(t)
+        t = t - d
+        digits.append(d.astype(jnp.int8))
+    return jnp.stack(digits), jnp.squeeze(scale, axis)
+
+
+def f64_digits_np(x: np.ndarray, axis: int, slices: int):
+    """NumPy twin of ``f64_digits`` — the host-exact extraction used when
+    the accelerator cannot hold f64 (see module docstring)."""
+    amax = np.max(np.abs(x), axis=axis, keepdims=True)
+    _, e = np.frexp(np.where(amax > 0, amax, 1.0))
+    scale = (e + 1).astype(np.int32)
+    t = np.ldexp(x, -scale)
+    digits = np.empty((slices,) + x.shape, np.int8)
+    for p in range(slices):
+        t *= 128.0
+        d = np.rint(t)
+        t -= d
+        digits[p] = d.astype(np.int8)
+    return digits, np.squeeze(scale, axis)
+
+
+def gemm_f64(a, b, *, alpha=1.0, beta=0.0, c=None, bias=None,
+             epilogue: Optional[str] = None, slices: int = _DEFAULT_SLICES,
+             interpret: bool = False):
+    """epilogue(alpha * (a @ b) + beta * c + bias) in f64 via int8 MXU
+    slice products. Returns a jax array on CPU backends, a host ndarray on
+    accelerators (which cannot represent f64)."""
+    is_tracer = isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer)
+    on_cpu = jax.default_backend() == "cpu"
+    if is_tracer and not on_cpu:
+        raise NotImplementedError(
+            "f64 gemm cannot run under jit on TPU: the device stores f64 as "
+            "lossy f32 pairs. Call it eagerly (host-orchestrated exact path) "
+            "or use gemm(..., backend='xla') for the lossy emulated path.")
+    if is_tracer or on_cpu:
+        return _gemm_f64_jax(a, b, alpha, beta, c, bias, epilogue, slices,
+                             interpret)
+    return _gemm_f64_host(np.asarray(a), np.asarray(b), alpha, beta,
+                          None if c is None else np.asarray(c),
+                          None if bias is None else np.asarray(bias),
+                          epilogue, slices, interpret)
+
+
+def _bucket_weights(n_buckets: int):
+    return [2.0 ** (-7 * (s + 2)) for s in range(n_buckets)]
+
+
+def _gemm_f64_host(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
+    M, K = a.shape
+    N = b.shape[1]
+    Mp, Kp, Np = _pad_to(M, 32), _pad_to(K, 128), _pad_to(N, 128)
+    if (Mp, Kp, Np) != (M, K, N):
+        a = np.pad(a, ((0, Mp - M), (0, Kp - K)))
+        b = np.pad(b, ((0, Kp - K), (0, Np - N)))
+
+    k_chunk = max_k_for(slices, digit_max=64)
+    w = _bucket_weights(slices)
+    out = np.zeros((Mp, Np), np.float64)
+    for k0 in range(0, Kp, k_chunk):
+        k1 = min(k0 + k_chunk, Kp)
+        da, sa = f64_digits_np(a[:, k0:k1], 1, slices)
+        db, sb = f64_digits_np(b[k0:k1, :], 0, slices)
+        buckets = np.asarray(gemm_limbs(jnp.asarray(da), jnp.asarray(db),
+                                        slices, interpret=interpret))
+        part = np.zeros((Mp, Np), np.float64)
+        for s in range(slices):
+            part += buckets[s].astype(np.float64) * w[s]
+        out += np.ldexp(part, sa[:, None] + sb[None, :])
+
+    out = out[:M, :N] * np.float64(alpha)
+    if c is not None:
+        out = out + np.float64(beta) * c
+    if bias is not None:
+        out = out + bias.astype(np.float64).reshape(1, -1)
+    return _NP_EPILOGUES[epilogue](out)
+
+
+def _gemm_f64_jax(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
+    from .kernel import _EPILOGUES
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    M, K = a.shape
+    N = b.shape[1]
+    Mp, Kp, Np = _pad_to(M, 32), _pad_to(K, 128), _pad_to(N, 128)
+    if (Mp, Kp, Np) != (M, K, N):
+        a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
+        b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
+
+    k_chunk = max_k_for(slices, digit_max=64)
+    w = _bucket_weights(slices)
+    out = None
+    for k0 in range(0, Kp, k_chunk):
+        k1 = min(k0 + k_chunk, Kp)
+        da, sa = f64_digits(a[:, k0:k1], 1, slices)
+        db, sb = f64_digits(b[k0:k1, :], 0, slices)
+        buckets = gemm_limbs(da, db, slices, interpret=interpret)
+        part = buckets[0].astype(jnp.float64) * w[0]
+        for s in range(1, slices):
+            part = part + buckets[s].astype(jnp.float64) * w[s]
+        part = jnp.ldexp(part, sa[:, None] + sb[None, :])
+        out = part if out is None else out + part
+
+    out = out[:M, :N] * jnp.float64(alpha)
+    if c is not None:
+        out = out + jnp.float64(beta) * c
+    if bias is not None:
+        out = out + bias.astype(jnp.float64).reshape(1, -1)
+    return _EPILOGUES[epilogue](out)
+
+
+def _pad_to(x: int, step: int) -> int:
+    return ((x + step - 1) // step) * step
