@@ -136,6 +136,77 @@ def bench_gemm_int32(M):
             "reference_cpu_gintops": 27.9}
 
 
+def bench_gemm_wide(M):
+    """Native f64 / int64 limb GEMMs (limb_kernel.py). Reference headlines:
+    f64 960^3 441.5 GFLOP/s, int64 960^3 19.8 GINTOP/s on 18 AVX512 cores
+    (gemm_bench_float64.nim:234-258, gemm_bench_int64.nim results block).
+
+    Device rate: the bucketed int8 digit GEMM chained on device (the analog
+    of the reference's packed-operand rate — extraction is the packing).
+    End-to-end: eager wall-clock incl. host digit extraction + transfers
+    (the TPU cannot hold f64, so extraction is host work by construction).
+    Neither path needs jax_enable_x64: only int8/int32 touch the device.
+    """
+    import time
+
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.ops.gemm.f64_kernel import f64_digits_np, gemm_f64
+    from laser_tpu.ops.gemm.limb_kernel import gemm_limbs
+
+    rng = np.random.RandomState(0)
+    fl = 2 * M**3
+    out = {}
+
+    af = rng.randn(M, M) * np.exp2(rng.randint(-30, 30, (M, M)))
+    bf = rng.randn(M, M) * np.exp2(rng.randint(-30, 30, (M, M)))
+    da, _ = f64_digits_np(af, 1, 8)
+    db, _ = f64_digits_np(bf, 0, 8)
+    db_d = jnp.asarray(db)
+    for slices, tag in ((8, "accurate"), (4, "fast")):
+        def step(x, y, slices=slices):
+            return gemm_limbs(x, y, slices).astype(jnp.int8)
+        t = chain_rate(step, jnp.asarray(da[:slices].copy()), db_d[:slices])
+        rate = fl / t / 1e6
+        out[f"gemm_f64_{M}_{tag}"] = {
+            "device_gflops_equiv": round(rate, 1), "ms": round(t, 4),
+            "slices": slices, "reference_cpu_gflops": 441.5,
+            "vs_reference": round(rate / 441.5, 1)}
+        log(f"gemm_f64_{M}_{tag}: {rate:.0f} GFLOP/s-equiv device "
+            f"({rate/441.5:.1f}x reference CPU)")
+    gemm_f64(af, bf)  # warm the kernel build
+    t0 = time.perf_counter()
+    r = gemm_f64(af, bf)
+    te = time.perf_counter() - t0
+    assert r.dtype == np.float64
+    out[f"gemm_f64_{M}_accurate"]["end_to_end_ms"] = round(te * 1e3, 1)
+    out[f"gemm_f64_{M}_accurate"]["end_to_end_gflops"] = round(fl / te / 1e9, 1)
+    out[f"gemm_f64_{M}_accurate"]["end_to_end_note"] = (
+        "transfer-bound through the dev tunnel (~30 MB/s device link; "
+        "measured breakdown in docs/PERF_NOTES.md); device rate is the "
+        "kernel number, like the reference's packed-operand rate")
+    log(f"gemm_f64_{M} end-to-end (host extraction + MXU): "
+        f"{fl/te/1e9:.0f} GFLOP/s")
+
+    # int64: digit planes via the same recurrence, in NumPy (no x64 flag)
+    ai = rng.randint(-2**60, 2**60, (M, M)).astype(np.int64)
+    la = np.empty((8, M, M), np.int8)
+    x = ai.copy()
+    for i in range(8):
+        d = ((x + 128) & 255) - 128
+        la[i] = d.astype(np.int8)
+        x = (x - d) >> 8
+    lb = np.swapaxes(la, 1, 2).copy()  # any int8 planes; rate-identical
+    t = chain_rate(lambda p, q: gemm_limbs(p, q, 8).astype(jnp.int8),
+                   jnp.asarray(la), jnp.asarray(lb))
+    rate = fl / t / 1e6
+    out[f"gemm_int64_{M}"] = {
+        "device_gintops": round(rate, 1), "ms": round(t, 4),
+        "reference_cpu_gintops": 19.8, "vs_reference": round(rate / 19.8, 1)}
+    log(f"gemm_int64_{M}: {rate:.0f} GINTOP/s device "
+        f"({rate/19.8:.0f}x reference CPU)")
+    return out
+
+
 def bench_memory_bound():
     """Elementwise / reduction / layout kernels vs XLA twins (GB/s)."""
     import laser_tpu as lt
@@ -463,6 +534,7 @@ def main():
         log(f"gemm_int32_2048: {detail['gemm_int32_2048']['gintops']} GINTOP/s "
             f"({detail['gemm_int32_2048']['vs_xla']}x XLA int32; "
             f"reference CPU 27.9)")
+        detail.update(bench_gemm_wide(2048))
 
     if args.full:
         log("== memory-bound kernels ==")
