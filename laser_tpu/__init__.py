@@ -44,6 +44,8 @@ from .ops.stencil import stencil_solve  # noqa: E402
 from .ops.attention import (attention, attention_gqa,  # noqa: E402
                             attention_gqa_trainable, attention_reference,
                             attention_trainable, attention_with_stats)
+from .ops.paged_attention import (paged_attention,  # noqa: E402
+                                  paged_attention_reference)
 from .ops.norm import layer_norm, rms_norm  # noqa: E402
 from .ops.optim import adamw_init, adamw_step, sgd_momentum_step  # noqa: E402
 from .ops.quant import dequantize_int8, gemm_quantized, quantize_int8  # noqa: E402

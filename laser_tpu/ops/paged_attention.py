@@ -1,0 +1,198 @@
+"""Paged decode attention: one query token per sequence over block-table
+indexed KV pages.
+
+The serving-side analog of the flash kernel (ops/attention.py): where flash
+streams contiguous K/V blocks, serving keeps each sequence's KV cache as a
+list of fixed-size PAGES scattered through a shared pool, so sequences of
+wildly different lengths batch together with no copying and no per-sequence
+max-length reservation (the PagedAttention idea, done TPU-style: the block
+table rides scalar prefetch (SMEM) and drives the BlockSpec index maps, so
+Mosaic's pipeline fetches exactly the pages each grid step needs).
+
+Layouts:
+    q        (S, Hq, hd)        one decode token per active sequence slot
+    k_pool   (P, Hkv, ps, hd)   P pages of ps tokens each, shared pool
+    v_pool   (P, Hkv, ps, hd)
+    tables   (S, max_pages)     page ids per sequence (row-padded with 0)
+    lengths  (S,)               valid keys per sequence (0 = inactive slot)
+
+GQA rides natively: Hq query heads fold to (Hkv, group, hd) and every dot
+is batched over Hkv (same convention as the flash GQA path,
+ops/attention.py kv_heads).
+
+Grid: (S, max_pages), pages innermost ("arbitrary"): the online-softmax
+state (m, l, acc) lives in VMEM scratch across a sequence's pages; pages at
+or beyond a sequence's length are skipped via pl.when (near-zero cost), so
+the cost per sequence is proportional to ITS length, not the batch max.
+
+Reference frame: the reference has no serving layer at all (SURVEY.md §5);
+this is parity-plus infrastructure. The kernel-capability mapping is the
+gather/odometer machinery of forEachStrided (foreach.nim:64-113) — iterate
+non-contiguous memory without materializing a contiguous copy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import should_interpret
+from ..registry import build_cache
+from ..utils import round_step_up
+
+_NEG_INF = -1e30
+
+
+@build_cache
+def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
+                          hd: int, max_pages: int, scale: float,
+                          dtype: str, interpret: bool):
+    dt = jnp.dtype(dtype)
+    group = Hq // Hkv
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+    def kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref):
+        s_idx = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        length = lens_ref[s_idx]
+
+        @pl.when(j * ps < length)
+        def _step():
+            q = q_ref[0].reshape(Hkv, group, hd)      # (Hkv, g, hd)
+            k = k_ref[0]                               # (Hkv, ps, hd)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            s = s * scale                              # (Hkv, g, ps)
+            kpos = j * ps + jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, group, ps), 2)
+            s = jnp.where(kpos < length, s, _NEG_INF)
+
+            m_prev = m_ref[:]                          # (Hkv, g, 128)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[..., :1])            # (Hkv, g, ps)
+            # page 0 always holds key 0 for any length >= 1, so every row
+            # has a real m_new and masked lanes contribute exp(-inf) == 0
+            l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+            acc_ref[:] = acc_ref[:] * corr[..., :hd] + jax.lax.dot_general(
+                p.astype(dt), v_ref[0], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            m_ref[:] = m_new
+
+        @pl.when(j == max_pages - 1)
+        def _fin():
+            lsafe = jnp.where(l_ref[..., :hd] > 0, l_ref[..., :hd], 1.0)
+            o_ref[0] = (acc_ref[:] / lsafe).reshape(Hq, hd).astype(dt)
+
+    grid = (S, max_pages)
+    stat_lanes = max(hd, 128)
+
+    def q_map(s, j, tbl, lens):
+        return (s, j * 0, j * 0)
+
+    def kv_map(s, j, tbl, lens):
+        return (tbl[s, j], j * 0, j * 0, j * 0)
+
+    def o_map(s, j, tbl, lens):
+        return (s, j * 0, j * 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hq, hd), q_map),
+                pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+                pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hq, hd), o_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, group, stat_lanes), jnp.float32),
+                pltpu.VMEM((Hkv, group, stat_lanes), jnp.float32),
+                pltpu.VMEM((Hkv, group, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, Hq, hd), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+    return call
+
+
+def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                    tables: jax.Array, lengths: jax.Array, *,
+                    scale: Optional[float] = None,
+                    interpret: Optional[bool] = None) -> jax.Array:
+    """Decode attention over paged KV. See module docstring for layouts.
+
+    Slots with lengths[s] == 0 produce zeros (inactive). hd is zero-padded
+    to the 128-lane tile inside (exact: padded lanes contribute nothing)."""
+    S, Hq, hd = q.shape
+    P, Hkv, ps, hd_k = k_pool.shape
+    if hd_k != hd or v_pool.shape != k_pool.shape:
+        raise ValueError(f"pool shapes {k_pool.shape}/{v_pool.shape} "
+                         f"inconsistent with q {q.shape}")
+    if Hq % Hkv:
+        raise ValueError(f"Hq {Hq} not a multiple of Hkv {Hkv}")
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    interp = should_interpret() if interpret is None else interpret
+
+    hdP = round_step_up(hd, 128)
+    if hdP != hd:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, hdP - hd)))
+        k_pool = jnp.pad(k_pool, ((0, 0), (0, 0), (0, 0), (0, hdP - hd)))
+        v_pool = jnp.pad(v_pool, ((0, 0), (0, 0), (0, 0), (0, hdP - hd)))
+    max_pages = tables.shape[1]
+    fn = build_paged_attention(S, P, Hq, Hkv, ps, hdP, max_pages,
+                               float(scale), jnp.dtype(q.dtype).name, interp)
+    out = fn(tables.astype(jnp.int32), lengths.astype(jnp.int32),
+             q, k_pool, v_pool)
+    return out[..., :hd] if hdP != hd else out
+
+
+def paged_attention_reference(q, k_pool, v_pool, tables, lengths, *,
+                              scale: Optional[float] = None) -> jax.Array:
+    """Dense-gather oracle: materialize each sequence's pages and run
+    masked softmax attention (for tests and as the XLA comparator)."""
+    S, Hq, hd = q.shape
+    P, Hkv, ps, _ = k_pool.shape
+    group = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    # gather: (S, max_pages) -> (S, Hkv, max_pages*ps, hd)
+    k = k_pool[tables]                    # (S, mp, Hkv, ps, hd)
+    v = v_pool[tables]
+    k = k.transpose(0, 2, 1, 3, 4).reshape(S, Hkv, -1, hd)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(S, Hkv, -1, hd)
+    qg = q.reshape(S, Hkv, group, hd)
+    s = jnp.einsum("shgd,shkd->shgk", qg.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    kpos = jnp.arange(s.shape[-1])[None, None, None, :]
+    s = jnp.where(kpos < lengths[:, None, None, None], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("shgk,shkd->shgd", p / jnp.maximum(l, 1e-37),
+                   v.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    o = jnp.where(lengths[:, None, None, None] > 0, o, 0.0)
+    return o.reshape(S, Hq, hd).astype(q.dtype)

@@ -1,0 +1,324 @@
+"""Continuous-batching serving engine over a paged KV cache.
+
+Parity-plus subsystem (the reference is a compute-primitives library with no
+serving layer, SURVEY.md §5): production LLM serving on TPU needs
+  * a PAGED KV cache — fixed-size pages in a shared pool, so sequences of
+    different lengths batch without per-sequence max-length reservation and
+    finished sequences return their memory instantly (no compaction), and
+  * CONTINUOUS batching — new requests join the running batch the moment a
+    slot frees up, instead of waiting for the whole batch to drain.
+
+Split of labor (the same host/device split as the GEMM driver vs its
+microkernels):
+  * Host (this engine): request queue, slot + page allocation (a free list),
+    block tables, stop conditions. O(batch) Python per step — negligible
+    next to a device step.
+  * Device (jitted `_decode_step` / per-bucket `_prefill`): one batched
+    transformer step for every active slot — fused linears, paged-attention
+    kernel (ops/paged_attention.py), KV scatter into the pool. Pools are
+    donated, so the cache updates in place across steps.
+
+Decode is token-identical to ``models.transformer.greedy_decode`` for every
+request regardless of how requests interleave (tested).
+
+Model family: the `models.transformer` parameter schema (wqkv/wo/w1/w2 +
+layer norms, tied embeddings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gemm.autodiff import gemm_ad, linear
+from ..ops.norm import layer_norm
+from ..ops.paged_attention import paged_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    page_size: int = 64
+    n_pages: int = 256          # shared pool size (last page is the trash
+    # page for inactive slots' writes)
+    max_seqs: int = 8           # concurrent sequences (decode batch)
+    max_pages_per_seq: int = 16
+    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+
+
+class PagedKVCache:
+    """Shared KV page pool + host-side allocator.
+
+    pools: (L, 2, P, Hkv, ps, hd) device array (donated across steps).
+    tables/lengths: host int32 mirrors shipped to the device each step.
+    """
+
+    def __init__(self, n_layers: int, n_kv_heads: int, head_dim: int,
+                 cfg: ServingConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.pools = jnp.zeros((n_layers, 2, cfg.n_pages, n_kv_heads,
+                                cfg.page_size, head_dim), dtype)
+        self.tables = np.zeros((cfg.max_seqs, cfg.max_pages_per_seq),
+                               np.int32)
+        self.lengths = np.zeros((cfg.max_seqs,), np.int32)
+        # page n_pages-1 is the trash page: inactive slots' decode writes
+        # land there so they can never corrupt a live page
+        self.trash_page = cfg.n_pages - 1
+        self.free_pages = deque(range(cfg.n_pages - 1))
+        self.pages_of: List[List[int]] = [[] for _ in range(cfg.max_seqs)]
+
+    def n_free(self) -> int:
+        return len(self.free_pages)
+
+    def alloc(self, slot: int, n: int) -> List[int]:
+        if n > len(self.free_pages):
+            raise RuntimeError("page pool exhausted")
+        if len(self.pages_of[slot]) + n > self.cfg.max_pages_per_seq:
+            raise RuntimeError(f"slot {slot} exceeds max_pages_per_seq")
+        got = [self.free_pages.popleft() for _ in range(n)]
+        base = len(self.pages_of[slot])
+        self.pages_of[slot].extend(got)
+        self.tables[slot, base:base + n] = got
+        return got
+
+    def release(self, slot: int):
+        self.free_pages.extend(self.pages_of[slot])
+        self.pages_of[slot] = []
+        self.tables[slot, :] = 0
+        self.lengths[slot] = 0
+
+    def ensure_capacity(self, slot: int):
+        """Allocate the next page iff the next token write crosses into it."""
+        need = self.lengths[slot] // self.cfg.page_size + 1
+        if len(self.pages_of[slot]) < need:
+            self.alloc(slot, 1)
+
+
+@dataclasses.dataclass
+class _Request:
+    req_id: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    eos_id: Optional[int]
+    out: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+
+
+class ServingEngine:
+    def __init__(self, params: Dict, *, n_heads: int,
+                 cfg: ServingConfig = ServingConfig(), dtype=None):
+        self.params = params
+        self.n_heads = n_heads
+        self.cfg = cfg
+        D = params["embed"].shape[1]
+        self.head_dim = D // n_heads
+        dt = dtype or params["embed"].dtype
+        self.cache = PagedKVCache(len(params["blocks"]), n_heads,
+                                  self.head_dim, cfg, dt)
+        self.queue: deque[_Request] = deque()
+        self.running: List[Optional[_Request]] = [None] * cfg.max_seqs
+        self.finished: Dict[int, List[int]] = {}
+        self._next_id = 0
+        self._tokens = np.zeros((cfg.max_seqs,), np.int32)
+        self._decode = jax.jit(
+            partial(_decode_step, n_heads=n_heads,
+                    page_size=cfg.page_size),
+            donate_argnums=(1,))
+        self._prefills = {}
+
+    # -- request API -------------------------------------------------------
+    def add_request(self, prompt, max_new_tokens: int,
+                    eos_id: Optional[int] = None) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(_Request(rid, prompt, max_new_tokens, eos_id))
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.running)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain everything; returns {req_id: generated tokens}."""
+        while self.has_work():
+            self.step()
+        out, self.finished = self.finished, {}
+        return out
+
+    # -- engine loop -------------------------------------------------------
+    def step(self):
+        self._admit()
+        active = [s for s, r in enumerate(self.running) if r is not None]
+        if not active:
+            return
+        ps = self.cfg.page_size
+        # a decode step writes K/V at position lengths[s]: make sure the
+        # page exists; inactive slots write to the trash page
+        write_page = np.full((self.cfg.max_seqs,), self.cache.trash_page,
+                             np.int32)
+        for s in active:
+            self.cache.ensure_capacity(s)
+            write_page[s] = self.cache.pages_of[s][
+                self.cache.lengths[s] // ps]
+        lengths = jnp.asarray(self.cache.lengths)
+        logits, self.cache.pools = self._decode(
+            self.params, self.cache.pools, jnp.asarray(self.cache.tables),
+            lengths, jnp.asarray(write_page), jnp.asarray(self._tokens))
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        for s in active:
+            r = self.running[s]
+            self.cache.lengths[s] += 1
+            tok = int(nxt[s])
+            r.out.append(tok)
+            self._tokens[s] = tok
+            done = (len(r.out) >= r.max_new_tokens
+                    or (r.eos_id is not None and tok == r.eos_id))
+            if done:
+                self.finished[r.req_id] = r.out
+                self.cache.release(s)
+                self.running[s] = None
+
+    def _admit(self):
+        while self.queue:
+            slot = next((s for s, r in enumerate(self.running) if r is None),
+                        None)
+            if slot is None:
+                return
+            r = self.queue[0]
+            S0 = len(r.prompt)
+            n_pages = -(-S0 // self.cfg.page_size)
+            if n_pages > self.cache.n_free():
+                return  # backpressure: wait for pages
+            self.queue.popleft()
+            r.slot = slot
+            self.running[slot] = r
+            pages = self.cache.alloc(slot, n_pages)
+            first = self._run_prefill(slot, r.prompt, pages)
+            self.cache.lengths[slot] = S0
+            r.out.append(first)
+            self._tokens[slot] = first
+            if (len(r.out) >= r.max_new_tokens
+                    or (r.eos_id is not None and first == r.eos_id)):
+                self.finished[r.req_id] = r.out
+                self.cache.release(slot)
+                self.running[slot] = None
+
+    def _run_prefill(self, slot: int, prompt: np.ndarray,
+                     pages: List[int]) -> int:
+        S0 = len(prompt)
+        bucket = next((b for b in self.cfg.prefill_buckets if b >= S0), None)
+        if bucket is None:
+            raise ValueError(f"prompt length {S0} exceeds the largest "
+                             f"prefill bucket {self.cfg.prefill_buckets[-1]}")
+        if bucket not in self._prefills:
+            self._prefills[bucket] = jax.jit(
+                partial(_prefill_paged, n_heads=self.n_heads,
+                        page_size=self.cfg.page_size, bucket=bucket),
+                static_argnames=(), donate_argnums=(1,))
+        pad = np.zeros((bucket,), np.int32)
+        pad[:S0] = prompt
+        page_vec = np.full((bucket // self.cfg.page_size,),
+                           self.cache.trash_page, np.int32)
+        page_vec[:len(pages)] = pages
+        logits, self.cache.pools = self._prefills[bucket](
+            self.params, self.cache.pools, jnp.asarray(pad),
+            jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec))
+        return int(np.asarray(jnp.argmax(logits, -1)))
+
+
+# ---------------------------------------------------------------------------
+# Device steps
+# ---------------------------------------------------------------------------
+
+def _decode_step(params, pools, tables, lengths, write_page, tokens, *,
+                 n_heads: int, page_size: int):
+    """One batched decode step for all slots.
+
+    tokens (S,) int32 — last emitted token per slot. Writes each slot's new
+    K/V at row lengths[s] % ps of write_page[s] (the trash page for inactive
+    slots), then attends over lengths+1 keys. Returns (logits, pools)."""
+    S = tokens.shape[0]
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = D // H
+    active = lengths > 0
+    # inactive slots attend over 0 keys; active slots see their history
+    # plus the key written this step
+    att_len = jnp.where(active, lengths + 1, 0)
+    row = lengths % page_size
+    x = params["embed"][tokens][:, None, :]  # (S, 1, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = linear(h.reshape(S, D), blk["wqkv"], blk["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(S, H, hd)
+        k = k.reshape(S, H, hd)
+        v = v.reshape(S, H, hd)
+        # scatter the new K/V: pools[li, 0][write_page[s], :, row[s], :] = k
+        pools = pools.at[li, 0, write_page, :, row, :].set(k)
+        pools = pools.at[li, 1, write_page, :, row, :].set(v)
+        o = paged_attention(q, pools[li, 0], pools[li, 1], tables, att_len)
+        o = o.reshape(S, D)
+        x = x + linear(o, blk["wo"], blk["bo"]).reshape(S, 1, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = linear(h.reshape(S, D), blk["w1"], blk["b1"], "gelu")
+        x = x + linear(f, blk["w2"], blk["b2"]).reshape(S, 1, D)
+
+    x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    logits = gemm_ad(x.reshape(S, D), params["embed"], None, False, True)
+    return logits, pools
+
+
+def _prefill_paged(params, pools, prompt, length, page_vec, *, n_heads: int,
+                   page_size: int, bucket: int):
+    """Single-sequence flash prefill that scatters K/V into pages.
+
+    prompt (bucket,) int32 zero-padded; length = true S0; page_vec
+    (bucket/ps,) page ids (trash for unused). Padded positions produce
+    garbage K/V rows inside the last real page, but causality keeps them
+    invisible to the consumed position (length-1) and the first decode step
+    overwrites row ``length`` before it is ever attended. Returns
+    (last-position logits, pools)."""
+    from ..ops.attention import attention
+
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = D // H
+    x = params["embed"][prompt][None]  # (1, bucket, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = linear(h.reshape(bucket, D), blk["wqkv"], blk["bqkv"])
+        q, k, v = jnp.split(qkv.reshape(1, bucket, 3 * D), 3, axis=-1)
+
+        def heads(t):  # (1, bucket, D) -> (1, H, bucket, hd)
+            return t.reshape(bucket, H, hd).transpose(1, 0, 2)[None]
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        # scatter pages: (H, bucket, hd) -> (n_pg, H, ps, hd)
+        def pages_of(t):
+            return t[0].reshape(H, bucket // page_size, page_size,
+                                hd).transpose(1, 0, 2, 3)
+        pools = pools.at[li, 0, page_vec].set(pages_of(kh))
+        pools = pools.at[li, 1, page_vec].set(pages_of(vh))
+        o = attention(qh, kh, vh, causal=True)
+        o = o.transpose(0, 2, 1, 3)
+        x = x + linear(o.reshape(bucket, D), blk["wo"],
+                       blk["bo"]).reshape(1, bucket, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = linear(h.reshape(bucket, D), blk["w1"], blk["b1"], "gelu")
+        x = x + linear(f, blk["w2"], blk["b2"]).reshape(1, bucket, D)
+
+    last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
+                                        keepdims=False)
+    last = layer_norm(last[None], params["lnf_g"], params["lnf_b"])[0]
+    logits = gemm_ad(last[None], params["embed"], None, False, True)
+    return logits[0], pools

@@ -1,0 +1,123 @@
+"""Paged attention + continuous-batching serving engine.
+
+Gold property: the engine's generated tokens for every request match the
+dense ``greedy_decode`` on that request alone — regardless of how requests
+interleave, which slots they land in, or how pages are recycled.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laser_tpu.models.transformer import greedy_decode, init_transformer
+from laser_tpu.ops.paged_attention import (paged_attention,
+                                           paged_attention_reference)
+from laser_tpu.serving import ServingConfig, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(0xDEADBEEF)
+
+
+class TestPagedAttention:
+    def test_vs_reference_mixed_lengths(self, rng):
+        S, Hq, hd, ps, P, mp = 4, 8, 64, 16, 32, 6
+        q = jnp.asarray(rng.randn(S, Hq, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, Hq, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, Hq, ps, hd), jnp.float32)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([0, 1, 37, 96], jnp.int32)
+        got = paged_attention(q, kp, vp, tables, lengths)
+        want = paged_attention_reference(q, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+        # inactive slot produces zeros
+        assert np.all(np.asarray(got)[0] == 0.0)
+
+    def test_gqa(self, rng):
+        S, Hq, Hkv, hd, ps, P, mp = 3, 8, 2, 64, 16, 24, 4
+        q = jnp.asarray(rng.randn(S, Hq, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([5, 64, 33], jnp.int32)
+        got = paged_attention(q, kp, vp, tables, lengths)
+        want = paged_attention_reference(q, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_shared_pages_between_sequences(self, rng):
+        # two sequences whose tables point at the SAME pages (prefix
+        # sharing): outputs must agree where lengths agree
+        S, H, hd, ps, P = 2, 8, 128, 16, 8
+        q1 = rng.randn(1, H, hd).astype(np.float32)
+        q = jnp.asarray(np.concatenate([q1, q1]))
+        kp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        tables = jnp.asarray([[2, 5], [2, 5]], jnp.int32)
+        lengths = jnp.asarray([30, 30], jnp.int32)
+        got = np.asarray(paged_attention(q, kp, vp, tables, lengths))
+        assert np.array_equal(got[0], got[1])
+
+
+def _make_model(rng):
+    key = jax.random.PRNGKey(7)
+    params = init_transformer(key, n_layers=2, d_model=128, n_heads=8,
+                              d_ff=256, vocab=97)
+    return params
+
+
+class TestServingEngine:
+    def test_tokens_match_dense_decode(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=3,
+                            max_pages_per_seq=8,
+                            prefill_buckets=(16, 32, 64))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (5, 17, 31, 9, 16)]
+        new = [6, 4, 5, 7, 3]
+        ids = [eng.add_request(p, m) for p, m in zip(prompts, new)]
+        out = eng.run()
+        assert set(out) == set(ids)
+        for p, m, rid in zip(prompts, new, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=m))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_continuous_batching_reuses_slots_and_pages(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=16, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        # 5 requests through 2 slots and a 15-page pool forces slot reuse
+        # and page recycling
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (14, 30, 8, 16, 25)]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        assert set(out) == set(ids)
+        assert eng.cache.n_free() == cfg.n_pages - 1  # all pages returned
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):])
+
+    def test_eos_stops_early(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16,))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        p = rng.randint(0, 97, 7).astype(np.int32)
+        want = np.asarray(greedy_decode(
+            params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=8))[0, 7:]
+        eos = int(want[2])  # third generated token becomes the eos
+        rid = eng.add_request(p, 8, eos_id=eos)
+        out = eng.run()
+        # expected: tokens up to and including the FIRST occurrence of eos
+        stop = list(want).index(eos) + 1
+        assert out[rid] == list(want[:stop])
+        assert len(out[rid]) < 8  # actually stopped early
