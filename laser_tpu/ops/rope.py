@@ -41,3 +41,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array, *,
     x1 = x[..., : D // 2]
     x2 = x[..., D // 2:]
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def apply_rope_at(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                  positions: jax.Array) -> jax.Array:
+    """Rotate x (B, H, D) by per-row positions (B,) int32 — the batched
+    decode case where every sequence in the batch sits at its own position
+    (continuous batching, serving/engine.py)."""
+    D = x.shape[-1]
+    c = cos[positions][:, None, :].astype(x.dtype)  # (B, 1, D/2)
+    s = sin[positions][:, None, :].astype(x.dtype)
+    x1 = x[..., : D // 2]
+    x2 = x[..., D // 2:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)

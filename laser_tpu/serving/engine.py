@@ -110,23 +110,40 @@ class _Request:
 
 
 class ServingEngine:
+    """``model``: "transformer" (models/transformer.py schema, MHA) or
+    "llama" (models/llama.py schema: RoPE + GQA + SwiGLU; n_kv_heads is
+    inferred from the wkv projection)."""
+
     def __init__(self, params: Dict, *, n_heads: int,
-                 cfg: ServingConfig = ServingConfig(), dtype=None):
+                 cfg: ServingConfig = ServingConfig(), dtype=None,
+                 model: str = "transformer"):
+        if model not in ("transformer", "llama"):
+            raise ValueError(f"unknown model family {model!r}")
         self.params = params
         self.n_heads = n_heads
         self.cfg = cfg
+        self.model = model
         D = params["embed"].shape[1]
         self.head_dim = D // n_heads
+        if model == "llama":
+            self.n_kv_heads = params["blocks"][0]["wkv"].shape[1] // (
+                2 * self.head_dim)
+        else:
+            self.n_kv_heads = n_heads
         dt = dtype or params["embed"].dtype
-        self.cache = PagedKVCache(len(params["blocks"]), n_heads,
+        self.cache = PagedKVCache(len(params["blocks"]), self.n_kv_heads,
                                   self.head_dim, cfg, dt)
         self.queue: deque[_Request] = deque()
         self.running: List[Optional[_Request]] = [None] * cfg.max_seqs
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
         self._tokens = np.zeros((cfg.max_seqs,), np.int32)
+        decode_fn = _decode_step if model == "transformer" else \
+            _llama_decode_step
+        self._prefill_fn = _prefill_paged if model == "transformer" else \
+            _llama_prefill_paged
         self._decode = jax.jit(
-            partial(_decode_step, n_heads=n_heads,
+            partial(decode_fn, n_heads=n_heads,
                     page_size=cfg.page_size),
             donate_argnums=(1,))
         self._prefills = {}
@@ -217,7 +234,7 @@ class ServingEngine:
                              f"prefill bucket {self.cfg.prefill_buckets[-1]}")
         if bucket not in self._prefills:
             self._prefills[bucket] = jax.jit(
-                partial(_prefill_paged, n_heads=self.n_heads,
+                partial(self._prefill_fn, n_heads=self.n_heads,
                         page_size=self.cfg.page_size, bucket=bucket),
                 static_argnames=(), donate_argnums=(1,))
         pad = np.zeros((bucket,), np.int32)
@@ -321,4 +338,92 @@ def _prefill_paged(params, pools, prompt, length, page_vec, *, n_heads: int,
                                         keepdims=False)
     last = layer_norm(last[None], params["lnf_g"], params["lnf_b"])[0]
     logits = gemm_ad(last[None], params["embed"], None, False, True)
+    return logits[0], pools
+
+
+# ---------------------------------------------------------------------------
+# Llama-family device steps (models/llama.py schema: RoPE + GQA + SwiGLU)
+# ---------------------------------------------------------------------------
+
+def _llama_decode_step(params, pools, tables, lengths, write_page, tokens, *,
+                       n_heads: int, page_size: int):
+    from ..ops.norm import rms_norm
+    from ..ops.rope import apply_rope_at
+
+    S = tokens.shape[0]
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = D // H
+    Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
+    active = lengths > 0
+    att_len = jnp.where(active, lengths + 1, 0)
+    row = lengths % page_size
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    # each slot rotates at ITS position (= its current length)
+    pos = jnp.minimum(lengths, cos.shape[0] - 1)
+    x = params["embed"][tokens][:, None, :]  # (S, 1, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"]).reshape(S, D)
+        q = linear(h, blk["wq"], None).reshape(S, H, hd)
+        kv = linear(h, blk["wkv"], None).reshape(S, 2, Hkv, hd)
+        k, v = kv[:, 0], kv[:, 1]
+        q = apply_rope_at(q, cos, sin, pos)
+        k = apply_rope_at(k, cos, sin, pos)
+        pools = pools.at[li, 0, write_page, :, row, :].set(k)
+        pools = pools.at[li, 1, write_page, :, row, :].set(v)
+        o = paged_attention(q, pools[li, 0], pools[li, 1], tables, att_len)
+        x = x + linear(o.reshape(S, H * hd), blk["wo"], None).reshape(S, 1, D)
+
+        h = rms_norm(x, blk["rms2"]).reshape(S, D)
+        f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
+            h, blk["w_up"], None)
+        x = x + linear(f, blk["w_down"], None).reshape(S, 1, D)
+
+    x = rms_norm(x[:, 0, :], params["rms_f"])
+    logits = gemm_ad(x, params["unembed"], None, False, False)
+    return logits, pools
+
+
+def _llama_prefill_paged(params, pools, prompt, length, page_vec, *,
+                         n_heads: int, page_size: int, bucket: int):
+    from ..ops.attention import attention_gqa
+    from ..ops.norm import rms_norm
+    from ..ops.rope import apply_rope
+
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = D // H
+    Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    x = params["embed"][prompt][None]  # (1, bucket, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"]).reshape(bucket, D)
+        q = linear(h, blk["wq"], None).reshape(
+            bucket, H, hd).transpose(1, 0, 2)[None]          # (1,H,bkt,hd)
+        kv = linear(h, blk["wkv"], None).reshape(bucket, 2, Hkv, hd)
+        k = kv[:, 0].transpose(1, 0, 2)[None]                # (1,Hkv,bkt,hd)
+        v = kv[:, 1].transpose(1, 0, 2)[None]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        def pages_of(t):
+            return t[0].reshape(Hkv, bucket // page_size, page_size,
+                                hd).transpose(1, 0, 2, 3)
+        pools = pools.at[li, 0, page_vec].set(pages_of(k))
+        pools = pools.at[li, 1, page_vec].set(pages_of(v))
+        o = attention_gqa(q, k, v, causal=True)
+        o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
+        x = x + linear(o, blk["wo"], None).reshape(1, bucket, D)
+
+        h = rms_norm(x, blk["rms2"]).reshape(bucket, D)
+        f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
+            h, blk["w_up"], None)
+        x = x + linear(f, blk["w_down"], None).reshape(1, bucket, D)
+
+    last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
+                                        keepdims=False)
+    last = rms_norm(last[None], params["rms_f"])
+    logits = gemm_ad(last, params["unembed"], None, False, False)
     return logits[0], pools

@@ -106,6 +106,29 @@ class TestServingEngine:
                 params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
             assert out[rid] == list(want[0, len(p):])
 
+    def test_llama_family_gqa_rope(self, rng):
+        # modern decoder schema: RoPE positions differ per slot under
+        # continuous batching; GQA pools hold Hkv < Hq heads
+        from laser_tpu.models.llama import init_llama, llama_generate
+
+        params = init_llama(jax.random.PRNGKey(3), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=2, d_ff=256, vocab=97,
+                            max_len=256)
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32, 64))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama")
+        assert eng.n_kv_heads == 2
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (7, 21, 40)]
+        ids = [eng.add_request(p, 5) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=2, max_new_tokens=5, temperature=0.0))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
     def test_eos_stops_early(self, rng):
         params = _make_model(rng)
         cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
