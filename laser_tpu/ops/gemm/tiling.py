@@ -42,6 +42,30 @@ def _align_for(dtype) -> int:
     return max(MXU_DIM, sub)
 
 
+# Per-generation measured tile defaults: (bm, bn, kc_cap) keyed by
+# (generation, itemsize-class). The analog of the reference's per-ISA
+# register-budget tables (gemm_tiling.nim:147-197), but MEASURED, not
+# derived: wide-N tiles win on v5e because the MXU streams B's lanes
+# (512x1024 at >=2 bytes); int8 is launch-overhead-sensitive and prefers
+# the largest K block (75.9% of int8 peak at 1024x512x4096 vs 63.7% at
+# 512x1024x2048). Generations without measurements inherit the v5e row —
+# the sweep in autotune.py refines per shape and persists.
+GENERATION_TILE_DEFAULTS = {
+    ("v5e", 1): (1024, 512, 4096),
+    ("v5e", 2): (512, 1024, 2048),
+    ("v5e", 4): (512, 1024, 2048),
+}
+
+
+def _generation_defaults(itemsize: int):
+    gen = detect().generation
+    cls = itemsize if itemsize in (1, 2, 4) else 4
+    for g in (gen, "v5e"):
+        if (g, cls) in GENERATION_TILE_DEFAULTS:
+            return GENERATION_TILE_DEFAULTS[(g, cls)]
+    return (512, 1024, 2048)
+
+
 def plan_tiles(M: int, N: int, K: int, in_dtype, acc_dtype=np.float32,
                *, n_inputs: int = 2, has_c_input: bool = False,
                overrides: Optional[Tuple[Optional[int], Optional[int], Optional[int]]] = None
@@ -78,19 +102,9 @@ def plan_tiles(M: int, N: int, K: int, in_dtype, acc_dtype=np.float32,
     Nr = round_step_up(max(N, 1), align)
     Kr = round_step_up(max(K, 1), align)
 
-    # Measured on v5e: wide-N tiles win (the MXU streams B's lanes); 512x1024
-    # is the robust default at large sizes, with autotune refining further.
-    # int8 is the exception: its K dim is cheap in VMEM (1 byte) and the
-    # kernel is launch-overhead-sensitive, so the largest K block wins
-    # (75.9% of int8 peak at 1024x512x4096 vs 63.7% at 512x1024x2048).
-    if itemsize == 1:
-        bm = o_bm or min(1024, Mr)
-        bn = o_bn or min(512, Nr)
-        kc_cap = 4096
-    else:
-        bm = o_bm or min(512, Mr)
-        bn = o_bn or min(1024, Nr)
-        kc_cap = 2048
+    d_bm, d_bn, kc_cap = _generation_defaults(itemsize)
+    bm = o_bm or min(d_bm, Mr)
+    bn = o_bn or min(d_bn, Nr)
     bm = round_step_up(bm, align)
     bn = round_step_up(bn, align)
 
