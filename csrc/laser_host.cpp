@@ -266,7 +266,81 @@ static void strided_copy(const T* src, T* dst, int rank, const int64_t* shape,
   }
 }
 
+// ---------------------------------------------------------------------------
+// f64 -> signed 7-bit digit planes (the Ozaki-slice extraction for the native
+// f64 GEMM, laser_tpu/ops/gemm/f64_kernel.py). One pass per element computes
+// every slice — ~10x the multi-temporary NumPy loop on the single-core host.
+// Matches f64_digits_np bit-for-bit: frexp scale (|xs| <= 0.5), x128 +
+// round-half-even (nearbyint under the default FE_TONEAREST) + exact
+// subtract.
+// ---------------------------------------------------------------------------
+
+#include <cfenv>
+#include <cmath>
+
+static void f64_digits_impl(const double* x, int64_t rows, int64_t cols,
+                            int axis, int slices, int8_t* digits,
+                            int32_t* scales) {
+  const int64_t n_scales = (axis == 1) ? rows : cols;
+  const int64_t plane = rows * cols;
+  // per-line max |x| along the contraction axis
+  for (int64_t s = 0; s < n_scales; ++s) {
+    double amax = 0.0;
+    if (axis == 1) {
+      for (int64_t j = 0; j < cols; ++j) {
+        double a = std::fabs(x[s * cols + j]);
+        if (a > amax) amax = a;
+      }
+    } else {
+      for (int64_t i = 0; i < rows; ++i) {
+        double a = std::fabs(x[i * cols + s]);
+        if (a > amax) amax = a;
+      }
+    }
+    int e;
+    std::frexp(amax > 0.0 ? amax : 1.0, &e);
+    scales[s] = e + 1;
+  }
+  // precompute 2^-scale per line: multiplying by an exact power of two is
+  // the same correctly-rounded result as ldexp, without the libm call
+  std::vector<double> inv(n_scales);
+  for (int64_t s = 0; s < n_scales; ++s) inv[s] = std::ldexp(1.0, -scales[s]);
+  // round-to-nearest-even via the 1.5*2^52 magic add (valid for |t| < 2^51;
+  // here |t| <= 64.5) — matches nearbyint under FE_TONEAREST bit-for-bit.
+  // Block over j so the slice loop runs data-parallel across a 256-wide
+  // residual buffer (SIMD-izable) instead of a serial per-element chain.
+  const double MAGIC = 6755399441055744.0;
+  constexpr int64_t JB = 256;
+  double t[JB];
+  for (int64_t i = 0; i < rows; ++i) {
+    const double* xr = x + i * cols;
+    for (int64_t j0 = 0; j0 < cols; j0 += JB) {
+      const int64_t w = std::min(JB, cols - j0);
+      if (axis == 1) {
+        const double iv = inv[i];
+        for (int64_t j = 0; j < w; ++j) t[j] = xr[j0 + j] * iv;
+      } else {
+        for (int64_t j = 0; j < w; ++j) t[j] = xr[j0 + j] * inv[j0 + j];
+      }
+      int8_t* d = digits + i * cols + j0;
+      for (int p = 0; p < slices; ++p, d += plane) {
+        for (int64_t j = 0; j < w; ++j) {
+          double tj = t[j] * 128.0;
+          double r = (tj + MAGIC) - MAGIC;
+          d[j] = static_cast<int8_t>(r);
+          t[j] = tj - r;
+        }
+      }
+    }
+  }
+}
+
 extern "C" {
+
+void laser_f64_digits(const double* x, int64_t rows, int64_t cols, int axis,
+                      int slices, int8_t* digits, int32_t* scales) {
+  f64_digits_impl(x, rows, cols, axis, slices, digits, scales);
+}
 
 void laser_strided_copy_f32(const float* src, float* dst, int rank,
                             const int64_t* shape, const int64_t* strides,

@@ -73,6 +73,9 @@ def _declare(lib: ctypes.CDLL):
     lib.laser_strided_copy_f64.argtypes = [
         c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int,
         c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int64]
+    lib.laser_f64_digits.argtypes = [
+        c.POINTER(c.c_double), c.c_int64, c.c_int64, c.c_int, c.c_int,
+        c.POINTER(c.c_int8), c.POINTER(c.c_int32)]
     lib.laser_host_abi_version.restype = c.c_int
 
 
@@ -168,3 +171,19 @@ def strided_copy(src: np.ndarray, shape, strides, offset: int = 0
        strides_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
        int(offset))
     return out
+
+
+def f64_digits(x: np.ndarray, axis: int, slices: int):
+    """Single-pass Ozaki digit extraction (native twin of
+    ops/gemm/f64_kernel.f64_digits_np): (R, C) f64 -> ((slices, R, C) int8,
+    per-line int32 scales along ``axis``)."""
+    x = np.ascontiguousarray(x, np.float64)
+    rows, cols = x.shape
+    digits = np.empty((slices, rows, cols), np.int8)
+    scales = np.empty((rows if axis == 1 else cols,), np.int32)
+    get_lib().laser_f64_digits(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rows, cols, int(axis), int(slices),
+        digits.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return digits, scales

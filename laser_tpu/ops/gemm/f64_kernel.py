@@ -86,6 +86,20 @@ def f64_digits(x: jax.Array, axis: int, slices: int):
     return jnp.stack(digits), jnp.squeeze(scale, axis)
 
 
+def _extract_host(x: np.ndarray, axis: int, slices: int):
+    """Host extraction: the single-pass C++ kernel when the native runtime
+    builds (csrc/laser_host.cpp:laser_f64_digits, ~10x NumPy on this path),
+    else the NumPy twin. Both are bit-identical."""
+    try:
+        from ... import host
+
+        if host.available():
+            return host.f64_digits(x, axis, slices)
+    except Exception:
+        pass
+    return f64_digits_np(x, axis, slices)
+
+
 def f64_digits_np(x: np.ndarray, axis: int, slices: int):
     """NumPy twin of ``f64_digits`` — the host-exact extraction used when
     the accelerator cannot hold f64 (see module docstring)."""
@@ -141,8 +155,8 @@ def _gemm_f64_host(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
     out = np.zeros((Mp, Np), np.float64)
     for k0 in range(0, Kp, k_chunk):
         k1 = min(k0 + k_chunk, Kp)
-        da, sa = f64_digits_np(a[:, k0:k1], 1, slices)
-        db, sb = f64_digits_np(b[k0:k1, :], 0, slices)
+        da, sa = _extract_host(a[:, k0:k1], 1, slices)
+        db, sb = _extract_host(b[k0:k1, :], 0, slices)
         buckets = np.asarray(gemm_limbs(jnp.asarray(da), jnp.asarray(db),
                                         slices, interpret=interpret))
         part = np.zeros((Mp, Np), np.float64)
