@@ -50,13 +50,17 @@ _NEG_INF = -1e30
 @build_cache
 def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                           hd: int, max_pages: int, scale: float,
-                          dtype: str, interpret: bool):
+                          dtype: str, quantized: bool, interpret: bool):
     dt = jnp.dtype(dtype)
     group = Hq // Hkv
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
-    def kernel(tables_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref):
+    def kernel(tables_ref, lens_ref, *refs):
+        if quantized:
+            (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+             m_ref, l_ref, acc_ref) = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
         s_idx = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -71,7 +75,16 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
         @pl.when(j * ps < length)
         def _step():
             q = q_ref[0].reshape(Hkv, group, hd)      # (Hkv, g, hd)
-            k = k_ref[0]                               # (Hkv, ps, hd)
+            if quantized:
+                # int8 rows + per-(token, head) f32 scales; dequantize on
+                # read — the dots stay in the compute dtype, HBM pays 1/4
+                k = (k_ref[0].astype(jnp.float32)
+                     * ks_ref[0][..., None]).astype(dt)
+                v = (v_ref[0].astype(jnp.float32)
+                     * vs_ref[0][..., None]).astype(dt)
+            else:
+                k = k_ref[0]                           # (Hkv, ps, hd)
+                v = v_ref[0]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
@@ -90,7 +103,7 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
             l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             acc_ref[:] = acc_ref[:] * corr[..., :hd] + jax.lax.dot_general(
-                p.astype(dt), v_ref[0], (((2,), (1,)), ((0,), (0,))),
+                p.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
             m_ref[:] = m_new
 
@@ -108,19 +121,26 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
     def kv_map(s, j, tbl, lens):
         return (tbl[s, j], j * 0, j * 0, j * 0)
 
+    def sc_map(s, j, tbl, lens):
+        return (tbl[s, j], j * 0, j * 0)
+
     def o_map(s, j, tbl, lens):
         return (s, j * 0, j * 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hq, hd), q_map),
+        pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+        pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, Hkv, ps), sc_map)] * 2
 
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hq, hd), q_map),
-                pl.BlockSpec((1, Hkv, ps, hd), kv_map),
-                pl.BlockSpec((1, Hkv, ps, hd), kv_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hq, hd), o_map),
             scratch_shapes=[
                 pltpu.VMEM((Hkv, group, stat_lanes), jnp.float32),
@@ -138,12 +158,19 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
 
 def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     tables: jax.Array, lengths: jax.Array, *,
+                    k_scale: Optional[jax.Array] = None,
+                    v_scale: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
                     interpret: Optional[bool] = None) -> jax.Array:
     """Decode attention over paged KV. See module docstring for layouts.
 
     Slots with lengths[s] == 0 produce zeros (inactive). hd is zero-padded
-    to the 128-lane tile inside (exact: padded lanes contribute nothing)."""
+    to the 128-lane tile inside (exact: padded lanes contribute nothing).
+
+    int8 KV cache: pass int8 pools plus per-(page, head, token) f32
+    ``k_scale``/``v_scale`` of shape (P, Hkv, ps) (from ``quantize_kv``);
+    rows dequantize on read inside the kernel, so the HBM bill — what bounds
+    decode — drops ~4x vs f32 pools."""
     S, Hq, hd = q.shape
     P, Hkv, ps, hd_k = k_pool.shape
     if hd_k != hd or v_pool.shape != k_pool.shape:
@@ -151,6 +178,9 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                          f"inconsistent with q {q.shape}")
     if Hq % Hkv:
         raise ValueError(f"Hq {Hq} not a multiple of Hkv {Hkv}")
+    quantized = k_pool.dtype == jnp.int8
+    if quantized and (k_scale is None or v_scale is None):
+        raise ValueError("int8 pools need k_scale/v_scale (P, Hkv, ps)")
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
     interp = should_interpret() if interpret is None else interpret
@@ -162,10 +192,26 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         v_pool = jnp.pad(v_pool, ((0, 0), (0, 0), (0, 0), (0, hdP - hd)))
     max_pages = tables.shape[1]
     fn = build_paged_attention(S, P, Hq, Hkv, ps, hdP, max_pages,
-                               float(scale), jnp.dtype(q.dtype).name, interp)
-    out = fn(tables.astype(jnp.int32), lengths.astype(jnp.int32),
-             q, k_pool, v_pool)
+                               float(scale), jnp.dtype(q.dtype).name,
+                               quantized, interp)
+    args = [tables.astype(jnp.int32), lengths.astype(jnp.int32),
+            q, k_pool, v_pool]
+    if quantized:
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    out = fn(*args)
     return out[..., :hd] if hdP != hd else out
+
+
+def quantize_kv(x: jax.Array):
+    """Per-token-per-head symmetric int8 quantization for KV rows.
+
+    x (..., hd) f32/bf16 -> (int8 rows, f32 scales (...,)). Used by the
+    serving engine to quantize new K/V before the pool scatter."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                  -127, 127).astype(jnp.int8)
+    return qx, s
 
 
 def paged_attention_reference(q, k_pool, v_pool, tables, lengths, *,

@@ -49,20 +49,29 @@ class ServingConfig:
     max_seqs: int = 8           # concurrent sequences (decode batch)
     max_pages_per_seq: int = 16
     prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    kv_quant: bool = False      # int8 KV pages + per-token-head f32 scales:
+    # ~4x less HBM per decoded token (decode is HBM-bound)
 
 
 class PagedKVCache:
     """Shared KV page pool + host-side allocator.
 
-    pools: (L, 2, P, Hkv, ps, hd) device array (donated across steps).
+    state["pools"]: (L, 2, P, Hkv, ps, hd) device array (donated across
+    steps); with kv_quant also state["scales"] (L, 2, P, Hkv, ps) f32.
     tables/lengths: host int32 mirrors shipped to the device each step.
     """
 
     def __init__(self, n_layers: int, n_kv_heads: int, head_dim: int,
                  cfg: ServingConfig, dtype=jnp.float32):
         self.cfg = cfg
-        self.pools = jnp.zeros((n_layers, 2, cfg.n_pages, n_kv_heads,
-                                cfg.page_size, head_dim), dtype)
+        pool_dt = jnp.int8 if cfg.kv_quant else dtype
+        self.state = {"pools": jnp.zeros(
+            (n_layers, 2, cfg.n_pages, n_kv_heads, cfg.page_size, head_dim),
+            pool_dt)}
+        if cfg.kv_quant:
+            self.state["scales"] = jnp.zeros(
+                (n_layers, 2, cfg.n_pages, n_kv_heads, cfg.page_size),
+                jnp.float32)
         self.tables = np.zeros((cfg.max_seqs, cfg.max_pages_per_seq),
                                np.int32)
         self.lengths = np.zeros((cfg.max_seqs,), np.int32)
@@ -183,8 +192,8 @@ class ServingEngine:
             write_page[s] = self.cache.pages_of[s][
                 self.cache.lengths[s] // ps]
         lengths = jnp.asarray(self.cache.lengths)
-        logits, self.cache.pools = self._decode(
-            self.params, self.cache.pools, jnp.asarray(self.cache.tables),
+        logits, self.cache.state = self._decode(
+            self.params, self.cache.state, jnp.asarray(self.cache.tables),
             lengths, jnp.asarray(write_page), jnp.asarray(self._tokens))
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for s in active:
@@ -242,8 +251,8 @@ class ServingEngine:
         page_vec = np.full((bucket // self.cfg.page_size,),
                            self.cache.trash_page, np.int32)
         page_vec[:len(pages)] = pages
-        logits, self.cache.pools = self._prefills[bucket](
-            self.params, self.cache.pools, jnp.asarray(pad),
+        logits, self.cache.state = self._prefills[bucket](
+            self.params, self.cache.state, jnp.asarray(pad),
             jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec))
         return int(np.asarray(jnp.argmax(logits, -1)))
 
@@ -252,13 +261,62 @@ class ServingEngine:
 # Device steps
 # ---------------------------------------------------------------------------
 
-def _decode_step(params, pools, tables, lengths, write_page, tokens, *,
+def _kv_write_token(kv, li, write_page, row, k, v):
+    """Scatter one new K/V row per slot into the pools (quantizing when the
+    cache is int8): kv["pools"][li, 0][write_page[s], :, row[s], :] = k[s]."""
+    from ..ops.paged_attention import quantize_kv
+
+    pools = kv["pools"]
+    if "scales" in kv:
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        pools = pools.at[li, 0, write_page, :, row, :].set(kq)
+        pools = pools.at[li, 1, write_page, :, row, :].set(vq)
+        scales = kv["scales"]
+        scales = scales.at[li, 0, write_page, :, row].set(ks)
+        scales = scales.at[li, 1, write_page, :, row].set(vs)
+        return {"pools": pools, "scales": scales}
+    pools = pools.at[li, 0, write_page, :, row, :].set(k)
+    pools = pools.at[li, 1, write_page, :, row, :].set(v)
+    return {"pools": pools}
+
+
+def _kv_write_pages(kv, li, page_vec, kp, vp):
+    """Prefill scatter of whole pages: kp/vp (n_pg, Hkv, ps, hd)."""
+    from ..ops.paged_attention import quantize_kv
+
+    pools = kv["pools"]
+    if "scales" in kv:
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        pools = pools.at[li, 0, page_vec].set(kq)
+        pools = pools.at[li, 1, page_vec].set(vq)
+        scales = kv["scales"]
+        scales = scales.at[li, 0, page_vec].set(ks)
+        scales = scales.at[li, 1, page_vec].set(vs)
+        return {"pools": pools, "scales": scales}
+    pools = pools.at[li, 0, page_vec].set(kp)
+    pools = pools.at[li, 1, page_vec].set(vp)
+    return {"pools": pools}
+
+
+def _kv_attend(kv, li, q, tables, att_len):
+    if "scales" in kv:
+        return paged_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
+                               tables, att_len,
+                               k_scale=kv["scales"][li, 0],
+                               v_scale=kv["scales"][li, 1])
+    return paged_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
+                           tables, att_len)
+
+
+def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
                  n_heads: int, page_size: int):
     """One batched decode step for all slots.
 
     tokens (S,) int32 — last emitted token per slot. Writes each slot's new
     K/V at row lengths[s] % ps of write_page[s] (the trash page for inactive
-    slots), then attends over lengths+1 keys. Returns (logits, pools)."""
+    slots), then attends over lengths+1 keys. Returns (logits, kv)."""
     S = tokens.shape[0]
     D = params["embed"].shape[1]
     H = n_heads
@@ -277,10 +335,8 @@ def _decode_step(params, pools, tables, lengths, write_page, tokens, *,
         q = q.reshape(S, H, hd)
         k = k.reshape(S, H, hd)
         v = v.reshape(S, H, hd)
-        # scatter the new K/V: pools[li, 0][write_page[s], :, row[s], :] = k
-        pools = pools.at[li, 0, write_page, :, row, :].set(k)
-        pools = pools.at[li, 1, write_page, :, row, :].set(v)
-        o = paged_attention(q, pools[li, 0], pools[li, 1], tables, att_len)
+        kv = _kv_write_token(kv, li, write_page, row, k, v)
+        o = _kv_attend(kv, li, q, tables, att_len)
         o = o.reshape(S, D)
         x = x + linear(o, blk["wo"], blk["bo"]).reshape(S, 1, D)
 
@@ -290,10 +346,10 @@ def _decode_step(params, pools, tables, lengths, write_page, tokens, *,
 
     x = layer_norm(x, params["lnf_g"], params["lnf_b"])
     logits = gemm_ad(x.reshape(S, D), params["embed"], None, False, True)
-    return logits, pools
+    return logits, kv
 
 
-def _prefill_paged(params, pools, prompt, length, page_vec, *, n_heads: int,
+def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
                    page_size: int, bucket: int):
     """Single-sequence flash prefill that scatters K/V into pages.
 
@@ -323,8 +379,7 @@ def _prefill_paged(params, pools, prompt, length, page_vec, *, n_heads: int,
         def pages_of(t):
             return t[0].reshape(H, bucket // page_size, page_size,
                                 hd).transpose(1, 0, 2, 3)
-        pools = pools.at[li, 0, page_vec].set(pages_of(kh))
-        pools = pools.at[li, 1, page_vec].set(pages_of(vh))
+        kv = _kv_write_pages(kv, li, page_vec, pages_of(kh), pages_of(vh))
         o = attention(qh, kh, vh, causal=True)
         o = o.transpose(0, 2, 1, 3)
         x = x + linear(o.reshape(bucket, D), blk["wo"],
@@ -338,14 +393,14 @@ def _prefill_paged(params, pools, prompt, length, page_vec, *, n_heads: int,
                                         keepdims=False)
     last = layer_norm(last[None], params["lnf_g"], params["lnf_b"])[0]
     logits = gemm_ad(last[None], params["embed"], None, False, True)
-    return logits[0], pools
+    return logits[0], kv
 
 
 # ---------------------------------------------------------------------------
 # Llama-family device steps (models/llama.py schema: RoPE + GQA + SwiGLU)
 # ---------------------------------------------------------------------------
 
-def _llama_decode_step(params, pools, tables, lengths, write_page, tokens, *,
+def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
                        n_heads: int, page_size: int):
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope_at
@@ -366,13 +421,12 @@ def _llama_decode_step(params, pools, tables, lengths, write_page, tokens, *,
     for li, blk in enumerate(params["blocks"]):
         h = rms_norm(x, blk["rms1"]).reshape(S, D)
         q = linear(h, blk["wq"], None).reshape(S, H, hd)
-        kv = linear(h, blk["wkv"], None).reshape(S, 2, Hkv, hd)
-        k, v = kv[:, 0], kv[:, 1]
+        kvp = linear(h, blk["wkv"], None).reshape(S, 2, Hkv, hd)
+        k, v = kvp[:, 0], kvp[:, 1]
         q = apply_rope_at(q, cos, sin, pos)
         k = apply_rope_at(k, cos, sin, pos)
-        pools = pools.at[li, 0, write_page, :, row, :].set(k)
-        pools = pools.at[li, 1, write_page, :, row, :].set(v)
-        o = paged_attention(q, pools[li, 0], pools[li, 1], tables, att_len)
+        kv = _kv_write_token(kv, li, write_page, row, k, v)
+        o = _kv_attend(kv, li, q, tables, att_len)
         x = x + linear(o.reshape(S, H * hd), blk["wo"], None).reshape(S, 1, D)
 
         h = rms_norm(x, blk["rms2"]).reshape(S, D)
@@ -382,10 +436,10 @@ def _llama_decode_step(params, pools, tables, lengths, write_page, tokens, *,
 
     x = rms_norm(x[:, 0, :], params["rms_f"])
     logits = gemm_ad(x, params["unembed"], None, False, False)
-    return logits, pools
+    return logits, kv
 
 
-def _llama_prefill_paged(params, pools, prompt, length, page_vec, *,
+def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
                          n_heads: int, page_size: int, bucket: int):
     from ..ops.attention import attention_gqa
     from ..ops.norm import rms_norm
@@ -402,17 +456,16 @@ def _llama_prefill_paged(params, pools, prompt, length, page_vec, *,
         h = rms_norm(x, blk["rms1"]).reshape(bucket, D)
         q = linear(h, blk["wq"], None).reshape(
             bucket, H, hd).transpose(1, 0, 2)[None]          # (1,H,bkt,hd)
-        kv = linear(h, blk["wkv"], None).reshape(bucket, 2, Hkv, hd)
-        k = kv[:, 0].transpose(1, 0, 2)[None]                # (1,Hkv,bkt,hd)
-        v = kv[:, 1].transpose(1, 0, 2)[None]
+        kvp = linear(h, blk["wkv"], None).reshape(bucket, 2, Hkv, hd)
+        k = kvp[:, 0].transpose(1, 0, 2)[None]               # (1,Hkv,bkt,hd)
+        v = kvp[:, 1].transpose(1, 0, 2)[None]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
         def pages_of(t):
             return t[0].reshape(Hkv, bucket // page_size, page_size,
                                 hd).transpose(1, 0, 2, 3)
-        pools = pools.at[li, 0, page_vec].set(pages_of(k))
-        pools = pools.at[li, 1, page_vec].set(pages_of(v))
+        kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
         o = attention_gqa(q, k, v, causal=True)
         o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
         x = x + linear(o, blk["wo"], None).reshape(1, bucket, D)
@@ -426,4 +479,4 @@ def _llama_prefill_paged(params, pools, prompt, length, page_vec, *,
                                         keepdims=False)
     last = rms_norm(last[None], params["rms_f"])
     logits = gemm_ad(last, params["unembed"], None, False, False)
-    return logits[0], pools
+    return logits[0], kv
