@@ -125,13 +125,16 @@ class ServingEngine:
 
     def __init__(self, params: Dict, *, n_heads: int,
                  cfg: ServingConfig = ServingConfig(), dtype=None,
-                 model: str = "transformer"):
+                 model: str = "transformer", mesh=None):
         if model not in ("transformer", "llama"):
             raise ValueError(f"unknown model family {model!r}")
+        if mesh is not None and model != "llama":
+            raise ValueError("tensor-parallel serving: llama family only")
         self.params = params
         self.n_heads = n_heads
         self.cfg = cfg
         self.model = model
+        self.mesh = mesh
         D = params["embed"].shape[1]
         self.head_dim = D // n_heads
         if model == "llama":
@@ -151,10 +154,33 @@ class ServingEngine:
             _llama_decode_step
         self._prefill_fn = _prefill_paged if model == "transformer" else \
             _llama_prefill_paged
-        self._decode = jax.jit(
-            partial(decode_fn, n_heads=n_heads,
-                    page_size=cfg.page_size),
-            donate_argnums=(1,))
+        if mesh is None:
+            self._decode = jax.jit(
+                partial(decode_fn, n_heads=n_heads,
+                        page_size=cfg.page_size),
+                donate_argnums=(1,))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tp = mesh.shape["tp"]
+            if n_heads % tp or self.n_kv_heads % tp:
+                raise ValueError(
+                    f"n_heads {n_heads} / n_kv_heads {self.n_kv_heads} "
+                    f"not divisible by tp={tp}")
+            self.params = _shard_llama_params(params, mesh, n_heads)
+            pspecs, kv_specs = _llama_tp_specs(params, self.cache.state)
+            self.cache.state = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                self.cache.state, kv_specs)
+            self._tp_specs = (pspecs, kv_specs)
+            rep = P()
+            self._decode = jax.jit(jax.shard_map(
+                partial(_llama_decode_step, n_heads=n_heads // tp,
+                        page_size=cfg.page_size, tp_axis="tp"),
+                mesh=mesh,
+                in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
+                out_specs=(rep, kv_specs), check_vma=False),
+                donate_argnums=(1,))
         self._prefills = {}
 
     # -- request API -------------------------------------------------------
@@ -242,10 +268,26 @@ class ServingEngine:
             raise ValueError(f"prompt length {S0} exceeds the largest "
                              f"prefill bucket {self.cfg.prefill_buckets[-1]}")
         if bucket not in self._prefills:
-            self._prefills[bucket] = jax.jit(
-                partial(self._prefill_fn, n_heads=self.n_heads,
-                        page_size=self.cfg.page_size, bucket=bucket),
-                static_argnames=(), donate_argnums=(1,))
+            if self.mesh is None:
+                self._prefills[bucket] = jax.jit(
+                    partial(self._prefill_fn, n_heads=self.n_heads,
+                            page_size=self.cfg.page_size, bucket=bucket),
+                    static_argnames=(), donate_argnums=(1,))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                pspecs, kv_specs = self._tp_specs
+                tp = self.mesh.shape["tp"]
+                rep = P()
+                self._prefills[bucket] = jax.jit(jax.shard_map(
+                    partial(_llama_prefill_paged,
+                            n_heads=self.n_heads // tp,
+                            page_size=self.cfg.page_size, bucket=bucket,
+                            tp_axis="tp"),
+                    mesh=self.mesh,
+                    in_specs=(pspecs, kv_specs, rep, rep, rep),
+                    out_specs=(rep, kv_specs), check_vma=False),
+                    donate_argnums=(1,))
         pad = np.zeros((bucket,), np.int32)
         pad[:S0] = prompt
         page_vec = np.full((bucket // self.cfg.page_size,),
@@ -255,6 +297,54 @@ class ServingEngine:
             self.params, self.cache.state, jnp.asarray(pad),
             jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec))
         return int(np.asarray(jnp.argmax(logits, -1)))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel serving (llama family): megatron-split weights over a
+# "tp" mesh axis, KV pools sharded on the kv-head axis, two psums per block.
+# ---------------------------------------------------------------------------
+
+def _llama_tp_specs(params, kv_state):
+    """(param_specs, kv_specs) PartitionSpec pytrees for the llama schema."""
+    from jax.sharding import PartitionSpec as P
+
+    col, rowp, rep = P(None, "tp"), P("tp", None), P()
+    blocks = [{"wq": col, "wkv": col, "wo": rowp, "w_gate": col,
+               "w_up": col, "w_down": rowp, "rms1": rep, "rms2": rep}
+              for _ in params["blocks"]]
+    pspecs = {"embed": rep, "unembed": rep, "blocks": blocks,
+              "rms_f": rep, "rope_cos": rep, "rope_sin": rep}
+    kv_specs = {"pools": P(None, None, None, "tp", None, None)}
+    if "scales" in kv_state:
+        kv_specs["scales"] = P(None, None, None, "tp", None)
+    return pspecs, kv_specs
+
+
+def _shard_llama_params(params, mesh, n_heads: int):
+    """Lay the llama weights out for tp sharding.
+
+    wkv packs columns as (2, Hkv, hd) — a contiguous tp slice of that would
+    mix K of one head with V of another, so reorder to (tp, 2, Hkv/tp, hd)
+    first; every other weight's natural head-contiguous layout already
+    shards correctly. Then device_put everything per _llama_tp_specs."""
+    from jax.sharding import NamedSharding
+
+    tp = mesh.shape["tp"]
+    D = params["embed"].shape[1]
+    hd = D // n_heads
+    out = dict(params)
+    blocks = []
+    for blk in params["blocks"]:
+        b = dict(blk)
+        w = blk["wkv"]
+        Hkv = w.shape[1] // (2 * hd)
+        b["wkv"] = (w.reshape(D, 2, tp, Hkv // tp, hd)
+                    .transpose(0, 2, 1, 3, 4).reshape(w.shape))
+        blocks.append(b)
+    out["blocks"] = blocks
+    pspecs, _ = _llama_tp_specs(params, {})
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), out, pspecs)
 
 
 # ---------------------------------------------------------------------------
@@ -401,14 +491,18 @@ def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
 # ---------------------------------------------------------------------------
 
 def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
-                       n_heads: int, page_size: int):
+                       n_heads: int, page_size: int, tp_axis=None):
+    """``tp_axis``: when set, this runs INSIDE shard_map with megatron-split
+    weights — n_heads is the LOCAL head count, wq/wkv/w_gate/w_up arrive
+    column-sharded, wo/w_down row-sharded, KV pools sharded on Hkv — and
+    the two row-parallel projections psum over the axis."""
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope_at
 
     S = tokens.shape[0]
     D = params["embed"].shape[1]
     H = n_heads
-    hd = D // H
+    hd = params["blocks"][0]["wq"].shape[1] // H  # local-shard safe
     Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
     active = lengths > 0
     att_len = jnp.where(active, lengths + 1, 0)
@@ -427,12 +521,18 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
         k = apply_rope_at(k, cos, sin, pos)
         kv = _kv_write_token(kv, li, write_page, row, k, v)
         o = _kv_attend(kv, li, q, tables, att_len)
-        x = x + linear(o.reshape(S, H * hd), blk["wo"], None).reshape(S, 1, D)
+        xo = linear(o.reshape(S, H * hd), blk["wo"], None)
+        if tp_axis:
+            xo = jax.lax.psum(xo, tp_axis)
+        x = x + xo.reshape(S, 1, D)
 
         h = rms_norm(x, blk["rms2"]).reshape(S, D)
         f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
             h, blk["w_up"], None)
-        x = x + linear(f, blk["w_down"], None).reshape(S, 1, D)
+        xf = linear(f, blk["w_down"], None)
+        if tp_axis:
+            xf = jax.lax.psum(xf, tp_axis)
+        x = x + xf.reshape(S, 1, D)
 
     x = rms_norm(x[:, 0, :], params["rms_f"])
     logits = gemm_ad(x, params["unembed"], None, False, False)
@@ -440,14 +540,15 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
 
 
 def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
-                         n_heads: int, page_size: int, bucket: int):
+                         n_heads: int, page_size: int, bucket: int,
+                         tp_axis=None):
     from ..ops.attention import attention_gqa
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope
 
     D = params["embed"].shape[1]
     H = n_heads
-    hd = D // H
+    hd = params["blocks"][0]["wq"].shape[1] // H  # local-shard safe
     Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
     cos, sin = params["rope_cos"], params["rope_sin"]
     x = params["embed"][prompt][None]  # (1, bucket, D)
@@ -468,12 +569,18 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
         kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
         o = attention_gqa(q, k, v, causal=True)
         o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
-        x = x + linear(o, blk["wo"], None).reshape(1, bucket, D)
+        xo = linear(o, blk["wo"], None)
+        if tp_axis:
+            xo = jax.lax.psum(xo, tp_axis)
+        x = x + xo.reshape(1, bucket, D)
 
         h = rms_norm(x, blk["rms2"]).reshape(bucket, D)
         f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
             h, blk["w_up"], None)
-        x = x + linear(f, blk["w_down"], None).reshape(1, bucket, D)
+        xf = linear(f, blk["w_down"], None)
+        if tp_axis:
+            xf = jax.lax.psum(xf, tp_axis)
+        x = x + xf.reshape(1, bucket, D)
 
     last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
                                         keepdims=False)

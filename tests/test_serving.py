@@ -182,6 +182,31 @@ class TestServingEngine:
             assert out[rid] == list(want[0, len(p):]), (
                 f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
 
+    def test_tensor_parallel_llama_serving(self, rng):
+        # megatron-split llama decode over a tp mesh: token-identical to
+        # the single-device engine (and thus to dense llama_generate)
+        from laser_tpu.models.llama import init_llama, llama_generate
+        from laser_tpu.parallel.mesh import make_mesh
+
+        params = init_llama(jax.random.PRNGKey(5), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32, 64))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                            mesh=mesh)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 26, 40)]
+        ids = [eng.add_request(p, 5) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=4, max_new_tokens=5, temperature=0.0))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
     def test_eos_stops_early(self, rng):
         params = _make_model(rng)
         cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
