@@ -460,6 +460,96 @@ def bench_decode():
     return out
 
 
+def bench_paged_attention():
+    """Paged decode attention: the serving path's bound is streaming each
+    sequence's KV pages from HBM. 8 slots x 4096 cached tokens, H8 hd128 —
+    1.07 GB of K/V per step at f32, a quarter of that at int8."""
+    from laser_tpu.bench import chain_rate
+    from laser_tpu.ops.paged_attention import paged_attention, quantize_kv
+
+    rng = np.random.RandomState(0)
+    # ps=256 is the measured knee: 64->256 tokens/page takes f32 from
+    # 556 to 711 GB/s (fewer grid steps; ~0.7 us fixed cost per page step)
+    # and int8 from 1.28x to 1.53x f32. Beyond that only int8 gains.
+    S, H, hd, ps = 8, 8, 128, 256
+    seq_len = 4096
+    mp = seq_len // ps          # 16 pages per sequence
+    P = S * mp + 1              # distinct pages + trash
+    q = jnp.asarray(rng.randn(S, H, hd) * 0.3, jnp.float32)
+    kp = jnp.asarray(rng.randn(P, H, ps, hd) * 0.3, jnp.float32)
+    vp = jnp.asarray(rng.randn(P, H, ps, hd) * 0.3, jnp.float32)
+    tables = jnp.asarray(np.arange(S * mp).reshape(S, mp), jnp.int32)
+    lengths = jnp.full((S,), seq_len, jnp.int32)
+    nbytes = 2 * S * seq_len * H * hd * 4  # K+V f32
+    out = {}
+
+    # pools ride as runtime args (a closure would bake 1 GB of constants
+    # into the compile payload)
+    t = chain_rate(lambda qq, k, v: paged_attention(qq, k, v, tables,
+                                                    lengths), q, kp, vp)
+    g = nbytes / t / 1e6
+    out["paged_attention_f32_8x4096"] = {
+        "gbps": round(g, 1), "pct_hbm": _hbm(g), "ms": round(t, 4),
+        "page_size": ps,
+        "tokens_equiv_per_s": round(S / (t / 1e3), 1)}
+    log(f"paged_attention f32 8x4096: {g:.0f} GB/s ({_hbm(g)}% HBM, "
+        f"{t:.3f} ms/step)")
+
+    kq, ks = quantize_kv(kp)
+    vq, vs = quantize_kv(vp)
+    nbytes_q = nbytes // 4 + 2 * S * seq_len * H * 4  # int8 rows + scales
+    t = chain_rate(lambda qq, k, v, s1, s2: paged_attention(
+        qq, k, v, tables, lengths, k_scale=s1, v_scale=s2),
+        q, kq, vq, ks, vs)
+    gq = nbytes_q / t / 1e6
+    out["paged_attention_int8_8x4096"] = {
+        "gbps": round(gq, 1), "pct_hbm": _hbm(gq), "ms": round(t, 4),
+        "speedup_vs_f32": round(out["paged_attention_f32_8x4096"]["ms"] / t,
+                                2)}
+    log(f"paged_attention int8 8x4096: {t:.3f} ms/step "
+        f"({out['paged_attention_int8_8x4096']['speedup_vs_f32']}x f32)")
+    return out
+
+
+def bench_serving_engine():
+    """Continuous-batching engine steady state: B8 slots decoding together
+    (host-driven steps: each step pays one tunnel round trip here, so this
+    is a lower bound on co-located throughput)."""
+    import time
+
+    from laser_tpu.models.transformer import init_transformer
+    from laser_tpu.serving import ServingConfig, ServingEngine
+
+    key = jax.random.PRNGKey(0)
+    params = init_transformer(key, n_layers=2, d_model=256, n_heads=4,
+                              d_ff=512, vocab=1024)
+    rng = np.random.RandomState(0)
+    out = {}
+    for tag, quant in (("serving_engine_b8", False),
+                       ("serving_engine_b8_int8kv", True)):
+        cfg = ServingConfig(page_size=64, n_pages=128, max_seqs=8,
+                            max_pages_per_seq=16,
+                            prefill_buckets=(512,), kv_quant=quant)
+        eng = ServingEngine(params, n_heads=4, cfg=cfg)
+        for _ in range(8):
+            eng.add_request(rng.randint(0, 1024, 512).astype(np.int32), 512)
+        # admit + warm the decode executable
+        for _ in range(3):
+            eng.step()
+        n_steps = 32
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            eng.step()
+        dt = time.perf_counter() - t0
+        toks = 8 * n_steps / dt
+        out[tag] = {"tokens_per_s": round(toks, 1),
+                    "ms_per_step": round(dt / n_steps * 1e3, 2),
+                    "batch": 8, "note": "host-driven; includes one tunnel "
+                    "round trip per step"}
+        log(f"{tag}: {toks:.0f} tok/s ({dt/n_steps*1e3:.1f} ms/step)")
+    return out
+
+
 def bench_conv():
     """Reference conv config N16 C3->20 224^2 k3 s1 p1 (conv2d_bench.nim)."""
     import laser_tpu as lt
@@ -545,6 +635,8 @@ def main():
         detail.update(bench_conv())
         log("== serving ==")
         detail.update(bench_decode())
+        detail.update(bench_paged_attention())
+        detail.update(bench_serving_engine())
         log("== stencil / sampling ==")
         detail.update(bench_stencil_sampling())
         with open("BENCH_DETAIL.json", "w") as f:

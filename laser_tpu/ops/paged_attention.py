@@ -76,12 +76,13 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
         def _step():
             q = q_ref[0].reshape(Hkv, group, hd)      # (Hkv, g, hd)
             if quantized:
-                # int8 rows + per-(token, head) f32 scales; dequantize on
-                # read — the dots stay in the compute dtype, HBM pays 1/4
-                k = (k_ref[0].astype(jnp.float32)
-                     * ks_ref[0][..., None]).astype(dt)
-                v = (v_ref[0].astype(jnp.float32)
-                     * vs_ref[0][..., None]).astype(dt)
+                # int8 rows + per-(token, head) f32 scales. Do NOT
+                # dequantize the (ps, hd) rows — fold the scales into the
+                # (g, ps) SCORES after the K dot and into the (g, ps)
+                # probabilities before the V dot: hd-times less scale work
+                # (measured: row dequant made int8 slower than f32)
+                k = k_ref[0].astype(dt)
+                v = v_ref[0].astype(dt)
             else:
                 k = k_ref[0]                           # (Hkv, ps, hd)
                 v = v_ref[0]
@@ -89,6 +90,8 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
             s = s * scale                              # (Hkv, g, ps)
+            if quantized:
+                s = s * ks_ref[0][:, None, :]          # per-token K scale
             kpos = j * ps + jax.lax.broadcasted_iota(
                 jnp.int32, (Hkv, group, ps), 2)
             s = jnp.where(kpos < length, s, _NEG_INF)
@@ -102,6 +105,8 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
             # has a real m_new and masked lanes contribute exp(-inf) == 0
             l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+            if quantized:
+                p = p * vs_ref[0][:, None, :]          # per-token V scale
             acc_ref[:] = acc_ref[:] * corr[..., :hd] + jax.lax.dot_general(
                 p.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
