@@ -185,6 +185,147 @@ def decode_step(params: Dict, cache: jax.Array, token: jax.Array,
     return logits, new_cache
 
 
+def window_step(params: Dict, cache: jax.Array, tokens: jax.Array,
+                pos: jax.Array, *, n_heads: int):
+    """W-query decode step: process a WINDOW of W tokens at positions
+    [pos, pos+W), writing their K/V into the cache and attending each query
+    causally over cache[0 .. pos+i]. The verification forward of
+    speculative decoding (W = gamma+1); decode_step is the W=1 case.
+
+    tokens (B, W) int32 -> (logits (B, W, vocab), cache)."""
+    import math as _math
+
+    B, W = tokens.shape
+    D = params["embed"].shape[1]
+    hd = D // n_heads
+    scale = 1.0 / _math.sqrt(hd)
+    x = params["embed"][tokens]  # (B, W, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = linear(h.reshape(B * W, D), blk["wqkv"], blk["bqkv"])
+        q, k, v = jnp.split(qkv.reshape(B, W, 3 * D), 3, axis=-1)
+
+        def heads(t):  # (B, W, D) -> (B*H, W, hd)
+            return t.reshape(B, W, n_heads, hd).transpose(
+                0, 2, 1, 3).reshape(B * n_heads, W, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        kc = jax.lax.dynamic_update_slice(cache[li, 0], k, (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(cache[li, 1], v, (0, pos, 0))
+        cache = cache.at[li, 0].set(kc).at[li, 1].set(vc)
+        s = jnp.einsum("bqd,bkd->bqk", q, kc,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        kpos = jnp.arange(kc.shape[1])[None, None, :]
+        qpos = pos + jnp.arange(W)[None, :, None]
+        s = jnp.where(kpos <= qpos, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bqk,bkd->bqd", p, vc,
+                       precision=jax.lax.Precision.HIGHEST)
+        o = o.reshape(B, n_heads, W, hd).transpose(0, 2, 1, 3)
+        x = x + linear(o.reshape(B * W, D), blk["wo"],
+                       blk["bo"]).reshape(B, W, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = linear(h.reshape(B * W, D), blk["w1"], blk["b1"], "gelu")
+        x = x + linear(f, blk["w2"], blk["b2"]).reshape(B, W, D)
+
+    x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    from ..ops.gemm.autodiff import gemm_ad
+
+    logits = gemm_ad(x.reshape(B * W, D), params["embed"], None, False, True)
+    return logits.reshape(B, W, -1), cache
+
+
+def speculative_decode_greedy(target_params: Dict, draft_params: Dict,
+                              prompt: jax.Array, *, n_heads: int,
+                              draft_n_heads: int, max_new_tokens: int,
+                              gamma: int = 4) -> jax.Array:
+    """Greedy speculative decoding: a small DRAFT model proposes ``gamma``
+    tokens with cheap cached steps; the TARGET model scores the whole
+    window in ONE ``window_step`` forward and keeps the longest proposal
+    prefix matching its own argmax, plus one bonus token from its logits at
+    the first disagreement. Token-IDENTICAL to ``greedy_decode`` on the
+    target (greedy acceptance is exact), with target-forward count shrunk
+    by the mean accepted length.
+
+    Rejected positions need no cache surgery: both caches' rows past the
+    accepted point are overwritten the next time those positions are
+    (re)filled — the position pointer is the only rollback state.
+
+    prompt (1, S0) — speculative decoding is the per-sequence latency
+    path; batch rows would advance unevenly."""
+    B, S0 = prompt.shape
+    if B != 1:
+        raise ValueError("speculative decoding is single-sequence (B=1)")
+    total = S0 + max_new_tokens
+    cap = total + gamma + 1  # window writes may overshoot before clamping
+    D_t = target_params["embed"].shape[1]
+    D_d = draft_params["embed"].shape[1]
+    tcache = init_decode_cache(len(target_params["blocks"]), B, n_heads,
+                               D_t // n_heads, cap,
+                               target_params["embed"].dtype)
+    dcache = init_decode_cache(len(draft_params["blocks"]), B, draft_n_heads,
+                               D_d // draft_n_heads, cap,
+                               draft_params["embed"].dtype)
+    tokens = jnp.zeros((B, cap), jnp.int32)
+    tokens = tokens.at[:, :S0].set(prompt)
+
+    tlog, tcache = prefill(target_params, prompt, tcache, n_heads=n_heads)
+    _, dcache = prefill(draft_params, prompt, dcache,
+                        n_heads=draft_n_heads)
+    first = jnp.argmax(tlog, -1).astype(jnp.int32)
+    tokens = tokens.at[:, S0].set(first)
+
+    def body(carry):
+        tokens, tcache, dcache, pos = carry
+        # pos = index of the newest ACCEPTED token (its K/V not yet cached)
+
+        # -- draft: propose gamma tokens with cached single steps
+        def dstep(i, c):
+            toks, dcache = c
+            tok = jax.lax.dynamic_index_in_dim(toks, pos + i, 1, False)
+            lg, dcache = decode_step(draft_params, dcache, tok, pos + i,
+                                     n_heads=draft_n_heads)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, nxt, pos + i + 1,
+                                                       axis=1)
+            return toks, dcache
+
+        # gamma+1 steps (not gamma): the extra step caches the LAST
+        # proposal's K/V so that after a full accept the draft's history is
+        # complete up to the new position (its surplus proposal is unused
+        # and overwritten by the bonus/next round)
+        tokens, dcache = jax.lax.fori_loop(0, gamma + 1, dstep,
+                                           (tokens, dcache))
+
+        # -- target: verify the whole window in one forward
+        window = jax.lax.dynamic_slice_in_dim(tokens, pos, gamma + 1, 1)
+        tlog, tcache = window_step(target_params, tcache, window, pos,
+                                   n_heads=n_heads)
+        greedy = jnp.argmax(tlog, -1).astype(jnp.int32)  # (1, gamma+1)
+
+        # accepted = longest prefix where the draft's proposal equals the
+        # target's own argmax; position i's proposal is window[i+1]
+        prop = window[0, 1:]                      # (gamma,)
+        match = prop == greedy[0, :gamma]
+        n_acc = jnp.argmin(jnp.concatenate(
+            [match, jnp.array([False])])).astype(jnp.int32)
+        # bonus token: the target's argmax at the first mismatch (or after
+        # a full accept) — always valid, so every round emits >= 1 token
+        bonus = greedy[:, n_acc]
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, bonus, pos + n_acc + 1, axis=1)
+        return tokens, tcache, dcache, pos + n_acc + 1
+
+    def cond(carry):
+        return carry[3] < total - 1
+
+    tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (tokens, tcache, dcache, jnp.int32(S0)))
+    return tokens[:, :total]
+
+
 def prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
             n_heads: int):
     """ONE flash-attention forward over the whole prompt that also writes
