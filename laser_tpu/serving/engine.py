@@ -51,6 +51,10 @@ class ServingConfig:
     prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     kv_quant: bool = False      # int8 KV pages + per-token-head f32 scales:
     # ~4x less HBM per decoded token (decode is HBM-bound)
+    weight_quant: bool = False  # weight-only int8 (per-output-column
+    # scales) on every block linear: decode at small batch is WEIGHT-
+    # HBM-bound, so this is ~4x fewer bytes per step. Embeddings/unembed
+    # stay full precision.
 
 
 class PagedKVCache:
@@ -130,7 +134,9 @@ class ServingEngine:
             raise ValueError(f"unknown model family {model!r}")
         if mesh is not None and model != "llama":
             raise ValueError("tensor-parallel serving: llama family only")
-        self.params = params
+        if mesh is not None and cfg.weight_quant:
+            raise ValueError("weight_quant + tensor parallel not supported "
+                             "yet (scales need per-shard specs)")
         self.n_heads = n_heads
         self.cfg = cfg
         self.model = model
@@ -142,6 +148,9 @@ class ServingEngine:
                 2 * self.head_dim)
         else:
             self.n_kv_heads = n_heads
+        if cfg.weight_quant:
+            params = quantize_block_weights(params, model)
+        self.params = params
         dt = dtype or params["embed"].dtype
         self.cache = PagedKVCache(len(params["blocks"]), self.n_kv_heads,
                                   self.head_dim, cfg, dt)
@@ -300,6 +309,56 @@ class ServingEngine:
 
 
 # ---------------------------------------------------------------------------
+# Weight-only int8 quantization (per-output-column symmetric scales)
+# ---------------------------------------------------------------------------
+
+_QUANT_KEYS = {"transformer": ("wqkv", "wo", "w1", "w2"),
+               "llama": ("wq", "wkv", "wo", "w_gate", "w_up", "w_down")}
+
+
+def _quantize_weight(w):
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s[None, :]),
+                 -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def quantize_block_weights(params: Dict, model: str) -> Dict:
+    """int8-quantize every block linear (per-output-column scales); layer
+    norms, biases, embeddings and the unembedding stay full precision."""
+    out = dict(params)
+    out["blocks"] = [
+        {k: (_quantize_weight(v) if k in _QUANT_KEYS[model] else v)
+         for k, v in blk.items()}
+        for blk in params["blocks"]]
+    return out
+
+
+_Q_ACTS = {None: lambda x: x, "gelu": jax.nn.gelu}
+
+
+def _w_out_dim(w) -> int:
+    """Output width of a weight that may be int8-quantized (dict) or plain."""
+    return w["q"].shape[1] if isinstance(w, dict) else w.shape[1]
+
+
+def _linear_q(h, w, b=None, act=None):
+    """linear() that also accepts a quantized weight dict: the int8 weight
+    streams from HBM (the decode bound) and dequantizes via one per-column
+    scale multiply after the dot."""
+    if isinstance(w, dict):
+        y = jnp.dot(h, w["q"].astype(h.dtype),
+                    precision=jax.lax.Precision.HIGHEST
+                    if h.dtype == jnp.float32 else None)
+        y = y * w["s"].astype(h.dtype)[None, :]
+        if b is not None:
+            y = y + b
+        return _Q_ACTS[act](y)
+    return linear(h, w, b, act)
+
+
+# ---------------------------------------------------------------------------
 # Tensor-parallel serving (llama family): megatron-split weights over a
 # "tp" mesh axis, KV pools sharded on the kv-head axis, two psums per block.
 # ---------------------------------------------------------------------------
@@ -420,7 +479,7 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
 
     for li, blk in enumerate(params["blocks"]):
         h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
-        qkv = linear(h.reshape(S, D), blk["wqkv"], blk["bqkv"])
+        qkv = _linear_q(h.reshape(S, D), blk["wqkv"], blk["bqkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(S, H, hd)
         k = k.reshape(S, H, hd)
@@ -428,11 +487,11 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
         kv = _kv_write_token(kv, li, write_page, row, k, v)
         o = _kv_attend(kv, li, q, tables, att_len)
         o = o.reshape(S, D)
-        x = x + linear(o, blk["wo"], blk["bo"]).reshape(S, 1, D)
+        x = x + _linear_q(o, blk["wo"], blk["bo"]).reshape(S, 1, D)
 
         h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
-        f = linear(h.reshape(S, D), blk["w1"], blk["b1"], "gelu")
-        x = x + linear(f, blk["w2"], blk["b2"]).reshape(S, 1, D)
+        f = _linear_q(h.reshape(S, D), blk["w1"], blk["b1"], "gelu")
+        x = x + _linear_q(f, blk["w2"], blk["b2"]).reshape(S, 1, D)
 
     x = layer_norm(x, params["lnf_g"], params["lnf_b"])
     logits = gemm_ad(x.reshape(S, D), params["embed"], None, False, True)
@@ -458,7 +517,7 @@ def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
 
     for li, blk in enumerate(params["blocks"]):
         h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
-        qkv = linear(h.reshape(bucket, D), blk["wqkv"], blk["bqkv"])
+        qkv = _linear_q(h.reshape(bucket, D), blk["wqkv"], blk["bqkv"])
         q, k, v = jnp.split(qkv.reshape(1, bucket, 3 * D), 3, axis=-1)
 
         def heads(t):  # (1, bucket, D) -> (1, H, bucket, hd)
@@ -472,12 +531,12 @@ def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
         kv = _kv_write_pages(kv, li, page_vec, pages_of(kh), pages_of(vh))
         o = attention(qh, kh, vh, causal=True)
         o = o.transpose(0, 2, 1, 3)
-        x = x + linear(o.reshape(bucket, D), blk["wo"],
-                       blk["bo"]).reshape(1, bucket, D)
+        x = x + _linear_q(o.reshape(bucket, D), blk["wo"],
+                          blk["bo"]).reshape(1, bucket, D)
 
         h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
-        f = linear(h.reshape(bucket, D), blk["w1"], blk["b1"], "gelu")
-        x = x + linear(f, blk["w2"], blk["b2"]).reshape(1, bucket, D)
+        f = _linear_q(h.reshape(bucket, D), blk["w1"], blk["b1"], "gelu")
+        x = x + _linear_q(f, blk["w2"], blk["b2"]).reshape(1, bucket, D)
 
     last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
                                         keepdims=False)
@@ -502,8 +561,8 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
     S = tokens.shape[0]
     D = params["embed"].shape[1]
     H = n_heads
-    hd = params["blocks"][0]["wq"].shape[1] // H  # local-shard safe
-    Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
+    hd = _w_out_dim(params["blocks"][0]["wq"]) // H  # local-shard safe
+    Hkv = _w_out_dim(params["blocks"][0]["wkv"]) // (2 * hd)
     active = lengths > 0
     att_len = jnp.where(active, lengths + 1, 0)
     row = lengths % page_size
@@ -514,22 +573,22 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
 
     for li, blk in enumerate(params["blocks"]):
         h = rms_norm(x, blk["rms1"]).reshape(S, D)
-        q = linear(h, blk["wq"], None).reshape(S, H, hd)
-        kvp = linear(h, blk["wkv"], None).reshape(S, 2, Hkv, hd)
+        q = _linear_q(h, blk["wq"]).reshape(S, H, hd)
+        kvp = _linear_q(h, blk["wkv"]).reshape(S, 2, Hkv, hd)
         k, v = kvp[:, 0], kvp[:, 1]
         q = apply_rope_at(q, cos, sin, pos)
         k = apply_rope_at(k, cos, sin, pos)
         kv = _kv_write_token(kv, li, write_page, row, k, v)
         o = _kv_attend(kv, li, q, tables, att_len)
-        xo = linear(o.reshape(S, H * hd), blk["wo"], None)
+        xo = _linear_q(o.reshape(S, H * hd), blk["wo"])
         if tp_axis:
             xo = jax.lax.psum(xo, tp_axis)
         x = x + xo.reshape(S, 1, D)
 
         h = rms_norm(x, blk["rms2"]).reshape(S, D)
-        f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
-            h, blk["w_up"], None)
-        xf = linear(f, blk["w_down"], None)
+        f = jax.nn.silu(_linear_q(h, blk["w_gate"])) * _linear_q(
+            h, blk["w_up"])
+        xf = _linear_q(f, blk["w_down"])
         if tp_axis:
             xf = jax.lax.psum(xf, tp_axis)
         x = x + xf.reshape(S, 1, D)
@@ -548,16 +607,16 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
 
     D = params["embed"].shape[1]
     H = n_heads
-    hd = params["blocks"][0]["wq"].shape[1] // H  # local-shard safe
-    Hkv = params["blocks"][0]["wkv"].shape[1] // (2 * hd)
+    hd = _w_out_dim(params["blocks"][0]["wq"]) // H  # local-shard safe
+    Hkv = _w_out_dim(params["blocks"][0]["wkv"]) // (2 * hd)
     cos, sin = params["rope_cos"], params["rope_sin"]
     x = params["embed"][prompt][None]  # (1, bucket, D)
 
     for li, blk in enumerate(params["blocks"]):
         h = rms_norm(x, blk["rms1"]).reshape(bucket, D)
-        q = linear(h, blk["wq"], None).reshape(
+        q = _linear_q(h, blk["wq"]).reshape(
             bucket, H, hd).transpose(1, 0, 2)[None]          # (1,H,bkt,hd)
-        kvp = linear(h, blk["wkv"], None).reshape(bucket, 2, Hkv, hd)
+        kvp = _linear_q(h, blk["wkv"]).reshape(bucket, 2, Hkv, hd)
         k = kvp[:, 0].transpose(1, 0, 2)[None]               # (1,Hkv,bkt,hd)
         v = kvp[:, 1].transpose(1, 0, 2)[None]
         q = apply_rope(q, cos, sin)
@@ -569,15 +628,15 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
         kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
         o = attention_gqa(q, k, v, causal=True)
         o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
-        xo = linear(o, blk["wo"], None)
+        xo = _linear_q(o, blk["wo"])
         if tp_axis:
             xo = jax.lax.psum(xo, tp_axis)
         x = x + xo.reshape(1, bucket, D)
 
         h = rms_norm(x, blk["rms2"]).reshape(bucket, D)
-        f = jax.nn.silu(linear(h, blk["w_gate"], None)) * linear(
-            h, blk["w_up"], None)
-        xf = linear(f, blk["w_down"], None)
+        f = jax.nn.silu(_linear_q(h, blk["w_gate"])) * _linear_q(
+            h, blk["w_up"])
+        xf = _linear_q(f, blk["w_down"])
         if tp_axis:
             xf = jax.lax.psum(xf, tp_axis)
         x = x + xf.reshape(1, bucket, D)

@@ -159,6 +159,42 @@ class TestServingEngine:
             total += len(want)
         assert agree / total > 0.7, f"only {agree}/{total} tokens agree"
 
+    def test_weight_quant_engine(self, rng):
+        # weight-only int8: per-output-column scales on every block linear;
+        # generations close to the full-precision engine (same agreement-
+        # rate bar as kv_quant: int8 weight error can flip near-tie argmax)
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32),
+                            weight_quant=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        assert eng.params["blocks"][0]["wqkv"]["q"].dtype == jnp.int8
+        assert eng.params["embed"].dtype == jnp.float32  # not quantized
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 20, 30)]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        assert set(out) == set(ids)
+        assert eng.cache.n_free() == cfg.n_pages - 1
+        agree = total = 0
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8,
+                max_new_tokens=4))[0, len(p):]
+            agree += sum(int(a) == int(b) for a, b in zip(out[rid], want))
+            total += len(want)
+        assert agree / total > 0.7, f"only {agree}/{total} tokens agree"
+
+    def test_weight_quant_dequant_error_bound(self, rng):
+        from laser_tpu.serving.engine import _quantize_weight
+
+        w = jnp.asarray(rng.randn(64, 96), jnp.float32)
+        qd = _quantize_weight(w)
+        back = qd["q"].astype(jnp.float32) * qd["s"][None, :]
+        # symmetric int8: error <= scale/2 = colmax/254 per element
+        bound = np.abs(np.asarray(w)).max(0) / 254.0 + 1e-8
+        assert np.all(np.abs(np.asarray(back - w)) <= bound[None, :])
+
     def test_llama_family_gqa_rope(self, rng):
         # modern decoder schema: RoPE positions differ per slot under
         # continuous batching; GQA pools hold Hkv < Hq heads
