@@ -1,0 +1,186 @@
+"""Host-side data loading: shuffle/sample -> batch -> prefetch to device.
+
+The runtime component a training framework needs around the kernels (the
+reference is a primitives library with no input pipeline; this is
+parity-plus infrastructure, like serving/). Design rules:
+
+  * The host's only jobs are index math and memcpy — batch assembly is
+    NumPy row gathers over in-memory or memory-mapped storage; everything
+    compute-shaped happens on device.
+  * The device never waits for the host: a background thread stages the
+    next ``prefetch`` batches onto the device (``jax.device_put`` is async)
+    while the current step runs — the TPU analog of the reference's
+    prefetch hints (compiler_optim_hints.nim:30-73), applied at the
+    pipeline level where TPUs actually need it.
+  * Determinism: epoch order is a pure function of (seed, epoch) — the
+    same property the kernels guarantee for reductions.
+  * Weighted sampling rides the native C++ F+tree sampler
+    (csrc/laser_host.cpp, O(log n) draws, with/without replacement) when
+    the host runtime builds, with a NumPy fallback.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+class ArrayDataset:
+    """In-memory (or memory-mapped) aligned arrays; item i = row i of each."""
+
+    def __init__(self, *arrays: np.ndarray):
+        if not arrays:
+            raise ValueError("ArrayDataset needs at least one array")
+        n = len(arrays[0])
+        if any(len(a) != n for a in arrays):
+            raise ValueError("arrays must share the leading dimension")
+        self.arrays = arrays
+
+    def __len__(self) -> int:
+        return len(self.arrays[0])
+
+    def gather(self, idx: np.ndarray) -> Tuple[np.ndarray, ...]:
+        return tuple(np.ascontiguousarray(a[idx]) for a in self.arrays)
+
+
+class TokenDataset:
+    """A flat token stream (path to a raw int dtype file, or an array) cut
+    into language-model windows: item i = (tokens[s:s+L], tokens[s+1:s+L+1])
+    at stride ``stride`` (defaults to L: disjoint windows)."""
+
+    def __init__(self, tokens, seq_len: int, *, stride: Optional[int] = None,
+                 dtype=np.int32):
+        if isinstance(tokens, str):
+            tokens = np.memmap(tokens, dtype=dtype, mode="r")
+        self.tokens = tokens
+        self.seq_len = seq_len
+        self.stride = stride or seq_len
+        n = (len(tokens) - seq_len - 1) // self.stride + 1
+        if len(tokens) < seq_len + 1:
+            n = 0
+        self._n = max(n, 0)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def gather(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        L = self.seq_len
+        starts = idx.astype(np.int64) * self.stride
+        x = np.empty((len(idx), L), self.tokens.dtype)
+        y = np.empty((len(idx), L), self.tokens.dtype)
+        for r, s in enumerate(starts):  # contiguous slices: pure memcpy
+            x[r] = self.tokens[s:s + L]
+            y[r] = self.tokens[s + 1:s + L + 1]
+        return x, y
+
+
+def _epoch_order(n: int, seed: int, epoch: int) -> np.ndarray:
+    return np.random.RandomState(
+        (seed * 0x9E3779B9 + epoch) & 0x7FFFFFFF).permutation(n)
+
+
+class DataLoader:
+    """Batching iterator with deterministic shuffling, optional weighted
+    sampling, and background device prefetch.
+
+    weights: per-item sampling weights -> each epoch draws len(dataset)
+    items through the native F+tree sampler (replacement controls whether
+    an epoch can repeat items). Otherwise epochs are seeded permutations.
+
+    prefetch: number of batches staged onto the device ahead of the
+    consumer (0 = host arrays, no staging). sharding: a NamedSharding to
+    place each batch with (e.g. dp-sharded along the batch axis).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, seed: int = 0,
+                 shuffle: bool = True, drop_remainder: bool = True,
+                 weights: Optional[Sequence[float]] = None,
+                 replacement: bool = True,
+                 prefetch: int = 2, sharding=None):
+        if batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        if weights is not None and len(weights) != len(dataset):
+            raise ValueError("weights length != dataset length")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.weights = None if weights is None else np.asarray(
+            weights, np.float32)
+        self.replacement = replacement
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_remainder else \
+            -(-n // self.batch_size)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.weights is not None:
+            try:
+                from .. import host
+
+                s = host.FenwickSampler(self.weights)
+                return s.sample(n, seed=(self.seed << 20) ^ epoch,
+                                replacement=self.replacement).astype(np.int64)
+            except Exception:
+                rs = np.random.RandomState((self.seed + epoch) & 0x7FFFFFFF)
+                p = self.weights / self.weights.sum()
+                return rs.choice(n, size=n, replace=self.replacement, p=p)
+        if self.shuffle:
+            return _epoch_order(n, self.seed, epoch)
+        return np.arange(n)
+
+    def _host_batches(self, epoch: int) -> Iterator[Tuple[np.ndarray, ...]]:
+        order = self._order(epoch)
+        bs = self.batch_size
+        stop = len(order) - (len(order) % bs if self.drop_remainder else 0)
+        for i in range(0, stop, bs):
+            yield self.dataset.gather(order[i:i + bs])
+
+    def epoch_iter(self, epoch: Optional[int] = None):
+        """One epoch of batches. With prefetch > 0, a daemon thread stages
+        batches on device ``prefetch`` ahead; device_put is async, so the
+        upload of batch k+1..k+p overlaps the consumer's step on batch k."""
+        ep = self.epoch if epoch is None else epoch
+        if epoch is None:
+            self.epoch += 1
+        it = self._host_batches(ep)
+        if self.prefetch <= 0:
+            yield from it
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        END = object()
+
+        def stage():
+            try:
+                for batch in it:
+                    if self.sharding is not None:
+                        batch = tuple(jax.device_put(b, self.sharding)
+                                      for b in batch)
+                    else:
+                        batch = tuple(jax.device_put(b) for b in batch)
+                    q.put(batch)
+            finally:
+                q.put(END)
+
+        t = threading.Thread(target=stage, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is END:
+                break
+            yield b
+        t.join()
+
+    def __iter__(self):
+        return self.epoch_iter()
