@@ -17,10 +17,15 @@ dims acting as the view's axes and the rest as constant-index "skip" dims:
 The reshape is free (row-major), so one Pallas kernel can stream the view
 directly: skip dims ABOVE the last-two-dims region ride the BlockSpec index
 map as constant block indices (block size 1 — zero extra traffic); a skip
-dim INSIDE the last-two region is loaded at full extent (Mosaic requires
-the trailing block dims be whole or tile-aligned — sub-(8,128) HBM slices
-do not exist at the DMA level) and the digit is selected on the VPU, which
-reads s x the bytes but still beats materialize's gather+write+re-read.
+dim INSIDE the last-two region is FOLDED INTO THE LANE AXIS when the lane
+extent is a 128-multiple ((R, G, C) reloaded as (R, G*C), lane block C,
+digit = lane block index): the DMA then fetches only the selected phase —
+1x traffic. (The sublane dim must be 8-divisible or full, so the fold has
+to go through the lane dim.) When C is not a 128-multiple the dim is
+loaded at full extent and the digit selected on the VPU (G x reads, still
+beating materialize's gather+write+re-read). Either way the strided-pitch
+DMA tops out near ~210 GB/s billed on v5e (measured: the pitch halves HBM
+read efficiency; block size does not move it).
 Offsets fold into index-map digits; negative strides on index-map-only axes
 fold into reversed index maps.
 
@@ -168,6 +173,28 @@ def plan_embedding(view: TensorView) -> Optional[StridedEmbed]:
     return StridedEmbed(dense_shape, dims_maj, logical)
 
 
+def _fold_skipfull(e: StridedEmbed) -> StridedEmbed:
+    """Fold a SKIPFULL dim into the lane axis when the lane extent is a
+    128-multiple: (…, R, G, C) reloads as (…, R, G*C) with lane block C and
+    the skip digit as the lane BLOCK INDEX — Mosaic's lane-dim blocks only
+    need 128-divisibility (it is the sublane dim that must be 8-divisible
+    or full), so the DMA then fetches ONLY the selected phase instead of
+    loading all G phases and selecting on the VPU (1x traffic vs G x)."""
+    C = e.logical_shape[-1]
+    if C % 128:
+        return e
+    dims = list(e.dims)
+    for i, d in enumerate(dims):
+        if d.role == SKIPFULL:
+            assert dims[i + 1].role == LANE
+            merged = DenseDim(d.extent * C, LANE, int(d.param))
+            dims = dims[:i] + [merged]
+            return dataclasses.replace(
+                e, dims=tuple(dims),
+                dense_shape=tuple(x.extent for x in dims))
+    return e
+
+
 def _kernel_cost_ok(embeds: Sequence[StridedEmbed], itemsizes,
                     budget: int) -> Optional[int]:
     """Pick rows-per-block br (or None if even br=8 blows the VMEM budget)."""
@@ -199,6 +226,7 @@ def build_strided_foreach(fn: Callable, views: Sequence[TensorView],
             raise ValueError("strided operands disagree on squeezed shape")
     lead = logical[:-2]
     R, C = logical[-2], logical[-1]
+    embeds = [_fold_skipfull(e) for e in embeds]
     from ..device_info import vmem_budget_bytes
 
     # elementwise streams gain nothing from giant blocks; 32MB of blocks
@@ -228,7 +256,10 @@ def build_strided_foreach(fn: Callable, views: Sequence[TensorView],
                     out.append(c + digit)
                 elif d.role == ROW:
                     out.append(gr)
-                elif d.role in (LANE, SKIPFULL):
+                elif d.role == LANE:
+                    # a folded skip digit is the lane BLOCK index
+                    out.append(d.param or 0)
+                elif d.role == SKIPFULL:
                     out.append(0)
                 else:  # SKIP above the blocked region: digit IS the block idx
                     out.append(d.param)
@@ -240,7 +271,9 @@ def build_strided_foreach(fn: Callable, views: Sequence[TensorView],
         for d in e.dims:
             if d.role == ROW:
                 bs.append(br)
-            elif d.role in (LANE, SKIPFULL):
+            elif d.role == LANE:
+                bs.append(C)  # == extent unless a skip digit was folded in
+            elif d.role == SKIPFULL:
                 bs.append(d.extent)
             else:
                 bs.append(1)
