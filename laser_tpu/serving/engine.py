@@ -159,6 +159,8 @@ class ServingEngine:
         self.finished: Dict[int, List[int]] = {}
         self._next_id = 0
         self._tokens = np.zeros((cfg.max_seqs,), np.int32)
+        self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
+                      "requests_done": 0, "peak_pages_in_use": 0}
         decode_fn = _decode_step if model == "transformer" else \
             _llama_decode_step
         self._prefill_fn = _prefill_paged if model == "transformer" else \
@@ -231,6 +233,11 @@ class ServingEngine:
             self.params, self.cache.state, jnp.asarray(self.cache.tables),
             lengths, jnp.asarray(write_page), jnp.asarray(self._tokens))
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        self.stats["decode_steps"] += 1
+        self.stats["tokens_out"] += len(active)
+        self.stats["peak_pages_in_use"] = max(
+            self.stats["peak_pages_in_use"],
+            self.cfg.n_pages - 1 - self.cache.n_free())
         for s in active:
             r = self.running[s]
             self.cache.lengths[s] += 1
@@ -240,6 +247,7 @@ class ServingEngine:
             done = (len(r.out) >= r.max_new_tokens
                     or (r.eos_id is not None and tok == r.eos_id))
             if done:
+                self.stats["requests_done"] += 1
                 self.finished[r.req_id] = r.out
                 self.cache.release(s)
                 self.running[s] = None
@@ -305,6 +313,8 @@ class ServingEngine:
         logits, self.cache.state = self._prefills[bucket](
             self.params, self.cache.state, jnp.asarray(pad),
             jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec))
+        self.stats["prefills"] += 1
+        self.stats["tokens_out"] += 1
         return int(np.asarray(jnp.argmax(logits, -1)))
 
 
