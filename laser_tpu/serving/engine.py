@@ -137,6 +137,11 @@ class ServingEngine:
         if mesh is not None and cfg.weight_quant:
             raise ValueError("weight_quant + tensor parallel not supported "
                              "yet (scales need per-shard specs)")
+        bad = [b for b in cfg.prefill_buckets if b % cfg.page_size]
+        if bad:
+            raise ValueError(f"prefill_buckets {bad} are not multiples of "
+                             f"page_size {cfg.page_size} (prefill scatters "
+                             f"whole pages)")
         self.n_heads = n_heads
         self.cfg = cfg
         self.model = model
@@ -198,6 +203,20 @@ class ServingEngine:
     def add_request(self, prompt, max_new_tokens: int,
                     eos_id: Optional[int] = None) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) > max(self.cfg.prefill_buckets):
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds the largest prefill "
+                f"bucket {max(self.cfg.prefill_buckets)}")
+        ps = self.cfg.page_size
+        need = -(-(len(prompt) + max_new_tokens) // ps)
+        if need > self.cfg.max_pages_per_seq:
+            raise ValueError(
+                f"prompt + max_new_tokens needs {need} pages > "
+                f"max_pages_per_seq {self.cfg.max_pages_per_seq}")
+        if need > self.cfg.n_pages - 1:
+            raise ValueError(
+                f"request needs {need} pages > pool size "
+                f"{self.cfg.n_pages - 1}")
         rid = self._next_id
         self._next_id += 1
         self.queue.append(_Request(rid, prompt, max_new_tokens, eos_id))
@@ -224,10 +243,25 @@ class ServingEngine:
         # page exists; inactive slots write to the trash page
         write_page = np.full((self.cfg.max_seqs,), self.cache.trash_page,
                              np.int32)
-        for s in active:
-            self.cache.ensure_capacity(s)
+        for s in list(active):
+            try:
+                self.cache.ensure_capacity(s)
+            except RuntimeError:
+                # page pool exhausted: PREEMPT the youngest request — its
+                # pages return to the pool and it re-enters the queue with
+                # prompt + generated-so-far as the new prompt (decoding is
+                # deterministic, so the continuation is identical)
+                victim = min(active,
+                             key=lambda t: len(self.running[t].out))
+                self._preempt(victim)
+                active.remove(victim)
+                if s == victim:
+                    continue
+                self.cache.ensure_capacity(s)  # freed pages: must succeed
             write_page[s] = self.cache.pages_of[s][
                 self.cache.lengths[s] // ps]
+        if not active:
+            return
         lengths = jnp.asarray(self.cache.lengths)
         logits, self.cache.state = self._decode(
             self.params, self.cache.state, jnp.asarray(self.cache.tables),
@@ -248,7 +282,9 @@ class ServingEngine:
                     or (r.eos_id is not None and tok == r.eos_id))
             if done:
                 self.stats["requests_done"] += 1
-                self.finished[r.req_id] = r.out
+                prefix = getattr(self, "_requeued_prefix", {}).pop(
+                    r.req_id, [])
+                self.finished[r.req_id] = prefix + r.out
                 self.cache.release(s)
                 self.running[s] = None
 
@@ -273,9 +309,26 @@ class ServingEngine:
             self._tokens[slot] = first
             if (len(r.out) >= r.max_new_tokens
                     or (r.eos_id is not None and first == r.eos_id)):
-                self.finished[r.req_id] = r.out
+                prefix = getattr(self, "_requeued_prefix", {}).pop(
+                    r.req_id, [])
+                self.finished[r.req_id] = prefix + r.out
                 self.cache.release(slot)
                 self.running[slot] = None
+
+    def _preempt(self, slot: int):
+        r = self.running[slot]
+        self.stats["preemptions"] = self.stats.get("preemptions", 0) + 1
+        new_prompt = np.concatenate([r.prompt,
+                                     np.asarray(r.out, np.int32)])
+        req = _Request(r.req_id, new_prompt,
+                       r.max_new_tokens - len(r.out), r.eos_id)
+        req.out = []
+        self._requeued_prefix = getattr(self, "_requeued_prefix", {})
+        self._requeued_prefix[r.req_id] = (
+            self._requeued_prefix.get(r.req_id, []) + r.out)
+        self.queue.appendleft(req)
+        self.cache.release(slot)
+        self.running[slot] = None
 
     def _run_prefill(self, slot: int, prompt: np.ndarray,
                      pages: List[int]) -> int:

@@ -243,6 +243,37 @@ class TestServingEngine:
             assert out[rid] == list(want[0, len(p):]), (
                 f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
 
+    def test_preemption_under_page_pressure(self, rng):
+        # two growing sequences overflow a 4-page pool: the engine must
+        # preempt (requeue with prompt+generated) instead of crashing, and
+        # still produce exact greedy outputs
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=5, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16, 32, 64))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, 16).astype(np.int32) for _ in range(2)]
+        ids = [eng.add_request(p, 40) for p in prompts]
+        out = eng.run()
+        assert eng.stats.get("preemptions", 0) > 0, "no preemption triggered"
+        assert eng.cache.n_free() == cfg.n_pages - 1
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=40))
+            assert out[rid] == list(want[0, 16:]), f"req {rid} mismatch"
+
+    def test_request_validation(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=8, max_seqs=2,
+                            max_pages_per_seq=3, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        with pytest.raises(ValueError, match="largest prefill bucket"):
+            eng.add_request(np.zeros(33, np.int32), 4)
+        with pytest.raises(ValueError, match="max_pages_per_seq"):
+            eng.add_request(np.zeros(16, np.int32), 40)
+        with pytest.raises(ValueError, match="not multiples of page_size"):
+            ServingEngine(params, n_heads=8, cfg=ServingConfig(
+                page_size=64, prefill_buckets=(16, 32)))
+
     def test_eos_stops_early(self, rng):
         params = _make_model(rng)
         cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
