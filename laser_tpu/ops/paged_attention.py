@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import should_interpret
 from ..registry import build_cache
-from ..utils import round_step_up
 
 _NEG_INF = -1e30
 
@@ -169,8 +168,10 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     interpret: Optional[bool] = None) -> jax.Array:
     """Decode attention over paged KV. See module docstring for layouts.
 
-    Slots with lengths[s] == 0 produce zeros (inactive). hd is zero-padded
-    to the 128-lane tile inside (exact: padded lanes contribute nothing).
+    Slots with lengths[s] == 0 produce zeros (inactive). hd needs no
+    128-lane padding: every block covers the FULL hd extent, which Mosaic
+    accepts for any size (verified on TPU for hd 64/96/128) — so sub-128
+    head dims cost neither pool copies nor extra HBM.
 
     int8 KV cache: pass int8 pools plus per-(page, head, token) f32
     ``k_scale``/``v_scale`` of shape (P, Hkv, ps) (from ``quantize_kv``);
@@ -190,21 +191,15 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         scale = 1.0 / (hd ** 0.5)
     interp = should_interpret() if interpret is None else interpret
 
-    hdP = round_step_up(hd, 128)
-    if hdP != hd:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, hdP - hd)))
-        k_pool = jnp.pad(k_pool, ((0, 0), (0, 0), (0, 0), (0, hdP - hd)))
-        v_pool = jnp.pad(v_pool, ((0, 0), (0, 0), (0, 0), (0, hdP - hd)))
     max_pages = tables.shape[1]
-    fn = build_paged_attention(S, P, Hq, Hkv, ps, hdP, max_pages,
+    fn = build_paged_attention(S, P, Hq, Hkv, ps, hd, max_pages,
                                float(scale), jnp.dtype(q.dtype).name,
                                quantized, interp)
     args = [tables.astype(jnp.int32), lengths.astype(jnp.int32),
             q, k_pool, v_pool]
     if quantized:
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
-    out = fn(*args)
-    return out[..., :hd] if hdP != hd else out
+    return fn(*args)
 
 
 def quantize_kv(x: jax.Array):

@@ -69,6 +69,10 @@ class PagedKVCache:
                  cfg: ServingConfig, dtype=jnp.float32):
         self.cfg = cfg
         pool_dt = jnp.int8 if cfg.kv_quant else dtype
+        # pools keep the NATIVE head dim: the paged-attention kernel's
+        # blocks cover the full hd extent, which Mosaic accepts unpadded
+        # for any hd (verified on TPU for 64/96/128) — no 128-lane padding,
+        # no per-step pool copies, no extra HBM
         self.state = {"pools": jnp.zeros(
             (n_layers, 2, cfg.n_pages, n_kv_heads, cfg.page_size, head_dim),
             pool_dt)}
@@ -151,6 +155,13 @@ class ServingEngine:
         if model == "llama":
             self.n_kv_heads = params["blocks"][0]["wkv"].shape[1] // (
                 2 * self.head_dim)
+            capacity = cfg.max_pages_per_seq * cfg.page_size
+            if params["rope_cos"].shape[0] < capacity:
+                raise ValueError(
+                    f"rope table covers {params['rope_cos'].shape[0]} "
+                    f"positions < per-sequence capacity {capacity} "
+                    f"(max_pages_per_seq * page_size); re-init the model "
+                    f"with a larger max_len")
         else:
             self.n_kv_heads = n_heads
         if cfg.weight_quant:
@@ -203,6 +214,8 @@ class ServingEngine:
     def add_request(self, prompt, max_new_tokens: int,
                     eos_id: Optional[int] = None) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) == 0:
+            raise ValueError("empty prompt")
         if len(prompt) > max(self.cfg.prefill_buckets):
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds the largest prefill "
@@ -243,20 +256,42 @@ class ServingEngine:
         # page exists; inactive slots write to the trash page
         write_page = np.full((self.cfg.max_seqs,), self.cache.trash_page,
                              np.int32)
-        for s in list(active):
+        max_bucket = max(self.cfg.prefill_buckets)
+        for s in active[:]:
+            if self.running[s] is None:
+                continue  # preempted earlier in this loop
             try:
                 self.cache.ensure_capacity(s)
             except RuntimeError:
                 # page pool exhausted: PREEMPT the youngest request — its
                 # pages return to the pool and it re-enters the queue with
                 # prompt + generated-so-far as the new prompt (decoding is
-                # deterministic, so the continuation is identical)
-                victim = min(active,
-                             key=lambda t: len(self.running[t].out))
+                # deterministic, so the continuation is identical). Only
+                # requests whose requeued prompt still fits a prefill
+                # bucket are preemptable.
+                candidates = [
+                    t for t in active if self.running[t] is not None
+                    and len(self.running[t].prompt)
+                    + len(self.running[t].out) <= max_bucket]
+                if not candidates:
+                    raise RuntimeError(
+                        "page pool exhausted and no preemptable request "
+                        "fits the prefill buckets; increase n_pages or "
+                        "prefill_buckets") from None
+                others = [t for t in candidates if t != s]
+                if not others:
+                    # s itself is the only preemptable request
+                    self._preempt(s)
+                    active.remove(s)
+                    write_page[s] = self.cache.trash_page
+                    continue
+                victim = min(others, key=lambda t: len(self.running[t].out))
                 self._preempt(victim)
                 active.remove(victim)
-                if s == victim:
-                    continue
+                # the victim may have been processed earlier in this loop:
+                # its write_page would point at a page just returned to the
+                # free list (and possibly re-allocated below) — reset it
+                write_page[victim] = self.cache.trash_page
                 self.cache.ensure_capacity(s)  # freed pages: must succeed
             write_page[s] = self.cache.pages_of[s][
                 self.cache.lengths[s] // ps]
