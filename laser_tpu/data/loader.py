@@ -125,16 +125,18 @@ class DataLoader:
     def _order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
         if self.weights is not None:
-            try:
-                from .. import host
+            from .. import host
 
+            # fall back to NumPy only when the native runtime cannot BUILD
+            # (no toolchain); real sampler errors (bad weights, bugs) must
+            # surface, not silently change the data order
+            if host.available():
                 s = host.FenwickSampler(self.weights)
                 return s.sample(n, seed=(self.seed << 20) ^ epoch,
                                 replacement=self.replacement).astype(np.int64)
-            except Exception:
-                rs = np.random.RandomState((self.seed + epoch) & 0x7FFFFFFF)
-                p = self.weights / self.weights.sum()
-                return rs.choice(n, size=n, replace=self.replacement, p=p)
+            rs = np.random.RandomState((self.seed + epoch) & 0x7FFFFFFF)
+            p = self.weights / self.weights.sum()
+            return rs.choice(n, size=n, replace=self.replacement, p=p)
         if self.shuffle:
             return _epoch_order(n, self.seed, epoch)
         return np.arange(n)
@@ -162,6 +164,8 @@ class DataLoader:
         END = object()
 
         def stage():
+            # exceptions in the stager must reach the CONSUMER — a silently
+            # truncated epoch would train on incomplete data
             try:
                 for batch in it:
                     if self.sharding is not None:
@@ -170,8 +174,9 @@ class DataLoader:
                     else:
                         batch = tuple(jax.device_put(b) for b in batch)
                     q.put(batch)
-            finally:
                 q.put(END)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=stage, daemon=True)
         t.start()
@@ -179,6 +184,9 @@ class DataLoader:
             b = q.get()
             if b is END:
                 break
+            if isinstance(b, BaseException):
+                t.join()
+                raise b
             yield b
         t.join()
 

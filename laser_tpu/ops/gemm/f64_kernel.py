@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils import round_step_up
 from .limb_kernel import gemm_limbs, max_k_for
 
 _DEFAULT_SLICES = 8
@@ -90,13 +91,13 @@ def _extract_host(x: np.ndarray, axis: int, slices: int):
     """Host extraction: the single-pass C++ kernel when the native runtime
     builds (csrc/laser_host.cpp:laser_f64_digits, ~10x NumPy on this path),
     else the NumPy twin. Both are bit-identical."""
-    try:
-        from ... import host
+    from ... import host
 
-        if host.available():
-            return host.f64_digits(x, axis, slices)
-    except Exception:
-        pass
+    # fall back to NumPy only when the native runtime cannot BUILD (no
+    # toolchain); real extraction errors must surface, not silently switch
+    # implementations
+    if host.available():
+        return host.f64_digits(x, axis, slices)
     return f64_digits_np(x, axis, slices)
 
 
@@ -145,7 +146,8 @@ def _bucket_weights(n_buckets: int):
 def _gemm_f64_host(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
     M, K = a.shape
     N = b.shape[1]
-    Mp, Kp, Np = _pad_to(M, 32), _pad_to(K, 128), _pad_to(N, 128)
+    Mp, Kp, Np = (round_step_up(M, 32), round_step_up(K, 128),
+                  round_step_up(N, 128))
     if (Mp, Kp, Np) != (M, K, N):
         a = np.pad(a, ((0, Mp - M), (0, Kp - K)))
         b = np.pad(b, ((0, Kp - K), (0, Np - N)))
@@ -179,7 +181,8 @@ def _gemm_f64_jax(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
     b = jnp.asarray(b)
     M, K = a.shape
     N = b.shape[1]
-    Mp, Kp, Np = _pad_to(M, 32), _pad_to(K, 128), _pad_to(N, 128)
+    Mp, Kp, Np = (round_step_up(M, 32), round_step_up(K, 128),
+                  round_step_up(N, 128))
     if (Mp, Kp, Np) != (M, K, N):
         a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
         b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
@@ -206,5 +209,3 @@ def _gemm_f64_jax(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
     return _EPILOGUES[epilogue](out)
 
 
-def _pad_to(x: int, step: int) -> int:
-    return ((x + step - 1) // step) * step

@@ -33,6 +33,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...utils import round_step_up
 from .limb_kernel import gemm_limbs, max_k_for
 
 _N_LIMBS = 8
@@ -75,9 +76,9 @@ def gemm_int64(a: jax.Array, b: jax.Array, *, alpha: int = 1, beta: int = 0,
         if c is not None:
             c = jax.lax.bitcast_convert_type(c, jnp.int64)
     # Mosaic int8 tiling is (32, 128); zero digits contribute nothing.
-    Mp = _pad_to(M, 32)
-    Kp = _pad_to(K, 128)
-    Np = _pad_to(N, 128)
+    Mp = round_step_up(M, 32)
+    Kp = round_step_up(K, 128)
+    Np = round_step_up(N, 128)
     if (Mp, Kp, Np) != (M, K, N):
         a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
         b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
@@ -101,5 +102,3 @@ def gemm_int64(a: jax.Array, b: jax.Array, *, alpha: int = 1, beta: int = 0,
     return out
 
 
-def _pad_to(x: int, step: int) -> int:
-    return ((x + step - 1) // step) * step
