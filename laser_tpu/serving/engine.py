@@ -55,6 +55,11 @@ class ServingConfig:
     # scales) on every block linear: decode at small batch is WEIGHT-
     # HBM-bound, so this is ~4x fewer bytes per step. Embeddings/unembed
     # stay full precision.
+    prefix_cache: bool = False  # automatic prefix caching: FULL prompt
+    # pages register in a prompt-hash index; a new request reuses the
+    # longest page-aligned cached prefix (refcounted, zero copy) and
+    # prefills only its suffix, attending to the cached pages through a
+    # stats-merged flash pass. Entries evict LRU under page pressure.
 
 
 class PagedKVCache:
@@ -88,6 +93,12 @@ class PagedKVCache:
         self.trash_page = cfg.n_pages - 1
         self.free_pages = deque(range(cfg.n_pages - 1))
         self.pages_of: List[List[int]] = [[] for _ in range(cfg.max_seqs)]
+        # reference counts: a page is held by each slot whose table lists it
+        # plus once per prefix-registry entry naming it; it returns to the
+        # free list only at zero (prefix caching shares FULL prompt pages
+        # between requests — full pages are never written after prefill, so
+        # sharing needs no copy-on-write)
+        self.page_refs = np.zeros((cfg.n_pages,), np.int32)
 
     def n_free(self) -> int:
         return len(self.free_pages)
@@ -98,13 +109,30 @@ class PagedKVCache:
         if len(self.pages_of[slot]) + n > self.cfg.max_pages_per_seq:
             raise RuntimeError(f"slot {slot} exceeds max_pages_per_seq")
         got = [self.free_pages.popleft() for _ in range(n)]
+        self.page_refs[got] = 1
         base = len(self.pages_of[slot])
         self.pages_of[slot].extend(got)
         self.tables[slot, base:base + n] = got
         return got
 
+    def attach(self, slot: int, pages: List[int]):
+        """Share already-filled pages (a cached prompt prefix) with a slot."""
+        if len(self.pages_of[slot]) + len(pages) > self.cfg.max_pages_per_seq:
+            raise RuntimeError(f"slot {slot} exceeds max_pages_per_seq")
+        for p in pages:
+            self.page_refs[p] += 1
+        base = len(self.pages_of[slot])
+        self.pages_of[slot].extend(pages)
+        self.tables[slot, base:base + len(pages)] = pages
+
+    def decref(self, pages: List[int]):
+        for p in pages:
+            self.page_refs[p] -= 1
+            if self.page_refs[p] == 0:
+                self.free_pages.append(p)
+
     def release(self, slot: int):
-        self.free_pages.extend(self.pages_of[slot])
+        self.decref(self.pages_of[slot])
         self.pages_of[slot] = []
         self.tables[slot, :] = 0
         self.lengths[slot] = 0
@@ -141,6 +169,9 @@ class ServingEngine:
         if mesh is not None and cfg.weight_quant:
             raise ValueError("weight_quant + tensor parallel not supported "
                              "yet (scales need per-shard specs)")
+        if mesh is not None and cfg.prefix_cache:
+            raise ValueError("prefix_cache + tensor parallel not supported "
+                             "yet (the prefix gather needs per-shard specs)")
         bad = [b for b in cfg.prefill_buckets if b % cfg.page_size]
         if bad:
             raise ValueError(f"prefill_buckets {bad} are not multiples of "
@@ -176,7 +207,13 @@ class ServingEngine:
         self._next_id = 0
         self._tokens = np.zeros((cfg.max_seqs,), np.int32)
         self.stats = {"decode_steps": 0, "prefills": 0, "tokens_out": 0,
-                      "requests_done": 0, "peak_pages_in_use": 0}
+                      "requests_done": 0, "peak_pages_in_use": 0,
+                      "prefix_hits": 0, "prefix_tokens_reused": 0,
+                      "prefix_evictions": 0}
+        # prompt-prefix registry: prompt[:p*ps].tobytes() -> page list
+        # (each entry holds one ref per page; evicted LRU-first)
+        self._prefix_index: Dict[bytes, List[int]] = {}
+        self._prefix_lru: List[bytes] = []
         decode_fn = _decode_step if model == "transformer" else \
             _llama_decode_step
         self._prefill_fn = _prefill_paged if model == "transformer" else \
@@ -261,7 +298,7 @@ class ServingEngine:
             if self.running[s] is None:
                 continue  # preempted earlier in this loop
             try:
-                self.cache.ensure_capacity(s)
+                self._ensure_capacity(s)
             except RuntimeError:
                 # page pool exhausted: PREEMPT the youngest request — its
                 # pages return to the pool and it re-enters the queue with
@@ -292,7 +329,7 @@ class ServingEngine:
                 # its write_page would point at a page just returned to the
                 # free list (and possibly re-allocated below) — reset it
                 write_page[victim] = self.cache.trash_page
-                self.cache.ensure_capacity(s)  # freed pages: must succeed
+                self._ensure_capacity(s)  # freed pages: must succeed
             write_page[s] = self.cache.pages_of[s][
                 self.cache.lengths[s] // ps]
         if not active:
@@ -323,6 +360,47 @@ class ServingEngine:
                 self.cache.release(s)
                 self.running[s] = None
 
+    def _lookup_prefix(self, prompt: np.ndarray) -> Tuple[int, List[int]]:
+        """Longest page-aligned cached prefix usable for ``prompt``.
+
+        Capped at (len-1)//ps pages so at least one suffix token remains to
+        prefill (the logits come from the last prompt position). For llama
+        the RoPE table must also cover [p*ps, p*ps + suffix bucket)."""
+        ps = self.cfg.page_size
+        rope_len = (int(self.params["rope_cos"].shape[0])
+                    if self.model == "llama" else None)
+        for p in range((len(prompt) - 1) // ps, 0, -1):
+            key = prompt[:p * ps].tobytes()
+            pages = self._prefix_index.get(key)
+            if pages is None:
+                continue
+            if rope_len is not None:
+                suffix = len(prompt) - p * ps
+                bucket = next((b for b in self.cfg.prefill_buckets
+                               if b >= suffix), None)
+                if bucket is None or p * ps + bucket > rope_len:
+                    continue
+            self._prefix_lru.remove(key)
+            self._prefix_lru.append(key)
+            return p, pages
+        return 0, []
+
+    def _register_prefixes(self, prompt: np.ndarray, slot: int):
+        """Index every full-page prefix of a just-prefilled prompt. Full
+        pages are never written again (decode writes land past the prompt),
+        so entries stay valid for the pages' refcounted lifetime."""
+        ps = self.cfg.page_size
+        allp = self.cache.pages_of[slot]
+        for p in range(1, len(prompt) // ps + 1):
+            key = prompt[:p * ps].tobytes()
+            if key in self._prefix_index:
+                continue
+            pages = list(allp[:p])
+            for pg in pages:
+                self.cache.page_refs[pg] += 1
+            self._prefix_index[key] = pages
+            self._prefix_lru.append(key)
+
     def _admit(self):
         while self.queue:
             slot = next((s for s, r in enumerate(self.running) if r is None),
@@ -331,15 +409,35 @@ class ServingEngine:
                 return
             r = self.queue[0]
             S0 = len(r.prompt)
-            n_pages = -(-S0 // self.cfg.page_size)
-            if n_pages > self.cache.n_free():
-                return  # backpressure: wait for pages
+            ps = self.cfg.page_size
+            n_total = -(-S0 // ps)
+            p0, cached = (self._lookup_prefix(r.prompt)
+                          if self.cfg.prefix_cache else (0, []))
+            n_new = n_total - p0
+            if n_new > self.cache.n_free():
+                while (self.cache.n_free() < n_new
+                       and self._evict_one_prefix()):
+                    pass
+                # eviction may have dropped the matched entry (it is
+                # LRU-touched, so it goes last) — re-resolve
+                p0, cached = (self._lookup_prefix(r.prompt)
+                              if self.cfg.prefix_cache else (0, []))
+                n_new = n_total - p0
+                if n_new > self.cache.n_free():
+                    return  # backpressure: wait for pages
             self.queue.popleft()
             r.slot = slot
             self.running[slot] = r
-            pages = self.cache.alloc(slot, n_pages)
-            first = self._run_prefill(slot, r.prompt, pages)
+            if p0:
+                self.cache.attach(slot, cached)
+                self.stats["prefix_hits"] += 1
+                self.stats["prefix_tokens_reused"] += p0 * ps
+            pages = self.cache.alloc(slot, n_new)
+            first = self._run_prefill(slot, r.prompt[p0 * ps:], pages,
+                                      n_prefix=p0)
             self.cache.lengths[slot] = S0
+            if self.cfg.prefix_cache:
+                self._register_prefixes(r.prompt, slot)
             r.out.append(first)
             self._tokens[slot] = first
             if (len(r.out) >= r.max_new_tokens
@@ -365,18 +463,46 @@ class ServingEngine:
         self.cache.release(slot)
         self.running[slot] = None
 
+    def _evict_one_prefix(self) -> bool:
+        """Drop the least-recently-used prefix entry; its pages return to
+        the pool once no running slot holds them."""
+        if not self._prefix_lru:
+            return False
+        key = self._prefix_lru.pop(0)
+        self.cache.decref(self._prefix_index.pop(key))
+        self.stats["prefix_evictions"] += 1
+        return True
+
+    def _ensure_capacity(self, slot: int):
+        """ensure_capacity that sheds prefix-cache entries before giving up
+        (a registry-held page is reclaimable memory, a running slot's is
+        not — evicting is always cheaper than preempting)."""
+        ps = self.cfg.page_size
+        needs_page = (self.cache.lengths[slot] // ps + 1
+                      > len(self.cache.pages_of[slot]))
+        if needs_page:
+            while self.cache.n_free() < 1 and self._evict_one_prefix():
+                pass
+        self.cache.ensure_capacity(slot)
+
     def _run_prefill(self, slot: int, prompt: np.ndarray,
-                     pages: List[int]) -> int:
+                     pages: List[int], n_prefix: int = 0) -> int:
+        """``prompt`` here is the un-cached SUFFIX (the whole prompt when
+        n_prefix == 0); it is bucketed as before, and the compiled prefill
+        is keyed on (bucket, n_prefix) — n_prefix is static so the merged
+        cross-attention over the cached pages has a static key count."""
         S0 = len(prompt)
         bucket = next((b for b in self.cfg.prefill_buckets if b >= S0), None)
         if bucket is None:
             raise ValueError(f"prompt length {S0} exceeds the largest "
                              f"prefill bucket {self.cfg.prefill_buckets[-1]}")
-        if bucket not in self._prefills:
+        key = (bucket, n_prefix)
+        if key not in self._prefills:
             if self.mesh is None:
-                self._prefills[bucket] = jax.jit(
+                self._prefills[key] = jax.jit(
                     partial(self._prefill_fn, n_heads=self.n_heads,
-                            page_size=self.cfg.page_size, bucket=bucket),
+                            page_size=self.cfg.page_size, bucket=bucket,
+                            n_prefix=n_prefix),
                     static_argnames=(), donate_argnums=(1,))
             else:
                 from jax.sharding import PartitionSpec as P
@@ -384,13 +510,13 @@ class ServingEngine:
                 pspecs, kv_specs = self._tp_specs
                 tp = self.mesh.shape["tp"]
                 rep = P()
-                self._prefills[bucket] = jax.jit(jax.shard_map(
+                self._prefills[key] = jax.jit(jax.shard_map(
                     partial(_llama_prefill_paged,
                             n_heads=self.n_heads // tp,
                             page_size=self.cfg.page_size, bucket=bucket,
-                            tp_axis="tp"),
+                            n_prefix=n_prefix, tp_axis="tp"),
                     mesh=self.mesh,
-                    in_specs=(pspecs, kv_specs, rep, rep, rep),
+                    in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
                     out_specs=(rep, kv_specs), check_vma=False),
                     donate_argnums=(1,))
         pad = np.zeros((bucket,), np.int32)
@@ -398,9 +524,13 @@ class ServingEngine:
         page_vec = np.full((bucket // self.cfg.page_size,),
                            self.cache.trash_page, np.int32)
         page_vec[:len(pages)] = pages
-        logits, self.cache.state = self._prefills[bucket](
+        prefix_vec = np.asarray(
+            self.cache.pages_of[slot][:n_prefix] if n_prefix
+            else [self.cache.trash_page], np.int32)
+        logits, self.cache.state = self._prefills[key](
             self.params, self.cache.state, jnp.asarray(pad),
-            jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec))
+            jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec),
+            jnp.asarray(prefix_vec))
         self.stats["prefills"] += 1
         self.stats["tokens_out"] += 1
         return int(np.asarray(jnp.argmax(logits, -1)))
@@ -547,6 +677,46 @@ def _kv_write_pages(kv, li, page_vec, kp, vp):
     return {"pools": pools}
 
 
+def _gather_prefix_kv(kv, li, prefix_vec, dtype):
+    """Dense (1, Hkv, L0, hd) K/V of the cached prefix pages (dequantized
+    when the cache is int8). A one-time gather per prefill layer — the
+    suffix cross-attends these keys with full visibility."""
+    kp = kv["pools"][li, 0, prefix_vec]  # (p, Hkv, ps, hd)
+    vp = kv["pools"][li, 1, prefix_vec]
+    if "scales" in kv:
+        kp = kp.astype(jnp.float32) * kv["scales"][li, 0, prefix_vec][..., None]
+        vp = vp.astype(jnp.float32) * kv["scales"][li, 1, prefix_vec][..., None]
+    p, Hkv, ps, hd = kp.shape
+
+    def dense(t):
+        return (t.transpose(1, 0, 2, 3).reshape(1, Hkv, p * ps, hd)
+                .astype(dtype))
+
+    return dense(kp), dense(vp)
+
+
+def _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, groups):
+    """Prefix-cached prefill attention: suffix queries see the cached
+    prefix (full visibility, it is entirely in their past) and themselves
+    (causal); the two flash passes merge exactly via the log-sum-exp
+    stats combination (ring_attention._merge). qh (1, H, S, hd);
+    kh/vh (1, Hkv, S, hd); groups = H // Hkv (GQA repeat)."""
+    from ..ops.attention import attention_with_stats
+    from ..parallel.ring_attention import _merge
+
+    kd, vd = _gather_prefix_kv(kv, li, prefix_vec, qh.dtype)
+    if groups > 1:
+        kd = jnp.repeat(kd, groups, axis=1)
+        vd = jnp.repeat(vd, groups, axis=1)
+        kh = jnp.repeat(kh, groups, axis=1)
+        vh = jnp.repeat(vh, groups, axis=1)
+    o1, m1, l1 = attention_with_stats(qh, kd, vd, causal=False)
+    o2, m2, l2 = attention_with_stats(qh, kh, vh, causal=True)
+    o, _, _ = _merge(o1, m1.astype(jnp.float32), l1.astype(jnp.float32),
+                     o2, m2.astype(jnp.float32), l2.astype(jnp.float32))
+    return o
+
+
 def _kv_attend(kv, li, q, tables, att_len):
     if "scales" in kv:
         return paged_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
@@ -596,8 +766,9 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
     return logits, kv
 
 
-def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
-                   page_size: int, bucket: int):
+def _prefill_paged(params, kv, prompt, length, page_vec, prefix_vec, *,
+                   n_heads: int, page_size: int, bucket: int,
+                   n_prefix: int = 0):
     """Single-sequence flash prefill that scatters K/V into pages.
 
     prompt (bucket,) int32 zero-padded; length = true S0; page_vec
@@ -605,7 +776,11 @@ def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
     garbage K/V rows inside the last real page, but causality keeps them
     invisible to the consumed position (length-1) and the first decode step
     overwrites row ``length`` before it is ever attended. Returns
-    (last-position logits, pools)."""
+    (last-position logits, pools).
+
+    Prefix caching (n_prefix > 0): ``prompt`` is the SUFFIX after
+    ``n_prefix`` cached pages (ids in ``prefix_vec``); suffix queries
+    cross-attend the cached keys via the stats-merged flash pass."""
     from ..ops.attention import attention
 
     D = params["embed"].shape[1]
@@ -627,7 +802,10 @@ def _prefill_paged(params, kv, prompt, length, page_vec, *, n_heads: int,
             return t[0].reshape(H, bucket // page_size, page_size,
                                 hd).transpose(1, 0, 2, 3)
         kv = _kv_write_pages(kv, li, page_vec, pages_of(kh), pages_of(vh))
-        o = attention(qh, kh, vh, causal=True)
+        if n_prefix:
+            o = _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, 1)
+        else:
+            o = attention(qh, kh, vh, causal=True)
         o = o.transpose(0, 2, 1, 3)
         x = x + _linear_q(o.reshape(bucket, D), blk["wo"],
                           blk["bo"]).reshape(1, bucket, D)
@@ -696,9 +874,9 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
     return logits, kv
 
 
-def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
-                         n_heads: int, page_size: int, bucket: int,
-                         tp_axis=None):
+def _llama_prefill_paged(params, kv, prompt, length, page_vec, prefix_vec,
+                         *, n_heads: int, page_size: int, bucket: int,
+                         n_prefix: int = 0, tp_axis=None):
     from ..ops.attention import attention_gqa
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope
@@ -708,6 +886,10 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
     hd = _w_out_dim(params["blocks"][0]["wq"]) // H  # local-shard safe
     Hkv = _w_out_dim(params["blocks"][0]["wkv"]) // (2 * hd)
     cos, sin = params["rope_cos"], params["rope_sin"]
+    # prefix caching: the suffix sits at global positions starting after
+    # the cached pages; stored prefix K is already roped at its own
+    # global positions, so cross-attention needs no further rotation
+    pos0 = n_prefix * page_size
     x = params["embed"][prompt][None]  # (1, bucket, D)
 
     for li, blk in enumerate(params["blocks"]):
@@ -717,14 +899,17 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, *,
         kvp = _linear_q(h, blk["wkv"]).reshape(bucket, 2, Hkv, hd)
         k = kvp[:, 0].transpose(1, 0, 2)[None]               # (1,Hkv,bkt,hd)
         v = kvp[:, 1].transpose(1, 0, 2)[None]
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, position_offset=pos0)
+        k = apply_rope(k, cos, sin, position_offset=pos0)
 
         def pages_of(t):
             return t[0].reshape(Hkv, bucket // page_size, page_size,
                                 hd).transpose(1, 0, 2, 3)
         kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
-        o = attention_gqa(q, k, v, causal=True)
+        if n_prefix:
+            o = _attend_with_prefix(kv, li, q, k, v, prefix_vec, H // Hkv)
+        else:
+            o = attention_gqa(q, k, v, causal=True)
         o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
         xo = _linear_q(o, blk["wo"])
         if tp_axis:

@@ -289,3 +289,148 @@ class TestServingEngine:
         stop = list(want).index(eos) + 1
         assert out[rid] == list(want[:stop])
         assert len(out[rid]) < 8  # actually stopped early
+
+
+class TestPrefixCaching:
+    """Automatic prefix caching: full prompt pages are shared (refcounted,
+    zero-copy) between requests; suffix prefills cross-attend the cached
+    pages through a stats-merged flash pass. Gold property unchanged:
+    tokens match the dense decode of each request alone."""
+
+    def test_shared_prefix_token_identity(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8,
+                            prefill_buckets=(16, 32, 64),
+                            prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        shared = rng.randint(0, 97, 32).astype(np.int32)  # 2 full pages
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 7).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 13).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 2).astype(np.int32)]),
+            shared.copy(),  # the prefix itself as a prompt
+        ]
+        ids = [eng.add_request(p, 5) for p in prompts]
+        out = eng.run()
+        assert eng.stats["prefix_hits"] >= 2
+        assert eng.stats["prefix_tokens_reused"] >= 2 * 32
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=5))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_cache_survives_across_runs(self, rng):
+        # registry holds pages after requests finish: a later run() reuses
+        # them without re-prefilling the prefix
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32, 64),
+                            prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        shared = rng.randint(0, 97, 32).astype(np.int32)
+        p1 = np.concatenate([shared, rng.randint(0, 97, 5).astype(np.int32)])
+        r1 = eng.add_request(p1, 4)
+        out1 = eng.run()
+        held = cfg.n_pages - 1 - eng.cache.n_free()
+        assert held > 0  # registry keeps prompt pages alive
+        p2 = np.concatenate([shared, rng.randint(0, 97, 9).astype(np.int32)])
+        r2 = eng.add_request(p2, 4)
+        out2 = eng.run()
+        assert eng.stats["prefix_hits"] >= 1
+        for p, rid, out in ((p1, r1, out1), (p2, r2, out2)):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):])
+
+    def test_eviction_under_pressure_and_refcounts(self, rng):
+        # a pool too small to also hoard prefixes: the engine evicts LRU
+        # registry entries instead of deadlocking, and every page returns
+        # once the registry is drained
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=9, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16, 32, 64),
+                            prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, 32).astype(np.int32) for _ in range(4)]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        assert set(out) == set(ids)
+        assert eng.stats["prefix_evictions"] > 0
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):])
+        # drain the registry: every pool page must come back exactly once
+        while eng._evict_one_prefix():
+            pass
+        assert eng.cache.n_free() == cfg.n_pages - 1
+        assert np.all(eng.cache.page_refs[:cfg.n_pages - 1] == 0)
+
+    def test_llama_prefix_rope_offset(self, rng):
+        # llama family: suffix RoPE positions must start after the cached
+        # prefix; GQA cross-attention repeats KV heads
+        from laser_tpu.models.llama import init_llama, llama_generate
+
+        params = init_llama(jax.random.PRNGKey(3), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=2, d_ff=256, vocab=97,
+                            max_len=256)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32, 64),
+                            prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama")
+        shared = rng.randint(0, 97, 32).astype(np.int32)
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 9).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 3).astype(np.int32)]),
+        ]
+        ids = [eng.add_request(p, 5) for p in prompts]
+        out = eng.run()
+        assert eng.stats["prefix_hits"] >= 1
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=2, max_new_tokens=5, temperature=0.0))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_kv_quant_prefix_completes(self, rng):
+        # int8 KV + prefix cache: the cross-attention dequantizes the
+        # gathered pages; agreement bar as in the plain kv_quant test
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32, 64),
+                            kv_quant=True, prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        shared = rng.randint(0, 97, 32).astype(np.int32)
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 5).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 8).astype(np.int32)]),
+        ]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        assert set(out) == set(ids)
+        assert eng.stats["prefix_hits"] >= 1
+        agree = total = 0
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8,
+                max_new_tokens=4))[0, len(p):]
+            agree += sum(int(a) == int(b) for a, b in zip(out[rid], want))
+            total += len(want)
+        assert agree / total > 0.7, f"only {agree}/{total} tokens agree"
+
+    def test_prefix_tp_mesh_rejected(self, rng):
+        from laser_tpu.models.llama import init_llama
+        from laser_tpu.parallel.mesh import make_mesh
+
+        params = init_llama(jax.random.PRNGKey(5), n_layers=1, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="prefix_cache"):
+            ServingEngine(params, n_heads=8, model="llama", mesh=mesh,
+                          cfg=ServingConfig(page_size=16,
+                                            prefill_buckets=(16,),
+                                            prefix_cache=True))
