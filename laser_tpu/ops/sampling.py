@@ -87,3 +87,50 @@ def sample_logits(key: jax.Array, logits: jax.Array, *,
 
     g = jax.random.gumbel(key, x.shape, jnp.float32)
     return jnp.argmax(x + g, axis=-1).astype(jnp.int32)
+
+
+def sample_logits_batch(seeds: jax.Array, positions: jax.Array,
+                        logits: jax.Array, temperature: jax.Array,
+                        top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-row heterogeneous ``sample_logits`` for continuous batching.
+
+    Every slot of a serving batch samples with ITS OWN parameters in one
+    device call: seeds/positions (B,) int32 derive row b's PRNG key as
+    ``fold_in(PRNGKey(seeds[b]), positions[b])`` (positions = the absolute
+    token index, so a preempted-and-requeued request replays identically);
+    temperature (B,) f32 (0 = greedy argmax); top_k (B,) int32 (0 = off);
+    top_p (B,) f32 (1 = off). Row-exact to ``sample_logits`` with the same
+    key and parameters (same filter order and masking math, same Gumbel
+    draw). Returns (B,) int32.
+    """
+    logits = jnp.asarray(logits)
+    B, V = logits.shape
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_k = jnp.asarray(top_k, jnp.int32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-8)[:, None]
+
+    # top-k: mask below the k-th largest (sorted take == lax.top_k's kth)
+    sx = jnp.sort(x, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(sx, jnp.clip(top_k - 1, 0, V - 1)[:, None],
+                              axis=-1)
+    k_on = ((top_k > 0) & (top_k < V))[:, None]
+    x = jnp.where(k_on & (x < kth), -jnp.inf, x)
+
+    # nucleus, on the post-top-k distribution (sample_logits's order)
+    sx = jnp.sort(x, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sx, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep = csum - probs < top_p[:, None]
+    cutoff = jnp.min(jnp.where(keep, sx, jnp.inf), axis=-1, keepdims=True)
+    p_on = (top_p < 1.0)[:, None]
+    x = jnp.where(p_on & (x < cutoff), -jnp.inf, x)
+
+    def g_row(s, p):
+        key = jax.random.fold_in(jax.random.PRNGKey(s), p)
+        return jax.random.gumbel(key, (V,), jnp.float32)
+
+    g = jax.vmap(g_row)(seeds, positions)
+    sampled = jnp.argmax(x + g, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -150,6 +150,10 @@ class _Request:
     prompt: np.ndarray
     max_new_tokens: int
     eos_id: Optional[int]
+    temperature: float = 0.0   # 0 = greedy
+    top_k: int = 0             # 0 = off
+    top_p: float = 1.0         # 1 = off
+    seed: int = 0
     out: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
 
@@ -214,6 +218,16 @@ class ServingEngine:
         # (each entry holds one ref per page; evicted LRU-first)
         self._prefix_index: Dict[bytes, List[int]] = {}
         self._prefix_lru: List[bytes] = []
+        # per-slot sampling parameters (mirrored to device each step);
+        # sampling itself runs in ONE batched device call so slots with
+        # different temperatures/filters/seeds coexist in a step
+        from ..ops.sampling import sample_logits_batch
+
+        self._samp = {"seed": np.zeros((cfg.max_seqs,), np.int32),
+                      "temp": np.zeros((cfg.max_seqs,), np.float32),
+                      "top_k": np.zeros((cfg.max_seqs,), np.int32),
+                      "top_p": np.ones((cfg.max_seqs,), np.float32)}
+        self._sampler = jax.jit(sample_logits_batch)
         decode_fn = _decode_step if model == "transformer" else \
             _llama_decode_step
         self._prefill_fn = _prefill_paged if model == "transformer" else \
@@ -249,7 +263,15 @@ class ServingEngine:
 
     # -- request API -------------------------------------------------------
     def add_request(self, prompt, max_new_tokens: int,
-                    eos_id: Optional[int] = None) -> int:
+                    eos_id: Optional[int] = None, *,
+                    temperature: float = 0.0, top_k: int = 0,
+                    top_p: float = 1.0, seed: int = 0) -> int:
+        """temperature/top_k/top_p/seed: per-request sampling (defaults =
+        greedy). The PRNG key for the token at absolute index i is
+        fold_in(PRNGKey(seed), i) — the same schedule as
+        models.llama.llama_generate, so a single request with matching
+        parameters decodes token-identically to it; it also makes
+        preempt-and-requeue replay the identical continuation."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
@@ -269,7 +291,9 @@ class ServingEngine:
                 f"{self.cfg.n_pages - 1}")
         rid = self._next_id
         self._next_id += 1
-        self.queue.append(_Request(rid, prompt, max_new_tokens, eos_id))
+        self.queue.append(_Request(rid, prompt, max_new_tokens, eos_id,
+                                   float(temperature), int(top_k),
+                                   float(top_p), int(seed)))
         return rid
 
     def has_work(self) -> bool:
@@ -338,7 +362,16 @@ class ServingEngine:
         logits, self.cache.state = self._decode(
             self.params, self.cache.state, jnp.asarray(self.cache.tables),
             lengths, jnp.asarray(write_page), jnp.asarray(self._tokens))
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        # absolute index of the token each slot emits this step (keys fold
+        # on it, so sampling is position-deterministic)
+        pos = np.zeros((self.cfg.max_seqs,), np.int32)
+        for s in active:
+            r = self.running[s]
+            pos[s] = len(r.prompt) + len(r.out)
+        nxt = np.asarray(self._sampler(
+            jnp.asarray(self._samp["seed"]), jnp.asarray(pos), logits,
+            jnp.asarray(self._samp["temp"]), jnp.asarray(self._samp["top_k"]),
+            jnp.asarray(self._samp["top_p"])), np.int32)
         self.stats["decode_steps"] += 1
         self.stats["tokens_out"] += len(active)
         self.stats["peak_pages_in_use"] = max(
@@ -428,6 +461,10 @@ class ServingEngine:
             self.queue.popleft()
             r.slot = slot
             self.running[slot] = r
+            self._samp["seed"][slot] = r.seed
+            self._samp["temp"][slot] = r.temperature
+            self._samp["top_k"][slot] = r.top_k
+            self._samp["top_p"][slot] = r.top_p
             if p0:
                 self.cache.attach(slot, cached)
                 self.stats["prefix_hits"] += 1
@@ -454,7 +491,8 @@ class ServingEngine:
         new_prompt = np.concatenate([r.prompt,
                                      np.asarray(r.out, np.int32)])
         req = _Request(r.req_id, new_prompt,
-                       r.max_new_tokens - len(r.out), r.eos_id)
+                       r.max_new_tokens - len(r.out), r.eos_id,
+                       r.temperature, r.top_k, r.top_p, r.seed)
         req.out = []
         self._requeued_prefix = getattr(self, "_requeued_prefix", {})
         self._requeued_prefix[r.req_id] = (
@@ -533,7 +571,14 @@ class ServingEngine:
             jnp.asarray(prefix_vec))
         self.stats["prefills"] += 1
         self.stats["tokens_out"] += 1
-        return int(np.asarray(jnp.argmax(logits, -1)))
+        r = self.running[slot]
+        tok = self._sampler(
+            jnp.asarray([r.seed], jnp.int32),
+            jnp.asarray([len(r.prompt)], jnp.int32), logits[None, :],
+            jnp.asarray([r.temperature], jnp.float32),
+            jnp.asarray([r.top_k], jnp.int32),
+            jnp.asarray([r.top_p], jnp.float32))
+        return int(np.asarray(tok)[0])
 
 
 # ---------------------------------------------------------------------------
