@@ -275,10 +275,9 @@ class ServingEngine:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
-        if len(prompt) > max(self.cfg.prefill_buckets):
-            raise ValueError(
-                f"prompt length {len(prompt)} exceeds the largest prefill "
-                f"bucket {max(self.cfg.prefill_buckets)}")
+        # prompts longer than the largest bucket prefill in CHUNKS (each
+        # chunk a suffix prefill against the pages written so far) — the
+        # only hard limits are the page-capacity ones below
         ps = self.cfg.page_size
         need = -(-(len(prompt) + max_new_tokens) // ps)
         if need > self.cfg.max_pages_per_seq:
@@ -317,7 +316,6 @@ class ServingEngine:
         # page exists; inactive slots write to the trash page
         write_page = np.full((self.cfg.max_seqs,), self.cache.trash_page,
                              np.int32)
-        max_bucket = max(self.cfg.prefill_buckets)
         for s in active[:]:
             if self.running[s] is None:
                 continue  # preempted earlier in this loop
@@ -326,19 +324,12 @@ class ServingEngine:
             except RuntimeError:
                 # page pool exhausted: PREEMPT the youngest request — its
                 # pages return to the pool and it re-enters the queue with
-                # prompt + generated-so-far as the new prompt (decoding is
-                # deterministic, so the continuation is identical). Only
-                # requests whose requeued prompt still fits a prefill
-                # bucket are preemptable.
-                candidates = [
-                    t for t in active if self.running[t] is not None
-                    and len(self.running[t].prompt)
-                    + len(self.running[t].out) <= max_bucket]
-                if not candidates:
-                    raise RuntimeError(
-                        "page pool exhausted and no preemptable request "
-                        "fits the prefill buckets; increase n_pages or "
-                        "prefill_buckets") from None
+                # prompt + generated-so-far as the new prompt (decoding and
+                # sampling are position-deterministic, so the continuation
+                # is identical; chunked prefill serves requeued prompts of
+                # any length).
+                candidates = [t for t in active
+                              if self.running[t] is not None]
                 others = [t for t in candidates if t != s]
                 if not others:
                     # s itself is the only preemptable request
@@ -400,23 +391,31 @@ class ServingEngine:
         prefill (the logits come from the last prompt position). For llama
         the RoPE table must also cover [p*ps, p*ps + suffix bucket)."""
         ps = self.cfg.page_size
-        rope_len = (int(self.params["rope_cos"].shape[0])
+        rope_len = (int(np.asarray(self.params["rope_cos"]).shape[0])
                     if self.model == "llama" else None)
         for p in range((len(prompt) - 1) // ps, 0, -1):
             key = prompt[:p * ps].tobytes()
             pages = self._prefix_index.get(key)
             if pages is None:
                 continue
-            if rope_len is not None:
-                suffix = len(prompt) - p * ps
-                bucket = next((b for b in self.cfg.prefill_buckets
-                               if b >= suffix), None)
-                if bucket is None or p * ps + bucket > rope_len:
-                    continue
+            if (rope_len is not None
+                    and self._max_rope_pos(len(prompt), p) > rope_len):
+                continue
             self._prefix_lru.remove(key)
             self._prefix_lru.append(key)
             return p, pages
         return 0, []
+
+    def _max_rope_pos(self, S0: int, p: int) -> int:
+        """Largest position a (possibly chunked) prefill starting after
+        ``p`` cached pages will rope: the last chunk's offset plus its
+        bucket (padding included)."""
+        B = max(self.cfg.prefill_buckets)
+        off = p * self.cfg.page_size
+        while S0 - off > B:
+            off += B
+        bucket = next(b for b in self.cfg.prefill_buckets if b >= S0 - off)
+        return off + bucket
 
     def _register_prefixes(self, prompt: np.ndarray, slot: int):
         """Index every full-page prefix of a just-prefilled prompt. Full
@@ -470,8 +469,20 @@ class ServingEngine:
                 self.stats["prefix_hits"] += 1
                 self.stats["prefix_tokens_reused"] += p0 * ps
             pages = self.cache.alloc(slot, n_new)
-            first = self._run_prefill(slot, r.prompt[p0 * ps:], pages,
-                                      n_prefix=p0)
+            # chunked prefill: prompts longer than the largest bucket run
+            # as a sequence of suffix prefills, each attending everything
+            # written so far through the merged-stats cross pass
+            B = max(self.cfg.prefill_buckets)
+            off = p0 * ps
+            while S0 - off > B:
+                chunk_pages = self.cache.pages_of[slot][
+                    off // ps:(off + B) // ps]
+                self._run_prefill(slot, r.prompt[off:off + B], chunk_pages,
+                                  n_prefix=off // ps, emit=False)
+                off += B
+            first = self._run_prefill(
+                slot, r.prompt[off:],
+                self.cache.pages_of[slot][off // ps:], n_prefix=off // ps)
             self.cache.lengths[slot] = S0
             if self.cfg.prefix_cache:
                 self._register_prefixes(r.prompt, slot)
@@ -524,16 +535,27 @@ class ServingEngine:
         self.cache.ensure_capacity(slot)
 
     def _run_prefill(self, slot: int, prompt: np.ndarray,
-                     pages: List[int], n_prefix: int = 0) -> int:
-        """``prompt`` here is the un-cached SUFFIX (the whole prompt when
+                     pages: List[int], n_prefix: int = 0,
+                     emit: bool = True) -> Optional[int]:
+        """``prompt`` here is the un-prefilled SUFFIX (the whole prompt when
         n_prefix == 0); it is bucketed as before, and the compiled prefill
         is keyed on (bucket, n_prefix) — n_prefix is static so the merged
-        cross-attention over the cached pages has a static key count."""
+        cross-attention over the cached pages has a static key count.
+        ``emit=False`` (intermediate chunks of a chunked prefill) skips
+        sampling and returns None."""
         S0 = len(prompt)
         bucket = next((b for b in self.cfg.prefill_buckets if b >= S0), None)
         if bucket is None:
             raise ValueError(f"prompt length {S0} exceeds the largest "
                              f"prefill bucket {self.cfg.prefill_buckets[-1]}")
+        if self.model == "llama":
+            rope_len = int(np.asarray(self.params["rope_cos"]).shape[0])
+            if n_prefix * self.cfg.page_size + bucket > rope_len:
+                raise ValueError(
+                    f"prefill positions reach "
+                    f"{n_prefix * self.cfg.page_size + bucket} but the rope "
+                    f"table covers {rope_len}; re-init the model with a "
+                    f"larger max_len")
         key = (bucket, n_prefix)
         if key not in self._prefills:
             if self.mesh is None:
@@ -570,6 +592,8 @@ class ServingEngine:
             jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec),
             jnp.asarray(prefix_vec))
         self.stats["prefills"] += 1
+        if not emit:
+            return None
         self.stats["tokens_out"] += 1
         r = self.running[slot]
         tok = self._sampler(

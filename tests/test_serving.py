@@ -266,8 +266,10 @@ class TestServingEngine:
         cfg = ServingConfig(page_size=16, n_pages=8, max_seqs=2,
                             max_pages_per_seq=3, prefill_buckets=(16, 32))
         eng = ServingEngine(params, n_heads=8, cfg=cfg)
-        with pytest.raises(ValueError, match="largest prefill bucket"):
-            eng.add_request(np.zeros(33, np.int32), 4)
+        with pytest.raises(ValueError, match="empty prompt"):
+            eng.add_request(np.zeros(0, np.int32), 4)
+        with pytest.raises(ValueError, match="max_pages_per_seq"):
+            eng.add_request(np.zeros(49, np.int32), 4)  # 4 pages > 3
         with pytest.raises(ValueError, match="max_pages_per_seq"):
             eng.add_request(np.zeros(16, np.int32), 40)
         with pytest.raises(ValueError, match="not multiples of page_size"):
@@ -511,3 +513,79 @@ class TestServingSampling:
         # different seeds on the same prompt should (overwhelmingly) differ
         assert out1[ids1[1]] != out1[ids1[2]] or prompts[1].tolist() == \
             prompts[2].tolist()
+
+
+class TestChunkedPrefill:
+    """Prompts longer than the largest bucket prefill in chunks: each chunk
+    is a suffix prefill cross-attending the pages written so far. The only
+    length limits left are the page-capacity ones."""
+
+    def test_long_prompt_token_identity(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (33, 80, 95)]  # all above the 32 bucket
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"len {len(p)}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_long_prompt_llama(self, rng):
+        from laser_tpu.models.llama import init_llama, llama_generate
+
+        params = init_llama(jax.random.PRNGKey(3), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=2, d_ff=256, vocab=97,
+                            max_len=256)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama")
+        p = rng.randint(0, 97, 70).astype(np.int32)
+        rid = eng.add_request(p, 5)
+        out = eng.run()
+        want = np.asarray(llama_generate(
+            params, jnp.asarray(p[None]), jax.random.PRNGKey(0), n_heads=8,
+            n_kv_heads=2, max_new_tokens=5, temperature=0.0))
+        assert out[rid] == list(want[0, len(p):])
+
+    def test_long_prompt_with_prefix_cache(self, rng):
+        # a long shared prefix: the second request reuses MORE pages than
+        # one bucket covers, and its chunked suffix starts past them
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32),
+                            prefix_cache=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        shared = rng.randint(0, 97, 64).astype(np.int32)  # 4 pages, 2 chunks
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 5).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 40).astype(np.int32)]),
+        ]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        out = eng.run()
+        assert eng.stats["prefix_hits"] >= 1
+        assert eng.stats["prefix_tokens_reused"] >= 64
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):])
+
+    def test_preempted_long_request_requeues(self, rng):
+        # preemption requeues prompt+generated, which may exceed the
+        # largest bucket — chunked prefill must pick it up exactly
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=7, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, 30).astype(np.int32) for _ in range(2)]
+        ids = [eng.add_request(p, 40) for p in prompts]
+        out = eng.run()
+        assert eng.stats.get("preemptions", 0) > 0, "no preemption triggered"
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=40))
+            assert out[rid] == list(want[0, len(p):]), f"req {rid} mismatch"
