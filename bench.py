@@ -547,6 +547,39 @@ def bench_serving_engine():
                     "batch": 8, "note": "host-driven; includes one tunnel "
                     "round trip per step"}
         log(f"{tag}: {toks:.0f} tok/s ({dt/n_steps*1e3:.1f} ms/step)")
+
+    # prefix caching: end-to-end prefill latency, cold vs cache hit (a
+    # 448-token shared prefix + ~32-token suffix: the hit prefills one
+    # 64-bucket suffix instead of a 512-bucket prompt)
+    cfg = ServingConfig(page_size=64, n_pages=128, max_seqs=2,
+                        max_pages_per_seq=16, prefill_buckets=(64, 512),
+                        prefix_cache=True)
+    eng = ServingEngine(params, n_heads=4, cfg=cfg)
+    prefix = rng.randint(0, 1024, 448).astype(np.int32)
+
+    def one_prefill(prompt):
+        t0 = time.perf_counter()
+        eng.add_request(prompt, 1)
+        eng.run()
+        return time.perf_counter() - t0
+
+    # warm both compiled keys: (512, 0) cold and (64, 7) hit
+    one_prefill(np.concatenate(
+        [prefix, rng.randint(0, 1024, 30).astype(np.int32)]))
+    one_prefill(np.concatenate(
+        [prefix, rng.randint(0, 1024, 40).astype(np.int32)]))
+    cold = min(one_prefill(rng.randint(0, 1024, 478).astype(np.int32))
+               for _ in range(3))
+    hit = min(one_prefill(np.concatenate(
+        [prefix, rng.randint(0, 1024, 30).astype(np.int32)]))
+        for _ in range(3))
+    out["serving_prefix_cache"] = {
+        "prefill_cold_ms": round(cold * 1e3, 2),
+        "prefill_hit_ms": round(hit * 1e3, 2),
+        "speedup": round(cold / hit, 2),
+        "note": "478-token prompt, 448 cached; host-driven end to end"}
+    log(f"serving_prefix_cache: cold {cold*1e3:.1f} ms vs hit "
+        f"{hit*1e3:.1f} ms ({cold/hit:.1f}x)")
     return out
 
 
