@@ -38,7 +38,8 @@ _NEG_INF = -1e30  # finite sentinel: keeps exp()/rescaling NaN-free
 
 
 def attention_reference(q, k, v, *, causal: bool = False,
-                        scale: Optional[float] = None) -> jax.Array:
+                        scale: Optional[float] = None,
+                        window: Optional[int] = None) -> jax.Array:
     """XLA reference implementation (the test oracle, and the autodiff path)."""
     *_, S, D = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -48,6 +49,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
         qi = jnp.arange(q.shape[-2])[:, None]
         ki = jnp.arange(k.shape[-2])[None, :]
         s = jnp.where(ki <= qi, s, -jnp.inf)
+        if window is not None:
+            s = jnp.where(qi - ki < window, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("...qk,...kd->...qd", p, v,
                       precision=jax.lax.Precision.HIGHEST)
@@ -57,12 +60,19 @@ def attention_reference(q, k, v, *, causal: bool = False,
 def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                  causal: bool, scale: float, dtype: str, interpret: bool,
                  return_stats: bool = False, use_offsets: bool = False,
-                 kv_heads: Optional[tuple] = None):
+                 kv_heads: Optional[tuple] = None,
+                 window: Optional[int] = None):
     """``use_offsets``: the kernel takes two SMEM scalars (q_off, k_off) —
     global sequence positions of the local q/k chunks — and evaluates the
     causal mask in GLOBAL coordinates. One kernel then covers every ring
     step: a past chunk is fully visible, the diagonal chunk is triangular,
-    and a future chunk's blocks are all skipped (near-zero cost)."""
+    and a future chunk's blocks are all skipped (near-zero cost).
+
+    ``window`` (requires causal): sliding-window attention — row qi sees
+    keys in (qi - window, qi]. Blocks entirely past the window are skipped
+    like above-diagonal blocks, so cost is O(S * window), and the in-block
+    p must be masked explicitly (the first processed block can have rows
+    whose every key is already out of window)."""
     nq = SP // bq
     nk = SP // bk
     dt = jnp.dtype(dtype)
@@ -106,6 +116,8 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             if causal:
                 qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
                 valid = valid & (kpos + k_off <= qpos + q_off)
+                if window is not None:
+                    valid = valid & (qpos + q_off - (kpos + k_off) < window)
             s = jnp.where(valid, s, _NEG_INF)
 
             m_prev = m_ref[:]                      # (bq, 128) lane-uniform
@@ -113,13 +125,17 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
             corr = jnp.exp(m_prev - m_new)          # (bq, 128)
             p = jnp.exp(s - m_new[:, :1])           # (bq, bk)
-            # No explicit p-mask is needed: key block 0 is always processed
-            # first and holds >= 1 valid key for every real query row
-            # (k_valid >= 1 is enforced; causal rows always see key 0; a ring
-            # diagonal chunk's rows see key k_off <= their global position;
-            # fully-future ring chunks skip every block, leaving l == 0 for
-            # the epilogue guard). So masked entries always have a REAL
-            # m_new and exp(-1e30 - m_new) == 0 exactly.
+            # No explicit p-mask is needed WITHOUT a window: key block 0 is
+            # always processed first and holds >= 1 valid key for every real
+            # query row (k_valid >= 1 is enforced; causal rows always see
+            # key 0; a ring diagonal chunk's rows see key k_off <= their
+            # global position; fully-future ring chunks skip every block,
+            # leaving l == 0 for the epilogue guard). So masked entries
+            # always have a REAL m_new and exp(-1e30 - m_new) == 0 exactly.
+            # WITH a window, the first processed block can have rows whose
+            # keys are all out of window (m_new stays -1e30, p would be 1):
+            if window is not None:
+                p = jnp.where(valid, p, 0.0)
             l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(
@@ -128,8 +144,12 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             m_ref[:] = m_new
 
         if causal:
-            # blocks strictly above the (global) diagonal are skipped entirely
-            pl.when(k_start + k_off <= q_start + q_off + bq - 1)(_step)
+            # blocks strictly above the (global) diagonal are skipped
+            # entirely; with a window, so are blocks entirely PAST it
+            cond = k_start + k_off <= q_start + q_off + bq - 1
+            if window is not None:
+                cond &= (q_start + q_off) - (k_start + k_off + bk - 1) < window
+            pl.when(cond)(_step)
         else:
             _step()
 
@@ -198,6 +218,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False, scale: Optional[float] = None,
+              window: Optional[int] = None,
               block_q: int = 1024, block_k: int = 1024,
               interpret: Optional[bool] = None) -> jax.Array:
     """Fused blockwise attention over (..., S, D) tensors.
@@ -207,11 +228,16 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     zero feature columns contribute nothing to Q K^T and produce zero output
     columns, which are sliced off. head_dim 64/96 therefore runs the flash
     path (never the O(S^2) reference). S is padded internally as well.
+
+    ``window`` (requires causal): sliding-window attention — row i sees
+    keys (i - window, i]. Out-of-window key blocks are skipped, so the
+    cost is O(S * window) instead of O(S^2).
     """
     q, k, v = map(jnp.asarray, (q, k, v))
     if q.shape != k.shape or q.shape != v.shape:
         raise ValueError(f"attention shapes must match: {q.shape} {k.shape} "
                          f"{v.shape}")
+    window = _check_window(window, causal)
     *lead, S, D = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     interp = should_interpret() if interpret is None else interpret
@@ -229,9 +255,21 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
 
     call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
-                        jnp.dtype(q.dtype).name, interp)
+                        jnp.dtype(q.dtype).name, interp, window=window)
     out = call(q3, k3, v3)[0]
     return out[:, :S, :D].reshape(*lead, S, D)
+
+
+def _check_window(window, causal):
+    if window is None:
+        return None
+    if not causal:
+        raise ValueError("window requires causal=True (sliding-window "
+                         "attention is a causal mask refinement)")
+    window = int(window)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    return window
 
 
 def attention_with_stats(q, k, v, *, causal: bool = False,
@@ -297,7 +335,7 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
 # ---------------------------------------------------------------------------
 
 def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
-                          interpret):
+                          interpret, window=None):
     """Run the stats-returning forward once, keeping the PADDED tensors as
     residuals for the backward kernels."""
     *lead, S, D = q.shape
@@ -313,26 +351,27 @@ def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
         pad = ((0, 0), (0, SP - S), (0, DP - D))
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
     call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
-                        jnp.dtype(q.dtype).name, interpret, return_stats=True)
+                        jnp.dtype(q.dtype).name, interpret, return_stats=True,
+                        window=window)
     o3, m3, l3 = call(q3, k3, v3)
     out = o3[:, :S, :D].reshape(*lead, S, D)
     return out, (q3, k3, v3, o3, m3, l3), (BH, S, SP, DP, bq, bk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _attention_ad(q, k, v, causal, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _attention_ad(q, k, v, causal, scale, block_q, block_k, window=None):
     return attention(q, k, v, causal=causal, scale=scale, block_q=block_q,
-                     block_k=block_k)
+                     block_k=block_k, window=window)
 
 
-def _att_fwd(q, k, v, causal, scale, block_q, block_k):
+def _att_fwd(q, k, v, causal, scale, block_q, block_k, window=None):
     interp = should_interpret()
     out, padded, _ = _flash_forward_padded(q, k, v, causal, scale,
-                                           block_q, block_k, interp)
+                                           block_q, block_k, interp, window)
     return out, padded
 
 
-def _att_bwd(causal, scale, block_q, block_k, res, g):
+def _att_bwd(causal, scale, block_q, block_k, window, res, g):
     from .attention_bwd import flash_attention_bwd
 
     q3, k3, v3, o3, m3, l3 = res
@@ -346,7 +385,8 @@ def _att_bwd(causal, scale, block_q, block_k, res, g):
         g3 = jnp.pad(g3, ((0, 0), (0, SP - S), (0, DP - D)))
     dq, dk, dv = flash_attention_bwd(
         q3, k3, v3, o3, m3, l3, g3, S=S, SP=SP, D=DP, bq=bq, bk=bk,
-        causal=causal, scale=float(scale), interpret=should_interpret())
+        causal=causal, scale=float(scale), interpret=should_interpret(),
+        window=window)
     shape = (*lead, S, D)
     return (dq[:, :S, :D].reshape(shape), dk[:, :S, :D].reshape(shape),
             dv[:, :S, :D].reshape(shape))
@@ -357,6 +397,7 @@ _attention_ad.defvjp(_att_fwd, _att_bwd)
 
 def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
                   causal: bool = False, scale: Optional[float] = None,
+                  window: Optional[int] = None,
                   block_q: int = 1024, block_k: int = 1024,
                   interpret: Optional[bool] = None) -> jax.Array:
     """Grouped-query attention: q (B, Hq, S, D), k/v (B, Hkv, S, D) with
@@ -374,8 +415,9 @@ def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
                          f"q {q.shape}")
     if Hq % Hkv:
         raise ValueError(f"Hq={Hq} not a multiple of Hkv={Hkv}")
+    window = _check_window(window, causal)
     if Hq == Hkv:
-        return attention(q, k, v, causal=causal, scale=scale,
+        return attention(q, k, v, causal=causal, scale=scale, window=window,
                          block_q=block_q, block_k=block_k,
                          interpret=interpret)
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -392,24 +434,24 @@ def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
     call = _build_flash(B * Hq, S, SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp,
-                        kv_heads=(Hq, Hkv))
+                        kv_heads=(Hq, Hkv), window=window)
     out = call(q3, k3, v3)[0]
     return out[:, :S, :D].reshape(B, Hq, S, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _gqa_ad(q, k, v, causal, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _gqa_ad(q, k, v, causal, scale, block_q, block_k, window=None):
     return attention_gqa(q, k, v, causal=causal, scale=scale,
-                         block_q=block_q, block_k=block_k)
+                         block_q=block_q, block_k=block_k, window=window)
 
 
-def _gqa_fwd(q, k, v, causal, scale, block_q, block_k):
+def _gqa_fwd(q, k, v, causal, scale, block_q, block_k, window=None):
     out = attention_gqa(q, k, v, causal=causal, scale=scale,
-                        block_q=block_q, block_k=block_k)
+                        block_q=block_q, block_k=block_k, window=window)
     return out, (q, k, v)
 
 
-def _gqa_bwd(causal, scale, block_q, block_k, res, g):
+def _gqa_bwd(causal, scale, block_q, block_k, window, res, g):
     # Backward via KV expansion: repeat K/V across the group, run the fused
     # MHA flash backward, then SUM dk/dv over each group (the exact VJP of
     # the broadcast). Pays group-x KV memory only in the backward.
@@ -421,7 +463,8 @@ def _gqa_bwd(causal, scale, block_q, block_k, res, g):
     ve = jnp.repeat(v, grp, axis=1)
     _, vjp = jax.vjp(
         lambda qq, kk, vv: _attention_ad(qq, kk, vv, causal, scale,
-                                         block_q, block_k), q, ke, ve)
+                                         block_q, block_k, window),
+        q, ke, ve)
     dq, dke, dve = vjp(g)
     dk = dke.reshape(B, Hkv, grp, S, D).sum(2)
     dv = dve.reshape(B, Hkv, grp, S, D).sum(2)
@@ -433,6 +476,7 @@ _gqa_ad.defvjp(_gqa_fwd, _gqa_bwd)
 
 def attention_gqa_trainable(q, k, v, *, causal: bool = False,
                             scale: Optional[float] = None,
+                            window: Optional[int] = None,
                             block_q: int = 1024,
                             block_k: int = 1024) -> jax.Array:
     """Differentiable GQA: native grouped flash forward; backward expands
@@ -440,16 +484,19 @@ def attention_gqa_trainable(q, k, v, *, causal: bool = False,
     *_, D = q.shape
     return _gqa_ad(q, k, v, causal,
                    scale if scale is not None else 1.0 / math.sqrt(D),
-                   block_q, block_k)
+                   block_q, block_k, _check_window(window, causal))
 
 
 def attention_trainable(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
+                        window: Optional[int] = None,
                         block_q: int = 1024, block_k: int = 1024) -> jax.Array:
     """Differentiable attention: flash kernel forward AND fused flash
     backward kernels (O(S) memory in both directions; the S x S matrix is
-    recomputed blockwise on the MXU in the backward)."""
+    recomputed blockwise on the MXU in the backward). ``window`` gives
+    sliding-window attention in BOTH directions (out-of-window blocks are
+    skipped in forward, dq, and dk/dv passes)."""
     *_, D = q.shape
     return _attention_ad(q, k, v, causal,
                          scale if scale is not None else 1.0 / math.sqrt(D),
-                         block_q, block_k)
+                         block_q, block_k, _check_window(window, causal))

@@ -30,10 +30,12 @@ _NEG_INF = -1e30
 
 
 def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
-                causal, bq, bk, prec, q_off=0, k_off=0):
+                causal, bq, bk, prec, q_off=0, k_off=0, window=None):
     """Recompute (p, ds) for one (i, j) block pair. All operands f32.
     q_off/k_off are global chunk offsets for the ring (sequence-parallel)
-    backward: the causal mask is evaluated in global coordinates."""
+    backward: the causal mask is evaluated in global coordinates.
+    ``window``: sliding-window refinement of the causal mask (matches the
+    forward kernel's masking exactly)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
@@ -42,6 +44,8 @@ def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
     if causal:
         qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         valid = valid & (kpos + k_off <= qpos + q_off)
+        if window is not None:
+            valid = valid & (qpos + q_off - (kpos + k_off) < window)
     s = jnp.where(valid, s, _NEG_INF)
     lsafe = jnp.where(l > 0, l, 1.0)
     p = jnp.exp(s - m) / lsafe
@@ -59,7 +63,7 @@ def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
 @build_cache
 def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                   causal: bool, scale: float, dtype: str, interpret: bool,
-                  use_offsets: bool = False):
+                  use_offsets: bool = False, window=None):
     dt = jnp.dtype(dtype)
     nk = SP // bk
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
@@ -90,13 +94,16 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
                 scale=scale, S=S, q_start=q_start, k_start=k_start,
                 causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
-                k_off=k_off)
+                k_off=k_off, window=window)
             acc_ref[:] += jax.lax.dot_general(
                 ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
 
         if causal:
-            pl.when(k_start + k_off <= q_start + q_off + bq - 1)(_step)
+            cond = k_start + k_off <= q_start + q_off + bq - 1
+            if window is not None:
+                cond &= (q_start + q_off) - (k_start + k_off + bk - 1) < window
+            pl.when(cond)(_step)
         else:
             _step()
 
@@ -135,7 +142,7 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 @build_cache
 def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                    causal: bool, scale: float, dtype: str, interpret: bool,
-                   use_offsets: bool = False):
+                   use_offsets: bool = False, window=None):
     dt = jnp.dtype(dtype)
     nq = SP // bq
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
@@ -169,7 +176,7 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
                 scale=scale, S=S, q_start=q_start, k_start=k_start,
                 causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
-                k_off=k_off)
+                k_off=k_off, window=window)
             accv_ref[:] += jax.lax.dot_general(
                 p, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
@@ -178,7 +185,10 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 preferred_element_type=jnp.float32, precision=prec)
 
         if causal:
-            pl.when(q_start + q_off + bq - 1 >= k_start + k_off)(_step)
+            cond = q_start + q_off + bq - 1 >= k_start + k_off
+            if window is not None:
+                cond &= (q_start + q_off) - (k_start + k_off + bk - 1) < window
+            pl.when(cond)(_step)
         else:
             _step()
 
@@ -222,7 +232,8 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 
 def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
                         D: int, bq: int, bk: int, causal: bool, scale: float,
-                        interpret: bool, q_off=None, k_off=None, dvec=None):
+                        interpret: bool, q_off=None, k_off=None, dvec=None,
+                        window=None):
     """All inputs padded to (BH, SP, D) / stats (BH, SP, 128).
     Returns (dq, dk, dv) padded — caller slices to S.
 
@@ -242,14 +253,15 @@ def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
         ko = jnp.asarray(k_off if k_off is not None else 0,
                          jnp.int32).reshape(1)
         dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt,
-                           interpret, use_offsets=True)(
+                           interpret, use_offsets=True, window=window)(
             qo, ko, q3, k3, v3, g3, m3, l3, d3)
         dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
-                                interpret, use_offsets=True)(
+                                interpret, use_offsets=True, window=window)(
             qo, ko, q3, k3, v3, g3, m3, l3, d3)
         return dq, dk, dv
-    dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt, interpret)(
-        q3, k3, v3, g3, m3, l3, d3)
+    dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt, interpret,
+                       window=window)(q3, k3, v3, g3, m3, l3, d3)
     dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
-                            interpret)(q3, k3, v3, g3, m3, l3, d3)
+                            interpret, window=window)(
+        q3, k3, v3, g3, m3, l3, d3)
     return dq, dk, dv

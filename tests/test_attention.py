@@ -200,3 +200,104 @@ class TestGQA:
         for gg, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestSlidingWindow:
+    """Sliding-window attention: row i sees keys (i - window, i]. Blocks
+    entirely past the window are skipped, so the first processed block of a
+    late query row can be fully masked — the p-mask case the plain causal
+    path never hits."""
+
+    @pytest.mark.parametrize("window", [1, 40, 100, 200, 1000])
+    def test_vs_reference(self, rng, window):
+        q, k, v = make_qkv(rng, (2, 384, 128))
+        got = attention(q, k, v, causal=True, window=window,
+                        block_q=128, block_k=128)
+        want = attention_reference(q, k, v, causal=True, window=window)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_window_one_returns_v(self, rng):
+        # window=1: every row attends only itself -> output == v
+        q, k, v = make_qkv(rng, (1, 256, 128))
+        got = attention(q, k, v, causal=True, window=1,
+                        block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_unaligned_seq_and_head_dim(self, rng):
+        q, k, v = make_qkv(rng, (2, 200, 64))
+        got = attention(q, k, v, causal=True, window=37,
+                        block_q=128, block_k=128)
+        want = attention_reference(q, k, v, causal=True, window=37)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gqa_window(self, rng):
+        from laser_tpu.ops.attention import attention_gqa
+
+        B, Hq, Hkv, S, D = 2, 4, 2, 256, 128
+        q = jnp.asarray(rng.randn(B, Hq, S, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, Hkv, S, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Hkv, S, D), jnp.float32)
+        got = attention_gqa(q, k, v, causal=True, window=60,
+                            block_q=128, block_k=128)
+        ke = jnp.repeat(k, Hq // Hkv, axis=1)
+        ve = jnp.repeat(v, Hq // Hkv, axis=1)
+        want = attention_reference(q, ke, ve, causal=True, window=60)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_reference(self, rng):
+        from laser_tpu.ops.attention import attention_trainable
+
+        q, k, v = make_qkv(rng, (2, 256, 128))
+        W = 70
+
+        def f(q, k, v):
+            return jnp.sum(attention_trainable(
+                q, k, v, causal=True, window=W,
+                block_q=128, block_k=128) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(attention_reference(
+                q, k, v, causal=True, window=W) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for gg, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_gqa_trainable_window(self, rng):
+        from laser_tpu.ops.attention import attention_gqa_trainable
+
+        B, Hq, Hkv, S, D = 1, 4, 2, 256, 128
+        q = jnp.asarray(rng.randn(B, Hq, S, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, Hkv, S, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Hkv, S, D), jnp.float32)
+        W = 50
+
+        def f(q, k, v):
+            return jnp.sum(attention_gqa_trainable(
+                q, k, v, causal=True, window=W,
+                block_q=128, block_k=128) ** 2)
+
+        def ref(q, k, v):
+            ke = jnp.repeat(k, Hq // Hkv, axis=1)
+            ve = jnp.repeat(v, Hq // Hkv, axis=1)
+            return jnp.sum(attention_reference(
+                q, ke, ve, causal=True, window=W) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for gg, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_validation(self, rng):
+        q, k, v = make_qkv(rng, (1, 128, 128))
+        with pytest.raises(ValueError, match="requires causal"):
+            attention(q, k, v, causal=False, window=16)
+        with pytest.raises(ValueError, match=">= 1"):
+            attention(q, k, v, causal=True, window=0)
