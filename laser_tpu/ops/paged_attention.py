@@ -49,7 +49,8 @@ _NEG_INF = -1e30
 @build_cache
 def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                           hd: int, max_pages: int, scale: float,
-                          dtype: str, quantized: bool, interpret: bool):
+                          dtype: str, quantized: bool, interpret: bool,
+                          window=None):
     dt = jnp.dtype(dtype)
     group = Hq // Hkv
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
@@ -71,7 +72,13 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
 
         length = lens_ref[s_idx]
 
-        @pl.when(j * ps < length)
+        # pages holding no key in [length - window, length) are skipped:
+        # decode cost becomes O(window), not O(length)
+        run = j * ps < length
+        if window is not None:
+            run &= j * ps + ps - 1 >= length - window
+
+        @pl.when(run)
         def _step():
             q = q_ref[0].reshape(Hkv, group, hd)      # (Hkv, g, hd)
             if quantized:
@@ -93,7 +100,15 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                 s = s * ks_ref[0][:, None, :]          # per-token K scale
             kpos = j * ps + jax.lax.broadcasted_iota(
                 jnp.int32, (Hkv, group, ps), 2)
-            s = jnp.where(kpos < length, s, _NEG_INF)
+            valid = kpos < length
+            if window is not None:
+                # the decode query sits at position length - 1: it sees
+                # keys in [length - window, length). The first processed
+                # page always holds key max(0, length - window), so every
+                # row keeps a real m_new (no p-mask needed, unlike the
+                # flash kernel's per-row windows).
+                valid &= kpos >= length - window
+            s = jnp.where(valid, s, _NEG_INF)
 
             m_prev = m_ref[:]                          # (Hkv, g, 128)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -165,6 +180,7 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                     k_scale: Optional[jax.Array] = None,
                     v_scale: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
+                    window: Optional[int] = None,
                     interpret: Optional[bool] = None) -> jax.Array:
     """Decode attention over paged KV. See module docstring for layouts.
 
@@ -176,7 +192,11 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     int8 KV cache: pass int8 pools plus per-(page, head, token) f32
     ``k_scale``/``v_scale`` of shape (P, Hkv, ps) (from ``quantize_kv``);
     rows dequantize on read inside the kernel, so the HBM bill — what bounds
-    decode — drops ~4x vs f32 pools."""
+    decode — drops ~4x vs f32 pools.
+
+    ``window``: sliding-window decode — the query (at position
+    lengths[s] - 1) sees only the last ``window`` keys; pages entirely
+    outside the window are skipped, so per-step cost is O(window)."""
     S, Hq, hd = q.shape
     P, Hkv, ps, hd_k = k_pool.shape
     if hd_k != hd or v_pool.shape != k_pool.shape:
@@ -189,12 +209,15 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         raise ValueError("int8 pools need k_scale/v_scale (P, Hkv, ps)")
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
+    if window is not None and int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     interp = should_interpret() if interpret is None else interpret
 
     max_pages = tables.shape[1]
     fn = build_paged_attention(S, P, Hq, Hkv, ps, hd, max_pages,
                                float(scale), jnp.dtype(q.dtype).name,
-                               quantized, interp)
+                               quantized, interp,
+                               None if window is None else int(window))
     args = [tables.astype(jnp.int32), lengths.astype(jnp.int32),
             q, k_pool, v_pool]
     if quantized:
@@ -215,7 +238,8 @@ def quantize_kv(x: jax.Array):
 
 
 def paged_attention_reference(q, k_pool, v_pool, tables, lengths, *,
-                              scale: Optional[float] = None) -> jax.Array:
+                              scale: Optional[float] = None,
+                              window: Optional[int] = None) -> jax.Array:
     """Dense-gather oracle: materialize each sequence's pages and run
     masked softmax attention (for tests and as the XLA comparator)."""
     S, Hq, hd = q.shape
@@ -233,7 +257,10 @@ def paged_attention_reference(q, k_pool, v_pool, tables, lengths, *,
                    k.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST) * scale
     kpos = jnp.arange(s.shape[-1])[None, None, None, :]
-    s = jnp.where(kpos < lengths[:, None, None, None], s, _NEG_INF)
+    lens4 = lengths[:, None, None, None]
+    s = jnp.where(kpos < lens4, s, _NEG_INF)
+    if window is not None:
+        s = jnp.where(kpos >= lens4 - window, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)

@@ -589,3 +589,66 @@ class TestChunkedPrefill:
             want = np.asarray(greedy_decode(
                 params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=40))
             assert out[rid] == list(want[0, len(p):]), f"req {rid} mismatch"
+
+
+class TestPagedWindow:
+    """Sliding-window decode: the query at position L-1 sees only the last
+    ``window`` keys; pages entirely outside the window are skipped."""
+
+    @pytest.mark.parametrize("window", [1, 10, 16, 50, 1000])
+    def test_vs_reference(self, rng, window):
+        S, H, hd, ps, P, mp = 4, 4, 64, 16, 32, 6
+        q = jnp.asarray(rng.randn(S, H, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([0, 7, 48, 96], jnp.int32)
+        got = paged_attention(q, kp, vp, tables, lengths, window=window)
+        want = paged_attention_reference(q, kp, vp, tables, lengths,
+                                         window=window)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+        assert np.all(np.asarray(got)[0] == 0.0)
+
+    def test_window_gqa_quantized(self, rng):
+        from laser_tpu.ops.paged_attention import quantize_kv
+
+        S, Hq, Hkv, hd, ps, P, mp = 3, 8, 2, 64, 16, 24, 4
+        q = jnp.asarray(rng.randn(S, Hq, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([5, 40, 64], jnp.int32)
+        got = paged_attention(q, kq, vq, tables, lengths, window=20,
+                              k_scale=ks, v_scale=vs)
+        kd = kq.astype(jnp.float32) * ks[..., None]
+        vd = vq.astype(jnp.float32) * vs[..., None]
+        want = paged_attention_reference(q, kd, vd, tables, lengths,
+                                         window=20)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_window_one_is_self_value(self, rng):
+        # window=1: output is exactly the value row of the newest key
+        S, H, hd, ps, P = 2, 4, 64, 16, 8
+        q = jnp.asarray(rng.randn(S, H, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+        lengths = jnp.asarray([20, 31], jnp.int32)
+        got = np.asarray(paged_attention(q, kp, vp, tables, lengths,
+                                         window=1))
+        vpn = np.asarray(vp)
+        for s, L in enumerate([20, 31]):
+            pg = int(np.asarray(tables)[s, (L - 1) // ps])
+            want = vpn[pg, :, (L - 1) % ps, :]
+            np.testing.assert_allclose(got[s], want, rtol=1e-5, atol=1e-5)
+
+    def test_window_validation(self, rng):
+        q = jnp.zeros((1, 4, 64), jnp.float32)
+        kp = jnp.zeros((4, 4, 16, 64), jnp.float32)
+        with pytest.raises(ValueError, match=">= 1"):
+            paged_attention(q, kp, kp, jnp.zeros((1, 2), jnp.int32),
+                            jnp.ones((1,), jnp.int32), window=0)
