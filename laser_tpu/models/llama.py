@@ -70,9 +70,12 @@ def _qkv(blk, x, B, S, H, Hkv, hd, cos, sin, pos=0):
 
 
 def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
-                  n_kv_heads: int) -> jax.Array:
+                  n_kv_heads: int, window=None) -> jax.Array:
     """tokens (B, S) int32 -> logits (B, S, vocab). Causal. Head counts are
-    static call args (they must not live in the differentiable pytree)."""
+    static call args (they must not live in the differentiable pytree).
+    ``window``: sliding-window attention (mistral-style) — every position
+    sees at most the previous ``window`` tokens; the flash kernels skip
+    out-of-window blocks in forward AND backward."""
     H, Hkv = n_heads, n_kv_heads
     x = params["embed"][tokens]
     B, S, D = x.shape
@@ -81,7 +84,7 @@ def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
     for blk in params["blocks"]:
         h = rms_norm(x, blk["rms1"])
         q, k, v = _qkv(blk, h, B, S, H, Hkv, hd, cos, sin)
-        o = attention_gqa_trainable(q, k, v, causal=True)
+        o = attention_gqa_trainable(q, k, v, causal=True, window=window)
         o = o.transpose(0, 2, 1, 3).reshape(B * S, H * hd)
         x = x + linear(o, blk["wo"], None).reshape(B, S, D)
 
@@ -108,7 +111,7 @@ def init_llama_cache(params: Dict, B: int, max_len: int, *, n_heads: int,
 
 
 def llama_prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
-                  n_heads: int, n_kv_heads: int):
+                  n_heads: int, n_kv_heads: int, window=None):
     """One causal GQA flash forward over the prompt; writes K/V into the
     cache. Returns (last-position logits, cache)."""
     from ..ops.attention import attention_gqa
@@ -123,7 +126,7 @@ def llama_prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
         q, k, v = _qkv(blk, h, B, S, H, Hkv, hd, cos, sin)
         cache = cache.at[li, 0, :, :S, :].set(k.reshape(B * Hkv, S, hd))
         cache = cache.at[li, 1, :, :S, :].set(v.reshape(B * Hkv, S, hd))
-        o = attention_gqa(q, k, v, causal=True)
+        o = attention_gqa(q, k, v, causal=True, window=window)
         o = o.transpose(0, 2, 1, 3).reshape(B * S, H * hd)
         x = x + linear(o, blk["wo"], None).reshape(B, S, D)
         h = rms_norm(x, blk["rms2"])
@@ -137,7 +140,8 @@ def llama_prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
 
 
 def llama_decode_step(params: Dict, cache: jax.Array, token: jax.Array,
-                      pos: jax.Array, *, n_heads: int, n_kv_heads: int):
+                      pos: jax.Array, *, n_heads: int, n_kv_heads: int,
+                      window=None):
     """One incremental decode step (GQA masked matvec over the cache)."""
     H, Hkv = n_heads, n_kv_heads
     grp = H // Hkv
@@ -164,6 +168,8 @@ def llama_decode_step(params: Dict, cache: jax.Array, token: jax.Array,
                        precision=jax.lax.Precision.HIGHEST) * scale
         kpos = jnp.arange(kcf.shape[2])[None, None, None, :]
         s = jnp.where(kpos <= pos, s, -jnp.inf)
+        if window is not None:
+            s = jnp.where(kpos > pos - window, s, -jnp.inf)
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bhgk,bhkd->bhgd", p, vcf,
                        precision=jax.lax.Precision.HIGHEST)
@@ -182,7 +188,7 @@ def llama_decode_step(params: Dict, cache: jax.Array, token: jax.Array,
 def llama_generate(params: Dict, prompt: jax.Array, key, *,
                    n_heads: int, n_kv_heads: int, max_new_tokens: int,
                    temperature: float = 0.0, top_k: int = 0,
-                   top_p: float = 1.0) -> jax.Array:
+                   top_p: float = 1.0, window=None) -> jax.Array:
     """Flash prefill + KV-cached generation (greedy at temperature 0)."""
     from ..ops.sampling import sample_logits
 
@@ -193,7 +199,7 @@ def llama_generate(params: Dict, prompt: jax.Array, key, *,
     tokens = jnp.zeros((B, total), jnp.int32).at[:, :S0].set(prompt)
 
     logits, cache = llama_prefill(params, prompt, cache, n_heads=n_heads,
-                                  n_kv_heads=n_kv_heads)
+                                  n_kv_heads=n_kv_heads, window=window)
     tokens = tokens.at[:, S0].set(sample_logits(
         jax.random.fold_in(key, S0), logits, temperature=temperature,
         top_k=top_k, top_p=top_p))
@@ -203,7 +209,8 @@ def llama_generate(params: Dict, prompt: jax.Array, key, *,
         tok = jax.lax.dynamic_index_in_dim(tokens, i, axis=1, keepdims=False)
         logits, cache = llama_decode_step(params, cache, tok, i,
                                           n_heads=n_heads,
-                                          n_kv_heads=n_kv_heads)
+                                          n_kv_heads=n_kv_heads,
+                                          window=window)
         nxt = sample_logits(jax.random.fold_in(key, i + 1), logits,
                             temperature=temperature, top_k=top_k, top_p=top_p)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, i + 1,

@@ -276,6 +276,7 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
                          scale: Optional[float] = None,
                          k_valid: Optional[int] = None,
                          q_offset=None, k_offset=None,
+                         window: Optional[int] = None,
                          block_q: int = 1024, block_k: int = 1024,
                          interpret: Optional[bool] = None):
     """Flash attention that also returns the softmax residuals.
@@ -289,9 +290,11 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     ``q_offset``/``k_offset`` (traced int32 scalars) place the q/k chunks at
     global sequence positions for the causal mask — the single-kernel ring
     step: past chunks come out fully visible, the diagonal triangular, and
-    future chunks all-skipped.
+    future chunks all-skipped. ``window`` refines the causal mask to the
+    sliding window (evaluated in the same global coordinates).
     """
     q, k, v = map(jnp.asarray, (q, k, v))
+    window = _check_window(window, causal)
     *lead, S, D = q.shape
     Sk = k.shape[-2]
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -317,7 +320,7 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     use_off = q_offset is not None or k_offset is not None
     call = _build_flash(BH, int(kv), SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp, return_stats=True,
-                        use_offsets=use_off)
+                        use_offsets=use_off, window=window)
     if use_off:
         out, m, l = call(q3, k3, v3,
                          q_offset if q_offset is not None else 0,

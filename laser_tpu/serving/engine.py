@@ -165,9 +165,21 @@ class ServingEngine:
 
     def __init__(self, params: Dict, *, n_heads: int,
                  cfg: ServingConfig = ServingConfig(), dtype=None,
-                 model: str = "transformer", mesh=None):
+                 model: str = "transformer", mesh=None,
+                 window: Optional[int] = None):
+        """``window``: sliding-window attention (mistral-style llama) —
+        decode attends only the last ``window`` keys (O(window) per step
+        via page skipping) and prefill applies the same mask; generations
+        match ``llama_generate(..., window=window)`` token for token."""
         if model not in ("transformer", "llama"):
             raise ValueError(f"unknown model family {model!r}")
+        if window is not None:
+            if model != "llama":
+                raise ValueError("window: llama family only")
+            if int(window) < 1:
+                raise ValueError(f"window must be >= 1, got {window}")
+            window = int(window)
+        self.window = window
         if mesh is not None and model != "llama":
             raise ValueError("tensor-parallel serving: llama family only")
         if mesh is not None and cfg.weight_quant:
@@ -235,7 +247,7 @@ class ServingEngine:
         if mesh is None:
             self._decode = jax.jit(
                 partial(decode_fn, n_heads=n_heads,
-                        page_size=cfg.page_size),
+                        page_size=cfg.page_size, window=window),
                 donate_argnums=(1,))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -254,7 +266,8 @@ class ServingEngine:
             rep = P()
             self._decode = jax.jit(jax.shard_map(
                 partial(_llama_decode_step, n_heads=n_heads // tp,
-                        page_size=cfg.page_size, tp_axis="tp"),
+                        page_size=cfg.page_size, window=window,
+                        tp_axis="tp"),
                 mesh=mesh,
                 in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
                 out_specs=(rep, kv_specs), check_vma=False),
@@ -562,7 +575,7 @@ class ServingEngine:
                 self._prefills[key] = jax.jit(
                     partial(self._prefill_fn, n_heads=self.n_heads,
                             page_size=self.cfg.page_size, bucket=bucket,
-                            n_prefix=n_prefix),
+                            n_prefix=n_prefix, window=self.window),
                     static_argnames=(), donate_argnums=(1,))
             else:
                 from jax.sharding import PartitionSpec as P
@@ -574,7 +587,8 @@ class ServingEngine:
                     partial(_llama_prefill_paged,
                             n_heads=self.n_heads // tp,
                             page_size=self.cfg.page_size, bucket=bucket,
-                            n_prefix=n_prefix, tp_axis="tp"),
+                            n_prefix=n_prefix, window=self.window,
+                            tp_axis="tp"),
                     mesh=self.mesh,
                     in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
                     out_specs=(rep, kv_specs), check_vma=False),
@@ -764,12 +778,19 @@ def _gather_prefix_kv(kv, li, prefix_vec, dtype):
     return dense(kp), dense(vp)
 
 
-def _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, groups):
+def _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, groups,
+                        window=None, q_pos0=0):
     """Prefix-cached prefill attention: suffix queries see the cached
     prefix (full visibility, it is entirely in their past) and themselves
     (causal); the two flash passes merge exactly via the log-sum-exp
     stats combination (ring_attention._merge). qh (1, H, S, hd);
-    kh/vh (1, Hkv, S, hd); groups = H // Hkv (GQA repeat)."""
+    kh/vh (1, Hkv, S, hd); groups = H // Hkv (GQA repeat).
+
+    ``window``: sliding-window masking in GLOBAL coordinates — the cross
+    pass runs the offset-causal kernel at q_offset=q_pos0 (prefix keys sit
+    at positions [0, n_prefix*ps), all causally visible, so causal+window
+    there is exactly the windowed cross); the self pass windows locally
+    (offsets cancel within the chunk)."""
     from ..ops.attention import attention_with_stats
     from ..parallel.ring_attention import _merge
 
@@ -779,25 +800,32 @@ def _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, groups):
         vd = jnp.repeat(vd, groups, axis=1)
         kh = jnp.repeat(kh, groups, axis=1)
         vh = jnp.repeat(vh, groups, axis=1)
-    o1, m1, l1 = attention_with_stats(qh, kd, vd, causal=False)
-    o2, m2, l2 = attention_with_stats(qh, kh, vh, causal=True)
+    if window is None:
+        o1, m1, l1 = attention_with_stats(qh, kd, vd, causal=False)
+        o2, m2, l2 = attention_with_stats(qh, kh, vh, causal=True)
+    else:
+        o1, m1, l1 = attention_with_stats(
+            qh, kd, vd, causal=True, window=window,
+            q_offset=jnp.int32(q_pos0), k_offset=jnp.int32(0))
+        o2, m2, l2 = attention_with_stats(qh, kh, vh, causal=True,
+                                          window=window)
     o, _, _ = _merge(o1, m1.astype(jnp.float32), l1.astype(jnp.float32),
                      o2, m2.astype(jnp.float32), l2.astype(jnp.float32))
     return o
 
 
-def _kv_attend(kv, li, q, tables, att_len):
+def _kv_attend(kv, li, q, tables, att_len, window=None):
     if "scales" in kv:
         return paged_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
-                               tables, att_len,
+                               tables, att_len, window=window,
                                k_scale=kv["scales"][li, 0],
                                v_scale=kv["scales"][li, 1])
     return paged_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
-                           tables, att_len)
+                           tables, att_len, window=window)
 
 
 def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
-                 n_heads: int, page_size: int):
+                 n_heads: int, page_size: int, window=None):
     """One batched decode step for all slots.
 
     tokens (S,) int32 — last emitted token per slot. Writes each slot's new
@@ -822,7 +850,7 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
         k = k.reshape(S, H, hd)
         v = v.reshape(S, H, hd)
         kv = _kv_write_token(kv, li, write_page, row, k, v)
-        o = _kv_attend(kv, li, q, tables, att_len)
+        o = _kv_attend(kv, li, q, tables, att_len, window)
         o = o.reshape(S, D)
         x = x + _linear_q(o, blk["wo"], blk["bo"]).reshape(S, 1, D)
 
@@ -837,7 +865,7 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
 
 def _prefill_paged(params, kv, prompt, length, page_vec, prefix_vec, *,
                    n_heads: int, page_size: int, bucket: int,
-                   n_prefix: int = 0):
+                   n_prefix: int = 0, window=None):
     """Single-sequence flash prefill that scatters K/V into pages.
 
     prompt (bucket,) int32 zero-padded; length = true S0; page_vec
@@ -895,7 +923,8 @@ def _prefill_paged(params, kv, prompt, length, page_vec, prefix_vec, *,
 # ---------------------------------------------------------------------------
 
 def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
-                       n_heads: int, page_size: int, tp_axis=None):
+                       n_heads: int, page_size: int, window=None,
+                       tp_axis=None):
     """``tp_axis``: when set, this runs INSIDE shard_map with megatron-split
     weights — n_heads is the LOCAL head count, wq/wkv/w_gate/w_up arrive
     column-sharded, wo/w_down row-sharded, KV pools sharded on Hkv — and
@@ -924,7 +953,7 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
         q = apply_rope_at(q, cos, sin, pos)
         k = apply_rope_at(k, cos, sin, pos)
         kv = _kv_write_token(kv, li, write_page, row, k, v)
-        o = _kv_attend(kv, li, q, tables, att_len)
+        o = _kv_attend(kv, li, q, tables, att_len, window)
         xo = _linear_q(o.reshape(S, H * hd), blk["wo"])
         if tp_axis:
             xo = jax.lax.psum(xo, tp_axis)
@@ -945,7 +974,7 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
 
 def _llama_prefill_paged(params, kv, prompt, length, page_vec, prefix_vec,
                          *, n_heads: int, page_size: int, bucket: int,
-                         n_prefix: int = 0, tp_axis=None):
+                         n_prefix: int = 0, window=None, tp_axis=None):
     from ..ops.attention import attention_gqa
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope
@@ -976,9 +1005,10 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, prefix_vec,
                                 hd).transpose(1, 0, 2, 3)
         kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
         if n_prefix:
-            o = _attend_with_prefix(kv, li, q, k, v, prefix_vec, H // Hkv)
+            o = _attend_with_prefix(kv, li, q, k, v, prefix_vec, H // Hkv,
+                                    window=window, q_pos0=pos0)
         else:
-            o = attention_gqa(q, k, v, causal=True)
+            o = attention_gqa(q, k, v, causal=True, window=window)
         o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
         xo = _linear_q(o, blk["wo"])
         if tp_axis:

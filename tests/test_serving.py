@@ -652,3 +652,87 @@ class TestPagedWindow:
         with pytest.raises(ValueError, match=">= 1"):
             paged_attention(q, kp, kp, jnp.zeros((1, 2), jnp.int32),
                             jnp.ones((1,), jnp.int32), window=0)
+
+
+class TestServingWindow:
+    """Sliding-window serving (mistral-style llama): decode attends only
+    the last ``window`` keys via page skipping; prefill applies the same
+    mask. Oracle: llama_generate(window=W)."""
+
+    def _params(self):
+        from laser_tpu.models.llama import init_llama
+
+        return init_llama(jax.random.PRNGKey(3), n_layers=2, d_model=128,
+                          n_heads=8, n_kv_heads=2, d_ff=256, vocab=97,
+                          max_len=256)
+
+    def test_decode_crosses_window(self, rng):
+        from laser_tpu.models.llama import llama_generate
+
+        params = self._params()
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32))
+        W = 24
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                            window=W)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (11, 30)]
+        # generate far past the window so decode steps mask old pages
+        ids = [eng.add_request(p, 20) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=2, max_new_tokens=20,
+                temperature=0.0, window=W))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_window_with_chunked_prefill_and_prefix_cache(self, rng):
+        from laser_tpu.models.llama import llama_generate
+
+        params = self._params()
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32),
+                            prefix_cache=True)
+        W = 40
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                            window=W)
+        shared = rng.randint(0, 97, 48).astype(np.int32)  # 3 pages, chunked
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 9).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 21).astype(np.int32)]),
+        ]
+        ids = [eng.add_request(p, 8) for p in prompts]
+        out = eng.run()
+        assert eng.stats["prefix_hits"] >= 1
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=2, max_new_tokens=8,
+                temperature=0.0, window=W))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_window_validation(self, rng):
+        params = _make_model(rng)
+        with pytest.raises(ValueError, match="llama family only"):
+            ServingEngine(params, n_heads=8, window=16)
+
+    def test_llama_forward_window_grad(self, rng):
+        # dense family: window threads through the trainable kernels
+        from laser_tpu.models.llama import llama_forward
+
+        params = self._params()
+        toks = jnp.asarray(rng.randint(0, 97, (2, 40)), jnp.int32)
+
+        def loss(p):
+            lg = llama_forward(p, toks, n_heads=8, n_kv_heads=2, window=16)
+            return jnp.sum(lg ** 2) * 1e-6
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+        # window must CHANGE the logits vs full causal
+        lg_w = llama_forward(params, toks, n_heads=8, n_kv_heads=2, window=8)
+        lg_f = llama_forward(params, toks, n_heads=8, n_kv_heads=2)
+        assert not np.allclose(np.asarray(lg_w), np.asarray(lg_f))
