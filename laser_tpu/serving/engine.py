@@ -127,6 +127,8 @@ class PagedKVCache:
 
     def decref(self, pages: List[int]):
         for p in pages:
+            if p == self.trash_page:
+                continue  # windowed slots hold trash placeholders
             self.page_refs[p] -= 1
             if self.page_refs[p] == 0:
                 self.free_pages.append(p)
@@ -297,9 +299,19 @@ class ServingEngine:
             raise ValueError(
                 f"prompt + max_new_tokens needs {need} pages > "
                 f"max_pages_per_seq {self.cfg.max_pages_per_seq}")
-        if need > self.cfg.n_pages - 1:
+        if self.window is not None:
+            # windowed decode recycles out-of-window pages, so the pool
+            # only ever holds: all prompt pages during prefill (+1 for the
+            # first decode write), or the window's live span — whichever
+            # peaks higher
+            need_pool = max(-(-len(prompt) // ps) + 1,
+                            -(-(self.window + ps) // ps) + 1)
+            need_pool = min(need_pool, need)
+        else:
+            need_pool = need
+        if need_pool > self.cfg.n_pages - 1:
             raise ValueError(
-                f"request needs {need} pages > pool size "
+                f"request needs {need_pool} pages > pool size "
                 f"{self.cfg.n_pages - 1}")
         rid = self._next_id
         self._next_id += 1
@@ -396,6 +408,8 @@ class ServingEngine:
                 self.finished[r.req_id] = prefix + r.out
                 self.cache.release(s)
                 self.running[s] = None
+            elif self.window is not None:
+                self._free_out_of_window_pages(s)
 
     def _lookup_prefix(self, prompt: np.ndarray) -> Tuple[int, List[int]]:
         """Longest page-aligned cached prefix usable for ``prompt``.
@@ -524,6 +538,26 @@ class ServingEngine:
         self.queue.appendleft(req)
         self.cache.release(slot)
         self.running[slot] = None
+
+    def _free_out_of_window_pages(self, slot: int):
+        """Windowed decode never reads pages whose every key sits below
+        lengths[slot] - window (the kernel's page-skip predicate), so hand
+        them back: the slot's table entry becomes the trash page (keeping
+        positional indexing intact — write_page indexes pages_of by
+        position) and the page returns to the pool once unreferenced.
+        Long windowed generation then holds O(window) pages, not O(length).
+        """
+        ps = self.cfg.page_size
+        horizon = int(self.cache.lengths[slot]) - self.window
+        pages = self.cache.pages_of[slot]
+        trash = self.cache.trash_page
+        for j in range((horizon // ps) if horizon > 0 else 0):
+            if pages[j] != trash:
+                self.cache.decref([pages[j]])
+                pages[j] = trash
+                self.cache.tables[slot, j] = trash
+                self.stats["window_pages_freed"] = self.stats.get(
+                    "window_pages_freed", 0) + 1
 
     def _evict_one_prefix(self) -> bool:
         """Drop the least-recently-used prefix entry; its pages return to

@@ -736,3 +736,28 @@ class TestServingWindow:
         lg_w = llama_forward(params, toks, n_heads=8, n_kv_heads=2, window=8)
         lg_f = llama_forward(params, toks, n_heads=8, n_kv_heads=2)
         assert not np.allclose(np.asarray(lg_w), np.asarray(lg_f))
+
+    def test_out_of_window_pages_recycle(self, rng):
+        # long windowed generation must hold O(window) pages: a pool too
+        # small for the FULL sequence still completes without preemption
+        from laser_tpu.models.llama import llama_generate
+
+        params = self._params()
+        # total sequence = 16 prompt + 64 generated = 80 tokens = 5 pages,
+        # but the pool has only 4 usable pages -> only works if
+        # out-of-window pages recycle
+        cfg = ServingConfig(page_size=16, n_pages=5, max_seqs=1,
+                            max_pages_per_seq=6, prefill_buckets=(16,))
+        W = 24
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                            window=W)
+        p = rng.randint(0, 97, 16).astype(np.int32)
+        rid = eng.add_request(p, 64)
+        out = eng.run()
+        assert eng.stats.get("window_pages_freed", 0) > 0
+        assert eng.stats.get("preemptions", 0) == 0
+        assert eng.cache.n_free() == cfg.n_pages - 1  # all returned
+        want = np.asarray(llama_generate(
+            params, jnp.asarray(p[None]), jax.random.PRNGKey(0), n_heads=8,
+            n_kv_heads=2, max_new_tokens=64, temperature=0.0, window=W))
+        assert out[rid] == list(want[0, 16:])
