@@ -51,6 +51,6 @@ from .ops.optim import adamw_init, adamw_step, sgd_momentum_step  # noqa: E402
 from .ops.quant import dequantize_int8, gemm_quantized, quantize_int8  # noqa: E402
 from .ops.vector_math import exp, log, sigmoid, softmax, tanh  # noqa: E402
 from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batched  # noqa: E402
-from .ops.conv import conv2d_direct, conv2d_im2col  # noqa: E402
+from .ops.conv import conv2d_direct, conv2d_im2col, conv2d_trainable  # noqa: E402
 from .ops.sampling import (sample_logits, sample_logits_batch,  # noqa: E402
                            sample_multinomial, sample_multinomial_batch)

@@ -304,3 +304,56 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
                               patch_scratch=patch_ok)
     out = call(x_nhwc, w_t)  # (N, oH, oW, c_out)
     return out.transpose(0, 3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Trainable convolution: native forward, native stride-1 backward.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_trainable(x: jax.Array, w: jax.Array, padding=(0, 0),
+                     strides=(1, 1)) -> jax.Array:
+    """Differentiable conv2d on the native kernels.
+
+    Forward = ``conv2d_direct``. Stride-1 backward is two more native
+    convolutions (the classical identities):
+        dx = conv2d(g, rot180(w).swap(Cin,Cout), padding=(k-1-p))
+        dw = conv2d(x_pad.swap(N,C), g.swap(N,Cout)).swap back
+    Strided backward falls back to the XLA transposed-conv gradient (our
+    kernels have no input dilation; the phase decomposition covers the
+    forward only).
+    """
+    return conv2d_direct(x, w, padding=padding, strides=strides)
+
+
+def _conv_fwd(x, w, padding, strides):
+    return conv2d_trainable(x, w, padding, strides), (x, w)
+
+
+def _conv_bwd(padding, strides, res, g):
+    x, w = res
+    ph, pw = padding
+    if strides != (1, 1):
+        # input dilation needed: route through XLA's gradient (exact)
+        _, vjp = jax.vjp(
+            lambda xx, ww: jax.lax.conv_general_dilated(
+                xx, ww, strides,
+                [(ph, ph), (pw, pw)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST), x, w)
+        return vjp(g)
+    kh, kw = w.shape[2], w.shape[3]
+    # dx: full correlation of g with the rotated, channel-swapped kernel
+    w_rot = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # (Cin,Cout,k,k)
+    dx = conv2d_direct(g, w_rot, padding=(kh - 1 - ph, kw - 1 - pw))
+    # dw: convolve the padded input (batch<->channel swapped) with g as the
+    # kernel: out (Cin, Cout, kh, kw) -> swap to (Cout, Cin, kh, kw)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    dw = conv2d_direct(xp.transpose(1, 0, 2, 3), g.transpose(1, 0, 2, 3))
+    return dx.astype(x.dtype), dw.transpose(1, 0, 2, 3).astype(w.dtype)
+
+
+conv2d_trainable.defvjp(_conv_fwd, _conv_bwd)

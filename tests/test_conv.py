@@ -118,3 +118,43 @@ class TestStridedDirect:
         want = np.einsum("oc,nchw->nohw", w[:, :, 0, 0].astype(np.float64),
                          x.astype(np.float64))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+class TestTrainable:
+    """conv2d_trainable: native forward; stride-1 backward is two more
+    native convolutions (rotated-kernel dx, axis-swapped dw); strided
+    backward routes through XLA's exact gradient."""
+
+    @pytest.mark.parametrize("cfg", [
+        ((2, 3, 12, 12), (8, 3, 3, 3), (0, 0), (1, 1)),
+        ((1, 4, 11, 13), (6, 4, 5, 5), (2, 2), (1, 1)),
+        ((2, 8, 10, 10), (4, 8, 3, 3), (1, 1), (1, 1)),
+        ((2, 3, 16, 16), (8, 3, 3, 3), (1, 1), (2, 2)),  # strided: XLA bwd
+    ])
+    def test_grads_match_xla(self, rng, cfg):
+        ishape, kshape, padding, strides = cfg
+        x = jnp.asarray(rng.randn(*ishape), jnp.float32)
+        w = jnp.asarray(rng.randn(*kshape), jnp.float32)
+
+        def f(x, w):
+            return jnp.sum(lt.conv2d_trainable(x, w, padding, strides) ** 2)
+
+        def ref(x, w):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                x, w, strides,
+                [(padding[0], padding[0]), (padding[1], padding[1])],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=jax.lax.Precision.HIGHEST) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1))(x, w)
+        want = jax.grad(ref, argnums=(0, 1))(x, w)
+        for gg, ww in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_value_matches_direct(self, rng):
+        x = jnp.asarray(rng.randn(2, 3, 12, 12), jnp.float32)
+        w = jnp.asarray(rng.randn(8, 3, 3, 3), jnp.float32)
+        got = lt.conv2d_trainable(x, w, (1, 1), (1, 1))
+        want = lt.conv2d_direct(x, w, padding=(1, 1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
