@@ -184,9 +184,6 @@ class ServingEngine:
         self.window = window
         if mesh is not None and model != "llama":
             raise ValueError("tensor-parallel serving: llama family only")
-        if mesh is not None and cfg.weight_quant:
-            raise ValueError("weight_quant + tensor parallel not supported "
-                             "yet (scales need per-shard specs)")
         if mesh is not None and cfg.prefix_cache:
             raise ValueError("prefix_cache + tensor parallel not supported "
                              "yet (the prefix gather needs per-shard specs)")
@@ -709,13 +706,28 @@ def _linear_q(h, w, b=None, act=None):
 # ---------------------------------------------------------------------------
 
 def _llama_tp_specs(params, kv_state):
-    """(param_specs, kv_specs) PartitionSpec pytrees for the llama schema."""
+    """(param_specs, kv_specs) PartitionSpec pytrees for the llama schema.
+
+    int8-quantized weights are {"q", "s"} dicts: the per-output-column
+    scales shard WITH the output columns — column-parallel weights carry
+    P("tp") scales, row-parallel (contraction-sharded) weights keep full
+    outputs so their scales replicate."""
     from jax.sharding import PartitionSpec as P
 
     col, rowp, rep = P(None, "tp"), P("tp", None), P()
-    blocks = [{"wq": col, "wkv": col, "wo": rowp, "w_gate": col,
-               "w_up": col, "w_down": rowp, "rms1": rep, "rms2": rep}
-              for _ in params["blocks"]]
+
+    def wspec(w, spec, s_spec):
+        return {"q": spec, "s": s_spec} if isinstance(w, dict) else spec
+
+    blocks = [
+        {"wq": wspec(b["wq"], col, P("tp")),
+         "wkv": wspec(b["wkv"], col, P("tp")),
+         "wo": wspec(b["wo"], rowp, rep),
+         "w_gate": wspec(b["w_gate"], col, P("tp")),
+         "w_up": wspec(b["w_up"], col, P("tp")),
+         "w_down": wspec(b["w_down"], rowp, rep),
+         "rms1": rep, "rms2": rep}
+        for b in params["blocks"]]
     pspecs = {"embed": rep, "unembed": rep, "blocks": blocks,
               "rms_f": rep, "rope_cos": rep, "rope_sin": rep}
     kv_specs = {"pools": P(None, None, None, "tp", None, None)}
@@ -741,9 +753,18 @@ def _shard_llama_params(params, mesh, n_heads: int):
     for blk in params["blocks"]:
         b = dict(blk)
         w = blk["wkv"]
-        Hkv = w.shape[1] // (2 * hd)
-        b["wkv"] = (w.reshape(D, 2, tp, Hkv // tp, hd)
-                    .transpose(0, 2, 1, 3, 4).reshape(w.shape))
+        if isinstance(w, dict):  # int8 weight: reorder columns of q AND s
+            Hkv = w["q"].shape[1] // (2 * hd)
+            b["wkv"] = {
+                "q": (w["q"].reshape(D, 2, tp, Hkv // tp, hd)
+                      .transpose(0, 2, 1, 3, 4).reshape(w["q"].shape)),
+                "s": (w["s"].reshape(2, tp, Hkv // tp, hd)
+                      .transpose(1, 0, 2, 3).reshape(w["s"].shape)),
+            }
+        else:
+            Hkv = w.shape[1] // (2 * hd)
+            b["wkv"] = (w.reshape(D, 2, tp, Hkv // tp, hd)
+                        .transpose(0, 2, 1, 3, 4).reshape(w.shape))
         blocks.append(b)
     out["blocks"] = blocks
     pspecs, _ = _llama_tp_specs(params, {})

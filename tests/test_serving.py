@@ -761,3 +761,33 @@ class TestServingWindow:
             params, jnp.asarray(p[None]), jax.random.PRNGKey(0), n_heads=8,
             n_kv_heads=2, max_new_tokens=64, temperature=0.0, window=W))
         assert out[rid] == list(want[0, 16:])
+
+
+class TestTPWeightQuant:
+    def test_tp_weight_quant_matches_single_device(self, rng):
+        # int8 weights shard with their per-output-column scales: the
+        # column-parallel dequant multiply commutes with the row-parallel
+        # psum, so the tp engine matches the single-device quant engine
+        # token for token
+        from laser_tpu.models.llama import init_llama
+        from laser_tpu.parallel.mesh import make_mesh
+
+        params = init_llama(jax.random.PRNGKey(5), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32),
+                            weight_quant=True)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (9, 26)]
+
+        def serve(mesh):
+            eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                                mesh=mesh)
+            rids = [eng.add_request(p, 5) for p in prompts]
+            out = eng.run()
+            return [out[r] for r in rids]
+
+        single = serve(None)
+        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+        tp = serve(mesh)
+        assert tp == single, f"{tp} != {single}"
