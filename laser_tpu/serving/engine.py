@@ -184,9 +184,6 @@ class ServingEngine:
         self.window = window
         if mesh is not None and model != "llama":
             raise ValueError("tensor-parallel serving: llama family only")
-        if mesh is not None and cfg.prefix_cache:
-            raise ValueError("prefix_cache + tensor parallel not supported "
-                             "yet (the prefix gather needs per-shard specs)")
         bad = [b for b in cfg.prefill_buckets if b % cfg.page_size]
         if bad:
             raise ValueError(f"prefill_buckets {bad} are not multiples of "

@@ -423,19 +423,6 @@ class TestPrefixCaching:
             total += len(want)
         assert agree / total > 0.7, f"only {agree}/{total} tokens agree"
 
-    def test_prefix_tp_mesh_rejected(self, rng):
-        from laser_tpu.models.llama import init_llama
-        from laser_tpu.parallel.mesh import make_mesh
-
-        params = init_llama(jax.random.PRNGKey(5), n_layers=1, d_model=128,
-                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
-                            max_len=256)
-        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
-        with pytest.raises(ValueError, match="prefix_cache"):
-            ServingEngine(params, n_heads=8, model="llama", mesh=mesh,
-                          cfg=ServingConfig(page_size=16,
-                                            prefill_buckets=(16,),
-                                            prefix_cache=True))
 
 
 class TestServingSampling:
@@ -785,6 +772,38 @@ class TestTPWeightQuant:
                                 mesh=mesh)
             rids = [eng.add_request(p, 5) for p in prompts]
             out = eng.run()
+            return [out[r] for r in rids]
+
+        single = serve(None)
+        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+        tp = serve(mesh)
+        assert tp == single, f"{tp} != {single}"
+
+    def test_tp_prefix_cache_matches_single_device(self, rng):
+        # the prefix gather runs on each shard's LOCAL Hkv heads inside
+        # shard_map, so prefix caching composes with tensor parallelism;
+        # token-identical to the single-device prefix-cache engine
+        from laser_tpu.models.llama import init_llama
+        from laser_tpu.parallel.mesh import make_mesh
+
+        params = init_llama(jax.random.PRNGKey(5), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32),
+                            prefix_cache=True)
+        shared = rng.randint(0, 97, 32).astype(np.int32)
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 7).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 12).astype(np.int32)]),
+        ]
+
+        def serve(mesh):
+            eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                                mesh=mesh)
+            rids = [eng.add_request(p, 5) for p in prompts]
+            out = eng.run()
+            assert eng.stats["prefix_hits"] >= 1
             return [out[r] for r in rids]
 
         single = serve(None)
