@@ -454,16 +454,33 @@ class ServingEngine:
             self._prefix_index[key] = pages
             self._prefix_lru.append(key)
 
+    def _registrable_keys(self, prompt: np.ndarray):
+        ps = self.cfg.page_size
+        return {prompt[:p * ps].tobytes()
+                for p in range(1, len(prompt) // ps + 1)}
+
     def _admit(self):
+        """Admit queued requests, then prefill same-(bucket, n_prefix)
+        admissions in ONE batched device call per group.
+
+        With prefix caching on, admission stops at a request whose
+        full-page prefix overlaps a PENDING (not yet prefilled) prompt's —
+        it stays queued and hits the registered pages next step, exactly
+        as it would have under sequential admission."""
+        pending = []  # (slot, request, suffix_tokens, n_prefix_pages)
+        pending_keys = set()
         while self.queue:
             slot = next((s for s, r in enumerate(self.running) if r is None),
                         None)
             if slot is None:
-                return
+                break
             r = self.queue[0]
             S0 = len(r.prompt)
             ps = self.cfg.page_size
             n_total = -(-S0 // ps)
+            if (self.cfg.prefix_cache
+                    and self._registrable_keys(r.prompt) & pending_keys):
+                break  # will hit the pending request's pages next step
             p0, cached = (self._lookup_prefix(r.prompt)
                           if self.cfg.prefix_cache else (0, []))
             n_new = n_total - p0
@@ -477,7 +494,7 @@ class ServingEngine:
                               if self.cfg.prefix_cache else (0, []))
                 n_new = n_total - p0
                 if n_new > self.cache.n_free():
-                    return  # backpressure: wait for pages
+                    break  # backpressure: wait for pages
             self.queue.popleft()
             r.slot = slot
             self.running[slot] = r
@@ -489,33 +506,43 @@ class ServingEngine:
                 self.cache.attach(slot, cached)
                 self.stats["prefix_hits"] += 1
                 self.stats["prefix_tokens_reused"] += p0 * ps
-            pages = self.cache.alloc(slot, n_new)
+            self.cache.alloc(slot, n_new)
             # chunked prefill: prompts longer than the largest bucket run
             # as a sequence of suffix prefills, each attending everything
-            # written so far through the merged-stats cross pass
+            # written so far through the merged-stats cross pass (chunks
+            # depend on each other, so they run immediately, unbatched)
             B = max(self.cfg.prefill_buckets)
             off = p0 * ps
             while S0 - off > B:
-                chunk_pages = self.cache.pages_of[slot][
-                    off // ps:(off + B) // ps]
-                self._run_prefill(slot, r.prompt[off:off + B], chunk_pages,
-                                  n_prefix=off // ps, emit=False)
+                self._run_prefill_group(
+                    [(slot, r.prompt[off:off + B], off // ps)], emit=False)
                 off += B
-            first = self._run_prefill(
-                slot, r.prompt[off:],
-                self.cache.pages_of[slot][off // ps:], n_prefix=off // ps)
-            self.cache.lengths[slot] = S0
+            pending.append((slot, r, r.prompt[off:], off // ps))
             if self.cfg.prefix_cache:
-                self._register_prefixes(r.prompt, slot)
-            r.out.append(first)
-            self._tokens[slot] = first
-            if (len(r.out) >= r.max_new_tokens
-                    or (r.eos_id is not None and first == r.eos_id)):
-                prefix = getattr(self, "_requeued_prefix", {}).pop(
-                    r.req_id, [])
-                self.finished[r.req_id] = prefix + r.out
-                self.cache.release(slot)
-                self.running[slot] = None
+                pending_keys |= self._registrable_keys(r.prompt)
+
+        # one batched prefill per (bucket, n_prefix) group
+        groups: Dict[Tuple[int, int], list] = {}
+        for slot, r, suffix, npfx in pending:
+            bucket = next(b for b in self.cfg.prefill_buckets
+                          if b >= len(suffix))
+            groups.setdefault((bucket, npfx), []).append((slot, r, suffix))
+        for (bucket, npfx), grp in groups.items():
+            firsts = self._run_prefill_group(
+                [(slot, suffix, npfx) for slot, _, suffix in grp])
+            for (slot, r, suffix), first in zip(grp, firsts):
+                self.cache.lengths[slot] = len(r.prompt)
+                if self.cfg.prefix_cache:
+                    self._register_prefixes(r.prompt, slot)
+                r.out.append(first)
+                self._tokens[slot] = first
+                if (len(r.out) >= r.max_new_tokens
+                        or (r.eos_id is not None and first == r.eos_id)):
+                    prefix = getattr(self, "_requeued_prefix", {}).pop(
+                        r.req_id, [])
+                    self.finished[r.req_id] = prefix + r.out
+                    self.cache.release(slot)
+                    self.running[slot] = None
 
     def _preempt(self, slot: int):
         r = self.running[slot]
@@ -575,34 +602,39 @@ class ServingEngine:
                 pass
         self.cache.ensure_capacity(slot)
 
-    def _run_prefill(self, slot: int, prompt: np.ndarray,
-                     pages: List[int], n_prefix: int = 0,
-                     emit: bool = True) -> Optional[int]:
-        """``prompt`` here is the un-prefilled SUFFIX (the whole prompt when
-        n_prefix == 0); it is bucketed as before, and the compiled prefill
-        is keyed on (bucket, n_prefix) — n_prefix is static so the merged
-        cross-attention over the cached pages has a static key count.
+    def _run_prefill_group(self, calls, emit: bool = True):
+        """One BATCHED device prefill for K same-(bucket, n_prefix) calls.
+
+        ``calls``: [(slot, suffix_tokens, n_prefix)] — every call's suffix
+        fits the same bucket and shares n_prefix (the compiled fn is keyed
+        on (bucket, n_prefix, K); n_prefix is static so the merged
+        cross-attention has a static key count). Each slot's suffix pages
+        come from its own table at positions [n_prefix, ...).
         ``emit=False`` (intermediate chunks of a chunked prefill) skips
-        sampling and returns None."""
-        S0 = len(prompt)
-        bucket = next((b for b in self.cfg.prefill_buckets if b >= S0), None)
+        sampling and returns None; otherwise returns the K first tokens,
+        sampled in one batched call with per-request parameters."""
+        K = len(calls)
+        n_prefix = calls[0][2]
+        ps = self.cfg.page_size
+        longest = max(len(suffix) for _, suffix, _ in calls)
+        bucket = next((b for b in self.cfg.prefill_buckets if b >= longest),
+                      None)
         if bucket is None:
-            raise ValueError(f"prompt length {S0} exceeds the largest "
+            raise ValueError(f"prompt length {longest} exceeds the largest "
                              f"prefill bucket {self.cfg.prefill_buckets[-1]}")
         if self.model == "llama":
             rope_len = int(np.asarray(self.params["rope_cos"]).shape[0])
-            if n_prefix * self.cfg.page_size + bucket > rope_len:
+            if n_prefix * ps + bucket > rope_len:
                 raise ValueError(
-                    f"prefill positions reach "
-                    f"{n_prefix * self.cfg.page_size + bucket} but the rope "
-                    f"table covers {rope_len}; re-init the model with a "
-                    f"larger max_len")
-        key = (bucket, n_prefix)
+                    f"prefill positions reach {n_prefix * ps + bucket} but "
+                    f"the rope table covers {rope_len}; re-init the model "
+                    f"with a larger max_len")
+        key = (bucket, n_prefix, K)
         if key not in self._prefills:
             if self.mesh is None:
                 self._prefills[key] = jax.jit(
                     partial(self._prefill_fn, n_heads=self.n_heads,
-                            page_size=self.cfg.page_size, bucket=bucket,
+                            page_size=ps, bucket=bucket,
                             n_prefix=n_prefix, window=self.window),
                     static_argnames=(), donate_argnums=(1,))
             else:
@@ -614,37 +646,43 @@ class ServingEngine:
                 self._prefills[key] = jax.jit(jax.shard_map(
                     partial(_llama_prefill_paged,
                             n_heads=self.n_heads // tp,
-                            page_size=self.cfg.page_size, bucket=bucket,
+                            page_size=ps, bucket=bucket,
                             n_prefix=n_prefix, window=self.window,
                             tp_axis="tp"),
                     mesh=self.mesh,
                     in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
                     out_specs=(rep, kv_specs), check_vma=False),
                     donate_argnums=(1,))
-        pad = np.zeros((bucket,), np.int32)
-        pad[:S0] = prompt
-        page_vec = np.full((bucket // self.cfg.page_size,),
-                           self.cache.trash_page, np.int32)
-        page_vec[:len(pages)] = pages
-        prefix_vec = np.asarray(
-            self.cache.pages_of[slot][:n_prefix] if n_prefix
-            else [self.cache.trash_page], np.int32)
+        n_pg = bucket // ps
+        pad = np.zeros((K, bucket), np.int32)
+        lens = np.zeros((K,), np.int32)
+        page_vecs = np.full((K, n_pg), self.cache.trash_page, np.int32)
+        prefix_vecs = np.full((K, max(n_prefix, 1)), self.cache.trash_page,
+                              np.int32)
+        for i, (slot, suffix, _) in enumerate(calls):
+            pad[i, :len(suffix)] = suffix
+            lens[i] = len(suffix)
+            pages = self.cache.pages_of[slot][
+                n_prefix:n_prefix + -(-len(suffix) // ps)]
+            page_vecs[i, :len(pages)] = pages
+            if n_prefix:
+                prefix_vecs[i] = self.cache.pages_of[slot][:n_prefix]
         logits, self.cache.state = self._prefills[key](
             self.params, self.cache.state, jnp.asarray(pad),
-            jnp.asarray(S0, jnp.int32), jnp.asarray(page_vec),
-            jnp.asarray(prefix_vec))
+            jnp.asarray(lens), jnp.asarray(page_vecs),
+            jnp.asarray(prefix_vecs))
         self.stats["prefills"] += 1
         if not emit:
             return None
-        self.stats["tokens_out"] += 1
-        r = self.running[slot]
-        tok = self._sampler(
-            jnp.asarray([r.seed], jnp.int32),
-            jnp.asarray([len(r.prompt)], jnp.int32), logits[None, :],
-            jnp.asarray([r.temperature], jnp.float32),
-            jnp.asarray([r.top_k], jnp.int32),
-            jnp.asarray([r.top_p], jnp.float32))
-        return int(np.asarray(tok)[0])
+        self.stats["tokens_out"] += K
+        reqs = [self.running[slot] for slot, _, _ in calls]
+        toks = self._sampler(
+            jnp.asarray([r.seed for r in reqs], jnp.int32),
+            jnp.asarray([len(r.prompt) for r in reqs], jnp.int32), logits,
+            jnp.asarray([r.temperature for r in reqs], jnp.float32),
+            jnp.asarray([r.top_k for r in reqs], jnp.int32),
+            jnp.asarray([r.top_p for r in reqs], jnp.float32))
+        return [int(t) for t in np.asarray(toks)]
 
 
 # ---------------------------------------------------------------------------
@@ -812,19 +850,21 @@ def _kv_write_pages(kv, li, page_vec, kp, vp):
     return {"pools": pools}
 
 
-def _gather_prefix_kv(kv, li, prefix_vec, dtype):
-    """Dense (1, Hkv, L0, hd) K/V of the cached prefix pages (dequantized
-    when the cache is int8). A one-time gather per prefill layer — the
-    suffix cross-attends these keys with full visibility."""
-    kp = kv["pools"][li, 0, prefix_vec]  # (p, Hkv, ps, hd)
-    vp = kv["pools"][li, 1, prefix_vec]
+def _gather_prefix_kv(kv, li, prefix_vecs, dtype):
+    """Dense (K, Hkv, L0, hd) K/V of each request's cached prefix pages
+    (dequantized when the cache is int8). A one-time gather per prefill
+    layer — the suffix cross-attends these keys with full visibility."""
+    kp = kv["pools"][li, 0, prefix_vecs]  # (K, p, Hkv, ps, hd)
+    vp = kv["pools"][li, 1, prefix_vecs]
     if "scales" in kv:
-        kp = kp.astype(jnp.float32) * kv["scales"][li, 0, prefix_vec][..., None]
-        vp = vp.astype(jnp.float32) * kv["scales"][li, 1, prefix_vec][..., None]
-    p, Hkv, ps, hd = kp.shape
+        kp = kp.astype(jnp.float32) * kv["scales"][li, 0,
+                                                   prefix_vecs][..., None]
+        vp = vp.astype(jnp.float32) * kv["scales"][li, 1,
+                                                   prefix_vecs][..., None]
+    K, p, Hkv, ps, hd = kp.shape
 
     def dense(t):
-        return (t.transpose(1, 0, 2, 3).reshape(1, Hkv, p * ps, hd)
+        return (t.transpose(0, 2, 1, 3, 4).reshape(K, Hkv, p * ps, hd)
                 .astype(dtype))
 
     return dense(kp), dense(vp)
@@ -915,59 +955,64 @@ def _decode_step(params, kv, tables, lengths, write_page, tokens, *,
     return logits, kv
 
 
-def _prefill_paged(params, kv, prompt, length, page_vec, prefix_vec, *,
+def _prefill_paged(params, kv, prompts, lengths, page_vecs, prefix_vecs, *,
                    n_heads: int, page_size: int, bucket: int,
                    n_prefix: int = 0, window=None):
-    """Single-sequence flash prefill that scatters K/V into pages.
+    """BATCHED flash prefill that scatters K/V into pages: K same-bucket
+    requests run in one device call (one dispatch, one big MXU batch).
 
-    prompt (bucket,) int32 zero-padded; length = true S0; page_vec
-    (bucket/ps,) page ids (trash for unused). Padded positions produce
-    garbage K/V rows inside the last real page, but causality keeps them
-    invisible to the consumed position (length-1) and the first decode step
-    overwrites row ``length`` before it is ever attended. Returns
-    (last-position logits, pools).
+    prompts (K, bucket) int32 zero-padded; lengths (K,) true suffix
+    lengths; page_vecs (K, bucket/ps) page ids (trash for unused). Padded
+    positions produce garbage K/V rows inside the last real page, but
+    causality keeps them invisible to the consumed position (length-1) and
+    the first decode step overwrites row ``length`` before it is ever
+    attended. Returns ((K, vocab) logits at each request's last position,
+    pools).
 
-    Prefix caching (n_prefix > 0): ``prompt`` is the SUFFIX after
-    ``n_prefix`` cached pages (ids in ``prefix_vec``); suffix queries
-    cross-attend the cached keys via the stats-merged flash pass."""
+    Prefix caching (n_prefix > 0): each row of ``prompts`` is the SUFFIX
+    after ``n_prefix`` cached pages (ids in ``prefix_vecs`` (K, n_prefix));
+    suffix queries cross-attend the cached keys via the stats-merged flash
+    pass."""
     from ..ops.attention import attention
 
     D = params["embed"].shape[1]
     H = n_heads
     hd = D // H
-    x = params["embed"][prompt][None]  # (1, bucket, D)
+    K = prompts.shape[0]
+    n_pg = bucket // page_size
+    x = params["embed"][prompts]  # (K, bucket, D)
 
     for li, blk in enumerate(params["blocks"]):
         h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
-        qkv = _linear_q(h.reshape(bucket, D), blk["wqkv"], blk["bqkv"])
-        q, k, v = jnp.split(qkv.reshape(1, bucket, 3 * D), 3, axis=-1)
+        qkv = _linear_q(h.reshape(K * bucket, D), blk["wqkv"], blk["bqkv"])
+        # row layout [q(D) | k(D) | v(D)], each D = H*hd
+        qkv = qkv.reshape(K, bucket, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        qh, kh, vh = qkv[0], qkv[1], qkv[2]  # (K, H, bucket, hd)
 
-        def heads(t):  # (1, bucket, D) -> (1, H, bucket, hd)
-            return t.reshape(bucket, H, hd).transpose(1, 0, 2)[None]
-
-        qh, kh, vh = heads(q), heads(k), heads(v)
-        # scatter pages: (H, bucket, hd) -> (n_pg, H, ps, hd)
+        # scatter pages: (K, H, bucket, hd) -> (K*n_pg, H, ps, hd)
         def pages_of(t):
-            return t[0].reshape(H, bucket // page_size, page_size,
-                                hd).transpose(1, 0, 2, 3)
-        kv = _kv_write_pages(kv, li, page_vec, pages_of(kh), pages_of(vh))
+            return (t.reshape(K, H, n_pg, page_size, hd)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(K * n_pg, H, page_size, hd))
+        kv = _kv_write_pages(kv, li, page_vecs.reshape(-1),
+                             pages_of(kh), pages_of(vh))
         if n_prefix:
-            o = _attend_with_prefix(kv, li, qh, kh, vh, prefix_vec, 1)
+            o = _attend_with_prefix(kv, li, qh, kh, vh, prefix_vecs, 1)
         else:
             o = attention(qh, kh, vh, causal=True)
-        o = o.transpose(0, 2, 1, 3)
-        x = x + _linear_q(o.reshape(bucket, D), blk["wo"],
-                          blk["bo"]).reshape(1, bucket, D)
+        o = o.transpose(0, 2, 1, 3)  # (K, bucket, H, hd)
+        x = x + _linear_q(o.reshape(K * bucket, D), blk["wo"],
+                          blk["bo"]).reshape(K, bucket, D)
 
         h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
-        f = _linear_q(h.reshape(bucket, D), blk["w1"], blk["b1"], "gelu")
-        x = x + _linear_q(f, blk["w2"], blk["b2"]).reshape(1, bucket, D)
+        f = _linear_q(h.reshape(K * bucket, D), blk["w1"], blk["b1"], "gelu")
+        x = x + _linear_q(f, blk["w2"], blk["b2"]).reshape(K, bucket, D)
 
-    last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
-                                        keepdims=False)
-    last = layer_norm(last[None], params["lnf_g"], params["lnf_b"])[0]
-    logits = gemm_ad(last[None], params["embed"], None, False, True)
-    return logits[0], kv
+    last = jnp.take_along_axis(
+        x, jnp.clip(lengths - 1, 0, bucket - 1)[:, None, None], axis=1)[:, 0]
+    last = layer_norm(last, params["lnf_g"], params["lnf_b"])
+    logits = gemm_ad(last, params["embed"], None, False, True)
+    return logits, kv
 
 
 # ---------------------------------------------------------------------------
@@ -1024,9 +1069,13 @@ def _llama_decode_step(params, kv, tables, lengths, write_page, tokens, *,
     return logits, kv
 
 
-def _llama_prefill_paged(params, kv, prompt, length, page_vec, prefix_vec,
-                         *, n_heads: int, page_size: int, bucket: int,
-                         n_prefix: int = 0, window=None, tp_axis=None):
+def _llama_prefill_paged(params, kv, prompts, lengths, page_vecs,
+                         prefix_vecs, *, n_heads: int, page_size: int,
+                         bucket: int, n_prefix: int = 0, window=None,
+                         tp_axis=None):
+    """Batched llama prefill: see ``_prefill_paged`` for the batching
+    contract (prompts (K, bucket), lengths (K,), page_vecs (K, bucket/ps),
+    prefix_vecs (K, n_prefix))."""
     from ..ops.attention import attention_gqa
     from ..ops.norm import rms_norm
     from ..ops.rope import apply_rope
@@ -1035,48 +1084,52 @@ def _llama_prefill_paged(params, kv, prompt, length, page_vec, prefix_vec,
     H = n_heads
     hd = _w_out_dim(params["blocks"][0]["wq"]) // H  # local-shard safe
     Hkv = _w_out_dim(params["blocks"][0]["wkv"]) // (2 * hd)
+    K = prompts.shape[0]
+    n_pg = bucket // page_size
     cos, sin = params["rope_cos"], params["rope_sin"]
     # prefix caching: the suffix sits at global positions starting after
     # the cached pages; stored prefix K is already roped at its own
     # global positions, so cross-attention needs no further rotation
     pos0 = n_prefix * page_size
-    x = params["embed"][prompt][None]  # (1, bucket, D)
+    x = params["embed"][prompts]  # (K, bucket, D)
 
     for li, blk in enumerate(params["blocks"]):
-        h = rms_norm(x, blk["rms1"]).reshape(bucket, D)
+        h = rms_norm(x, blk["rms1"]).reshape(K * bucket, D)
         q = _linear_q(h, blk["wq"]).reshape(
-            bucket, H, hd).transpose(1, 0, 2)[None]          # (1,H,bkt,hd)
-        kvp = _linear_q(h, blk["wkv"]).reshape(bucket, 2, Hkv, hd)
-        k = kvp[:, 0].transpose(1, 0, 2)[None]               # (1,Hkv,bkt,hd)
-        v = kvp[:, 1].transpose(1, 0, 2)[None]
+            K, bucket, H, hd).transpose(0, 2, 1, 3)          # (K,H,bkt,hd)
+        kvp = _linear_q(h, blk["wkv"]).reshape(K, bucket, 2, Hkv, hd)
+        k = kvp[:, :, 0].transpose(0, 2, 1, 3)               # (K,Hkv,bkt,hd)
+        v = kvp[:, :, 1].transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin, position_offset=pos0)
         k = apply_rope(k, cos, sin, position_offset=pos0)
 
-        def pages_of(t):
-            return t[0].reshape(Hkv, bucket // page_size, page_size,
-                                hd).transpose(1, 0, 2, 3)
-        kv = _kv_write_pages(kv, li, page_vec, pages_of(k), pages_of(v))
+        def pages_of(t):  # (K, Hkv, bucket, hd) -> (K*n_pg, Hkv, ps, hd)
+            return (t.reshape(K, Hkv, n_pg, page_size, hd)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(K * n_pg, Hkv, page_size, hd))
+        kv = _kv_write_pages(kv, li, page_vecs.reshape(-1),
+                             pages_of(k), pages_of(v))
         if n_prefix:
-            o = _attend_with_prefix(kv, li, q, k, v, prefix_vec, H // Hkv,
+            o = _attend_with_prefix(kv, li, q, k, v, prefix_vecs, H // Hkv,
                                     window=window, q_pos0=pos0)
         else:
             o = attention_gqa(q, k, v, causal=True, window=window)
-        o = o[0].transpose(1, 0, 2).reshape(bucket, H * hd)
+        o = o.transpose(0, 2, 1, 3).reshape(K * bucket, H * hd)
         xo = _linear_q(o, blk["wo"])
         if tp_axis:
             xo = jax.lax.psum(xo, tp_axis)
-        x = x + xo.reshape(1, bucket, D)
+        x = x + xo.reshape(K, bucket, D)
 
-        h = rms_norm(x, blk["rms2"]).reshape(bucket, D)
+        h = rms_norm(x, blk["rms2"]).reshape(K * bucket, D)
         f = jax.nn.silu(_linear_q(h, blk["w_gate"])) * _linear_q(
             h, blk["w_up"])
         xf = _linear_q(f, blk["w_down"])
         if tp_axis:
             xf = jax.lax.psum(xf, tp_axis)
-        x = x + xf.reshape(1, bucket, D)
+        x = x + xf.reshape(K, bucket, D)
 
-    last = jax.lax.dynamic_index_in_dim(x[0], length - 1, axis=0,
-                                        keepdims=False)
-    last = rms_norm(last[None], params["rms_f"])
+    last = jnp.take_along_axis(
+        x, jnp.clip(lengths - 1, 0, bucket - 1)[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, params["rms_f"])
     logits = gemm_ad(last, params["unembed"], None, False, False)
-    return logits[0], kv
+    return logits, kv

@@ -810,3 +810,39 @@ class TestTPWeightQuant:
         mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
         tp = serve(mesh)
         assert tp == single, f"{tp} != {single}"
+
+
+class TestBatchedPrefill:
+    def test_same_bucket_requests_prefill_in_one_call(self, rng):
+        # 3 same-bucket requests admitted together: ONE device prefill
+        # (stats["prefills"] counts device calls), tokens unchanged
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=4,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (20, 25, 31)]  # all bucket 32
+        ids = [eng.add_request(p, 4) for p in prompts]
+        eng.step()  # one admit wave
+        assert eng.stats["prefills"] == 1, eng.stats
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=4))
+            assert out[rid] == list(want[0, len(p):])
+
+    def test_mixed_buckets_group_separately(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=4,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 14, 20, 30)]  # buckets 16,16,32,32
+        ids = [eng.add_request(p, 3) for p in prompts]
+        eng.step()
+        assert eng.stats["prefills"] == 2, eng.stats  # one per bucket
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=3))
+            assert out[rid] == list(want[0, len(p):])
