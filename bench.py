@@ -512,9 +512,12 @@ def bench_paged_attention():
 
 
 def bench_serving_engine():
-    """Continuous-batching engine steady state: B8 slots decoding together
-    (host-driven steps: each step pays one tunnel round trip here, so this
-    is a lower bound on co-located throughput)."""
+    """Continuous-batching engine steady state: B8 slots decoding together.
+
+    decode_burst=32 makes the engine device-bound: one dispatch runs 32
+    decode+sample steps in a device-side lax.scan (in-loop stop detection),
+    so the ~30 ms tunnel round trip amortizes over 256 tokens instead of
+    gating every 8."""
     import time
 
     from laser_tpu.models.transformer import init_transformer
@@ -525,70 +528,104 @@ def bench_serving_engine():
                               d_ff=512, vocab=1024)
     rng = np.random.RandomState(0)
     out = {}
+    BURST = 32
     for tag, quant in (("serving_engine_b8", False),
                        ("serving_engine_b8_int8kv", True)):
         cfg = ServingConfig(page_size=64, n_pages=128, max_seqs=8,
                             max_pages_per_seq=16,
-                            prefill_buckets=(512,), kv_quant=quant)
+                            prefill_buckets=(512,), kv_quant=quant,
+                            decode_burst=BURST)
         eng = ServingEngine(params, n_heads=4, cfg=cfg)
         for _ in range(8):
-            eng.add_request(rng.randint(0, 1024, 512).astype(np.int32), 512)
-        # admit + warm the decode executable
-        for _ in range(3):
+            eng.add_request(rng.randint(0, 1024, 512).astype(np.int32), 480)
+        # admit + warm the burst executable
+        for _ in range(2):
             eng.step()
-        n_steps = 32
+        n_steps = 8
         t0 = time.perf_counter()
         for _ in range(n_steps):
             eng.step()
         dt = time.perf_counter() - t0
-        toks = 8 * n_steps / dt
+        toks = 8 * BURST * n_steps / dt
         out[tag] = {"tokens_per_s": round(toks, 1),
-                    "ms_per_step": round(dt / n_steps * 1e3, 2),
-                    "batch": 8, "note": "host-driven; includes one tunnel "
-                    "round trip per step"}
-        log(f"{tag}: {toks:.0f} tok/s ({dt/n_steps*1e3:.1f} ms/step)")
+                    "ms_per_token_step": round(dt / (n_steps * BURST) * 1e3,
+                                               3),
+                    "batch": 8, "decode_burst": BURST,
+                    "note": "end-to-end through the tunnel: one round trip "
+                    f"per {BURST}-step burst"}
+        log(f"{tag}: {toks:.0f} tok/s "
+            f"({dt/(n_steps*BURST)*1e3:.2f} ms/token-step, burst {BURST})")
 
-    # prefix caching: end-to-end prefill latency, cold vs cache hit (a
-    # 448-token shared prefix + ~32-token suffix: the hit prefills one
-    # 64-bucket suffix instead of a 512-bucket prompt)
-    cfg = ServingConfig(page_size=64, n_pages=128, max_seqs=2,
-                        max_pages_per_seq=16, prefill_buckets=(64, 512),
-                        prefix_cache=True)
-    eng = ServingEngine(params, n_heads=4, cfg=cfg)
-    prefix = rng.randint(0, 1024, 448).astype(np.int32)
+    # prefix caching: DEVICE prefill time, cold vs cache hit (a 448-token
+    # cached prefix + 30-token suffix: the hit runs one 64-bucket suffix
+    # prefill cross-attending the 7 cached pages instead of a 512-bucket
+    # full-prompt prefill). Chain-timed on device — a single host-driven
+    # admission here is floored by the ~30 ms tunnel round trip, which
+    # round 2 mistook for a cache-hit regression (0.94x); the RTT belongs
+    # to the host link, not to either prefill. Both executables are the
+    # ones the engine dispatches (same fn, same static key), jitted
+    # without donation so the chain can reuse the pool state.
+    from functools import partial as _partial
 
-    def one_prefill(prompt):
-        t0 = time.perf_counter()
-        eng.add_request(prompt, 1)
-        eng.run()
-        return time.perf_counter() - t0
+    from laser_tpu.serving.engine import _prefill_paged
 
-    # warm both compiled keys: (512, 0) cold and (64, 7) hit
-    one_prefill(np.concatenate(
-        [prefix, rng.randint(0, 1024, 30).astype(np.int32)]))
-    one_prefill(np.concatenate(
-        [prefix, rng.randint(0, 1024, 40).astype(np.int32)]))
-    cold = min(one_prefill(rng.randint(0, 1024, 478).astype(np.int32))
-               for _ in range(3))
-    hit = min(one_prefill(np.concatenate(
-        [prefix, rng.randint(0, 1024, 30).astype(np.int32)]))
-        for _ in range(3))
-    # honest accounting: on THIS dev host a prefill is floored by the
-    # ~30 ms tunnel round trip, so wall clock cannot show the win; the
-    # structural saving is the prompt compute and KV writes eliminated
-    # (hit runs a 64-bucket suffix instead of a 512-bucket prompt) plus
-    # the shared pages (no extra HBM for the cached prefix)
+    L, Hkv, ps, hd = 2, 4, 64, 64
+    kv0 = {"pools": jnp.zeros((L, 2, 16, Hkv, ps, hd), jnp.float32)}
+    cold_fn = jax.jit(_partial(_prefill_paged, n_heads=4, page_size=ps,
+                               bucket=512, n_prefix=0, window=None))
+    hit_fn = jax.jit(_partial(_prefill_paged, n_heads=4, page_size=ps,
+                              bucket=64, n_prefix=7, window=None))
+    cold_prompts = jnp.asarray(
+        rng.randint(0, 1024, (1, 512)).astype(np.int32))
+    cold_lens = jnp.asarray([478], jnp.int32)
+    cold_pages = jnp.arange(8, dtype=jnp.int32)[None]
+    no_pfx = jnp.full((1, 1), 15, jnp.int32)
+    # fill pages 0..7 once so the hit's cached-prefix reads are real KV
+    _, kv = jax.block_until_ready(
+        cold_fn(params, kv0, cold_prompts, cold_lens, cold_pages, no_pfx))
+    hit_prompts = jnp.asarray(rng.randint(0, 1024, (1, 64)).astype(np.int32))
+    hit_lens = jnp.asarray([30], jnp.int32)
+    hit_pages = jnp.asarray([[7]], jnp.int32)
+    hit_pfx = jnp.arange(7, dtype=jnp.int32)[None]
+
+    def time_prefill(fn, prompts0, lens, pages, pfx, reps):
+        # kv rides the fori_loop carry: XLA reuses its buffers in place,
+        # the same aliasing the engine's donated dispatch gets — no
+        # per-iteration pool copy. prompts[0,0] <- argmax(logits) makes
+        # every iteration data-dependent on the last (no memoization).
+        @jax.jit
+        def loop(kv, prompts):
+            def body(i, carry):
+                kv, prompts = carry
+                logits, kv = fn(params, kv, prompts, lens, pages, pfx)
+                return kv, prompts.at[0, 0].set(
+                    jnp.argmax(logits[0]).astype(jnp.int32) % 1024)
+            return jax.lax.fori_loop(0, reps, body, (kv, prompts))[1]
+
+        def run(p0):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(loop(kv, p0)[0, 0]))
+            return time.perf_counter() - t0
+
+        run(prompts0)  # compile + warm
+        best = min(run(prompts0 + i) for i in (1, 2, 3))
+        return best / reps * 1e3
+
+    cold = time_prefill(cold_fn, cold_prompts, cold_lens, cold_pages,
+                        no_pfx, reps=400)
+    hit = time_prefill(hit_fn, hit_prompts, hit_lens, hit_pages,
+                       hit_pfx, reps=2000)
     out["serving_prefix_cache"] = {
-        "prefill_cold_ms": round(cold * 1e3, 2),
-        "prefill_hit_ms": round(hit * 1e3, 2),
+        "prefill_cold_ms": round(cold, 3),
+        "prefill_hit_ms": round(hit, 3),
+        "speedup": round(cold / hit, 2),
         "prompt_tokens_cached": 448, "prompt_tokens_total": 478,
         "prefill_bucket_cold": 512, "prefill_bucket_hit": 64,
         "prefill_flops_eliminated_pct": round(100 * (1 - 64 / 512), 1),
-        "note": "wall clock is tunnel-RTT-floored (~30 ms/dispatch) on "
-                "this host; the win is the eliminated prompt compute/KV "
-                "writes and the zero-copy shared pages"}
-    log(f"serving_prefix_cache: cold {cold*1e3:.1f} ms vs hit "
-        f"{hit*1e3:.1f} ms (tunnel-floored); 87.5% of prefill compute "
+        "note": "device prefill time (chained loop); a single host-driven "
+                "admission adds one ~30 ms tunnel round trip either way"}
+    log(f"serving_prefix_cache: cold {cold:.2f} ms vs hit {hit:.2f} ms "
+        f"device (speedup {cold/hit:.2f}x); 87.5% of prefill compute "
         f"eliminated")
     return out
 

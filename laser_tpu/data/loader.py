@@ -162,6 +162,20 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # timed put + stop flag: if the consumer abandons the epoch
+            # (breaks out of the loop), the stager must not block forever
+            # on a full queue — it would leak the thread and pin up to
+            # ``prefetch`` staged device batches for the process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def stage():
             # exceptions in the stager must reach the CONSUMER — a silently
@@ -173,22 +187,29 @@ class DataLoader:
                                       for b in batch)
                     else:
                         batch = tuple(jax.device_put(b) for b in batch)
-                    q.put(batch)
-                q.put(END)
+                    if not put(batch):
+                        return
+                put(END)
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=stage, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is END:
-                break
-            if isinstance(b, BaseException):
-                t.join()
-                raise b
-            yield b
-        t.join()
+        try:
+            while True:
+                b = q.get()
+                if b is END:
+                    break
+                if isinstance(b, BaseException):
+                    t.join()
+                    raise b
+                yield b
+            t.join()
+        finally:
+            # reached normally (thread already done) or via GeneratorExit/
+            # error in the consumer: release a blocked stager and reap it
+            stop.set()
+            t.join(timeout=5)
 
     def __iter__(self):
         return self.epoch_iter()

@@ -44,8 +44,11 @@ def init_transformer_block(key: jax.Array, d_model: int, n_heads: int,
 
 
 def transformer_block(params: Params, x: jax.Array, *, n_heads: int,
-                      causal: bool = True) -> jax.Array:
-    """Pre-norm block: x + MHA(LN(x)); x + FFN(LN(x)). x: (B, S, D)."""
+                      causal: bool = True, window=None) -> jax.Array:
+    """Pre-norm block: x + MHA(LN(x)); x + FFN(LN(x)). x: (B, S, D).
+
+    ``window``: sliding-window attention (requires causal) — position i
+    attends keys (i - window, i]."""
     B, S, D = x.shape
     hd = D // n_heads
 
@@ -55,7 +58,8 @@ def transformer_block(params: Params, x: jax.Array, *, n_heads: int,
     # (B, S, D) -> (B, H, S, hd)
     def heads(t):
         return t.reshape(B, S, n_heads, hd).transpose(0, 2, 1, 3)
-    o = attention(heads(q), heads(k), heads(v), causal=causal)
+    o = attention(heads(q), heads(k), heads(v), causal=causal,
+                  window=window)
     o = o.transpose(0, 2, 1, 3).reshape(B * S, D)
     x = x + linear(o, params["wo"], params["bo"]).reshape(B, S, D)
 
@@ -79,11 +83,12 @@ def init_transformer(key: jax.Array, *, n_layers: int, d_model: int,
 
 
 def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
-                        causal: bool = True) -> jax.Array:
+                        causal: bool = True, window=None) -> jax.Array:
     """tokens (B, S) int32 -> logits (B, S, vocab)."""
     x = params["embed"][tokens]
     for blk in params["blocks"]:
-        x = transformer_block(blk, x, n_heads=n_heads, causal=causal)
+        x = transformer_block(blk, x, n_heads=n_heads, causal=causal,
+                              window=window)
     x = layer_norm(x, params["lnf_g"], params["lnf_b"])
     B, S, D = x.shape
     from ..ops.gemm.autodiff import gemm_ad
@@ -97,7 +102,7 @@ def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
 # ---------------------------------------------------------------------------
 
 def greedy_decode(params: Dict, prompt: jax.Array, *, n_heads: int,
-                  max_new_tokens: int) -> jax.Array:
+                  max_new_tokens: int, window=None) -> jax.Array:
     """Greedy decoding: append argmax tokens one at a time.
 
     Functional reference implementation: each step re-runs the full causal
@@ -112,7 +117,7 @@ def greedy_decode(params: Dict, prompt: jax.Array, *, n_heads: int,
 
     def step(i, tokens):
         logits = transformer_forward(params, tokens, n_heads=n_heads,
-                                     causal=True)
+                                     causal=True, window=window)
         # position i-1 predicts token i; future positions are causally unseen
         nxt = jnp.argmax(
             jax.lax.dynamic_index_in_dim(logits, i - 1, axis=1,

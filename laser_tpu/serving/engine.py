@@ -60,6 +60,13 @@ class ServingConfig:
     # longest page-aligned cached prefix (refcounted, zero copy) and
     # prefills only its suffix, attending to the cached pages through a
     # stats-merged flash pass. Entries evict LRU under page pressure.
+    decode_burst: int = 1       # decode steps per device dispatch: a
+    # lax.scan runs `decode_burst` decode+sample steps ON DEVICE with
+    # in-loop stop detection (eos / max_new_tokens), so the host syncs
+    # once per burst instead of once per token — the host round trip
+    # (20-40 ms through a network-attached TPU) stops bounding decode
+    # throughput. Token-identical to burst=1; admission/preemption/window
+    # page recycling happen at burst boundaries. 1 = sync every token.
 
 
 class PagedKVCache:
@@ -169,15 +176,14 @@ class ServingEngine:
                  cfg: ServingConfig = ServingConfig(), dtype=None,
                  model: str = "transformer", mesh=None,
                  window: Optional[int] = None):
-        """``window``: sliding-window attention (mistral-style llama) —
-        decode attends only the last ``window`` keys (O(window) per step
-        via page skipping) and prefill applies the same mask; generations
-        match ``llama_generate(..., window=window)`` token for token."""
+        """``window``: sliding-window attention (both families) — decode
+        attends only the last ``window`` keys (O(window) per step via page
+        skipping) and prefill applies the same mask; generations match
+        ``llama_generate(..., window=window)`` /
+        ``greedy_decode(..., window=window)`` token for token."""
         if model not in ("transformer", "llama"):
             raise ValueError(f"unknown model family {model!r}")
         if window is not None:
-            if model != "llama":
-                raise ValueError("window: llama family only")
             if int(window) < 1:
                 raise ValueError(f"window must be >= 1, got {window}")
             window = int(window)
@@ -222,8 +228,8 @@ class ServingEngine:
                       "requests_done": 0, "peak_pages_in_use": 0,
                       "prefix_hits": 0, "prefix_tokens_reused": 0,
                       "prefix_evictions": 0}
-        # prompt-prefix registry: prompt[:p*ps].tobytes() -> page list
-        # (each entry holds one ref per page; evicted LRU-first)
+        # prompt-prefix registry: chained page digest (see _prefix_keys)
+        # -> page list (each entry holds one ref per page; evicted LRU-first)
         self._prefix_index: Dict[bytes, List[int]] = {}
         self._prefix_lru: List[bytes] = []
         # per-slot sampling parameters (mirrored to device each step);
@@ -236,11 +242,17 @@ class ServingEngine:
                       "top_k": np.zeros((cfg.max_seqs,), np.int32),
                       "top_p": np.ones((cfg.max_seqs,), np.float32)}
         self._sampler = jax.jit(sample_logits_batch)
+        if cfg.decode_burst < 1:
+            raise ValueError(f"decode_burst must be >= 1, got "
+                             f"{cfg.decode_burst}")
         decode_fn = _decode_step if model == "transformer" else \
             _llama_decode_step
         self._prefill_fn = _prefill_paged if model == "transformer" else \
             _llama_prefill_paged
+        self._burst_fn = None  # built lazily on first burst dispatch
         if mesh is None:
+            self._decode_raw = partial(decode_fn, n_heads=n_heads,
+                                       page_size=cfg.page_size, window=window)
             self._decode = jax.jit(
                 partial(decode_fn, n_heads=n_heads,
                         page_size=cfg.page_size, window=window),
@@ -260,10 +272,12 @@ class ServingEngine:
                 self.cache.state, kv_specs)
             self._tp_specs = (pspecs, kv_specs)
             rep = P()
+            self._decode_raw = partial(_llama_decode_step,
+                                       n_heads=n_heads // tp,
+                                       page_size=cfg.page_size,
+                                       window=window, tp_axis="tp")
             self._decode = jax.jit(jax.shard_map(
-                partial(_llama_decode_step, n_heads=n_heads // tp,
-                        page_size=cfg.page_size, window=window,
-                        tp_axis="tp"),
+                self._decode_raw,
                 mesh=mesh,
                 in_specs=(pspecs, kv_specs, rep, rep, rep, rep),
                 out_specs=(rep, kv_specs), check_vma=False),
@@ -329,6 +343,8 @@ class ServingEngine:
         self._admit()
         active = [s for s, r in enumerate(self.running) if r is not None]
         if not active:
+            return
+        if self.cfg.decode_burst > 1 and self._step_burst(active):
             return
         ps = self.cfg.page_size
         # a decode step writes K/V at position lengths[s]: make sure the
@@ -405,6 +421,111 @@ class ServingEngine:
             elif self.window is not None:
                 self._free_out_of_window_pages(s)
 
+    def _get_burst_fn(self):
+        if self._burst_fn is None:
+            k = self.cfg.decode_burst
+            body = partial(_decode_burst_scan, decode_fn=self._decode_raw,
+                           k=k, page_size=self.cfg.page_size,
+                           trash_page=self.cache.trash_page)
+            if self.mesh is None:
+                self._burst_fn = jax.jit(body, donate_argnums=(1,))
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                pspecs, kv_specs = self._tp_specs
+                rep = P()
+                self._burst_fn = jax.jit(jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(pspecs, kv_specs) + (rep,) * 9,
+                    out_specs=(kv_specs, rep, rep), check_vma=False),
+                    donate_argnums=(1,))
+        return self._burst_fn
+
+    def _step_burst(self, active) -> bool:
+        """Decode up to ``decode_burst`` tokens per slot in one dispatch.
+
+        Pre-allocates every page the burst can write (so the device never
+        needs host intervention mid-burst), then mirrors the device's
+        in-loop stop bookkeeping from the returned (toks, lives) record.
+        Returns False — caller falls back to the single-step path, which
+        can preempt — when the pool can't cover the whole burst."""
+        k = self.cfg.decode_burst
+        ps = self.cfg.page_size
+        for s in active:
+            r = self.running[s]
+            kk = min(k, r.max_new_tokens - len(r.out))
+            need = (int(self.cache.lengths[s]) + kk - 1) // ps + 1
+            short = need - len(self.cache.pages_of[s])
+            if short > 0:
+                while (self.cache.n_free() < short
+                       and self._evict_one_prefix()):
+                    pass
+                if short > self.cache.n_free():
+                    return False
+                self.cache.alloc(s, short)
+        S = self.cfg.max_seqs
+        remaining = np.zeros((S,), np.int32)
+        eos = np.full((S,), -1, np.int32)
+        for s in active:
+            r = self.running[s]
+            remaining[s] = r.max_new_tokens - len(r.out)
+            if r.eos_id is not None:
+                eos[s] = r.eos_id
+        self.cache.state, toks, lives = self._get_burst_fn()(
+            self.params, self.cache.state, jnp.asarray(self.cache.tables),
+            jnp.asarray(self.cache.lengths), jnp.asarray(self._tokens),
+            jnp.asarray(remaining), jnp.asarray(eos),
+            jnp.asarray(self._samp["seed"]), jnp.asarray(self._samp["temp"]),
+            jnp.asarray(self._samp["top_k"]), jnp.asarray(self._samp["top_p"]))
+        toks = np.asarray(toks)
+        lives = np.asarray(lives)
+        self.stats["decode_steps"] += k
+        self.stats["decode_bursts"] = self.stats.get("decode_bursts", 0) + 1
+        self.stats["peak_pages_in_use"] = max(
+            self.stats["peak_pages_in_use"],
+            self.cfg.n_pages - 1 - self.cache.n_free())
+        for t in range(k):
+            for s in active:
+                if not lives[t, s] or self.running[s] is None:
+                    continue
+                r = self.running[s]
+                tok = int(toks[t, s])
+                r.out.append(tok)
+                self.cache.lengths[s] += 1
+                self._tokens[s] = tok
+                self.stats["tokens_out"] += 1
+                if (len(r.out) >= r.max_new_tokens
+                        or (r.eos_id is not None and tok == r.eos_id)):
+                    self.stats["requests_done"] += 1
+                    prefix = getattr(self, "_requeued_prefix", {}).pop(
+                        r.req_id, [])
+                    self.finished[r.req_id] = prefix + r.out
+                    self.cache.release(s)
+                    self.running[s] = None
+        if self.window is not None:
+            for s in active:
+                if self.running[s] is not None:
+                    self._free_out_of_window_pages(s)
+        return True
+
+    def _prefix_keys(self, prompt: np.ndarray) -> List[bytes]:
+        """Registry key for every full-page prefix of ``prompt``.
+
+        keys[p-1] covers prompt[:p*ps]. A hash CHAIN (page p's key digests
+        page p-1's key + page p's bytes) so hashing a whole admission is
+        O(len(prompt)) total — hashing each prefix from scratch would be
+        O(pages * len(prompt)), quadratic for long prompts."""
+        import hashlib
+
+        ps = self.cfg.page_size
+        keys: List[bytes] = []
+        h = b""
+        for p in range(1, len(prompt) // ps + 1):
+            h = hashlib.blake2b(h + prompt[(p - 1) * ps:p * ps].tobytes(),
+                                digest_size=16).digest()
+            keys.append(h)
+        return keys
+
     def _lookup_prefix(self, prompt: np.ndarray) -> Tuple[int, List[int]]:
         """Longest page-aligned cached prefix usable for ``prompt``.
 
@@ -414,8 +535,9 @@ class ServingEngine:
         ps = self.cfg.page_size
         rope_len = (int(np.asarray(self.params["rope_cos"]).shape[0])
                     if self.model == "llama" else None)
+        keys = self._prefix_keys(prompt)
         for p in range((len(prompt) - 1) // ps, 0, -1):
-            key = prompt[:p * ps].tobytes()
+            key = keys[p - 1]
             pages = self._prefix_index.get(key)
             if pages is None:
                 continue
@@ -442,10 +564,8 @@ class ServingEngine:
         """Index every full-page prefix of a just-prefilled prompt. Full
         pages are never written again (decode writes land past the prompt),
         so entries stay valid for the pages' refcounted lifetime."""
-        ps = self.cfg.page_size
         allp = self.cache.pages_of[slot]
-        for p in range(1, len(prompt) // ps + 1):
-            key = prompt[:p * ps].tobytes()
+        for p, key in enumerate(self._prefix_keys(prompt), start=1):
             if key in self._prefix_index:
                 continue
             pages = list(allp[:p])
@@ -455,9 +575,7 @@ class ServingEngine:
             self._prefix_lru.append(key)
 
     def _registrable_keys(self, prompt: np.ndarray):
-        ps = self.cfg.page_size
-        return {prompt[:p * ps].tobytes()
-                for p in range(1, len(prompt) // ps + 1)}
+        return set(self._prefix_keys(prompt))
 
     def _admit(self):
         """Admit queued requests, then prefill same-(bucket, n_prefix)
@@ -811,6 +929,49 @@ def _shard_llama_params(params, mesh, n_heads: int):
 # Device steps
 # ---------------------------------------------------------------------------
 
+def _decode_burst_scan(params, kv, tables, lengths, tokens, remaining, eos,
+                       seeds, temps, top_ks, top_ps, *, decode_fn, k: int,
+                       page_size: int, trash_page: int):
+    """Run ``k`` decode+sample steps in ONE dispatch (lax.scan).
+
+    The host's per-token work — picking the write page, sampling, the stop
+    checks — moves inside the loop so decode throughput is bound by the
+    device step, not the host round trip. Per-slot liveness:
+    ``remaining`` (tokens this slot may still emit; 0 = done) counts down
+    and zeroes on eos, exactly mirroring the host's stop conditions, so a
+    slot that finishes mid-burst stops writing KV (its write page becomes
+    the trash page) and its later emissions are marked dead in ``lives``.
+
+    Returns (kv, toks (k, S) int32, lives (k, S) bool). Token-identical to
+    k dispatches of ``decode_fn`` + ``sample_logits_batch``: each live step
+    samples at position == pre-increment length, the same fold-in schedule.
+    """
+    from ..ops.sampling import sample_logits_batch
+
+    rows = jnp.arange(tokens.shape[0])
+
+    def body(carry, _):
+        kv, tokens, lengths, remaining = carry
+        live = (lengths > 0) & (remaining > 0)
+        l_arg = jnp.where(live, lengths, 0)
+        wp = jnp.where(live, tables[rows, l_arg // page_size], trash_page)
+        logits, kv = decode_fn(params, kv, tables, l_arg, wp, tokens)
+        # the emitted token's absolute index: lengths counts prompt + KV of
+        # already-written generated tokens (= len(out) - 1 of them), so the
+        # token emitted now sits at lengths + 1 — the same
+        # len(prompt) + len(out) the single-step host path folds into the key
+        nxt = sample_logits_batch(seeds, lengths + 1, logits, temps,
+                                  top_ks, top_ps)
+        nxt = jnp.where(live, nxt, tokens)
+        remaining = jnp.where(live, remaining - 1, remaining)
+        remaining = jnp.where(live & (nxt == eos), 0, remaining)
+        lengths = jnp.where(live, lengths + 1, lengths)
+        return (kv, nxt, lengths, remaining), (nxt, live)
+
+    (kv, _, _, _), (toks, lives) = jax.lax.scan(
+        body, (kv, tokens, lengths, remaining), None, length=k)
+    return kv, toks, lives
+
 def _kv_write_token(kv, li, write_page, row, k, v):
     """Scatter one new K/V row per slot into the pools (quantizing when the
     cache is int8): kv["pools"][li, 0][write_page[s], :, row[s], :] = k[s]."""
@@ -997,9 +1158,11 @@ def _prefill_paged(params, kv, prompts, lengths, page_vecs, prefix_vecs, *,
         kv = _kv_write_pages(kv, li, page_vecs.reshape(-1),
                              pages_of(kh), pages_of(vh))
         if n_prefix:
-            o = _attend_with_prefix(kv, li, qh, kh, vh, prefix_vecs, 1)
+            o = _attend_with_prefix(kv, li, qh, kh, vh, prefix_vecs, 1,
+                                    window=window,
+                                    q_pos0=n_prefix * page_size)
         else:
-            o = attention(qh, kh, vh, causal=True)
+            o = attention(qh, kh, vh, causal=True, window=window)
         o = o.transpose(0, 2, 1, 3)  # (K, bucket, H, hd)
         x = x + _linear_q(o.reshape(K * bucket, D), blk["wo"],
                           blk["bo"]).reshape(K, bucket, D)

@@ -105,3 +105,24 @@ def test_sharded_placement(rng):
         assert b.shape == (16, 8)
         assert len(b.sharding.device_set) == 4
         break
+
+
+def test_abandoned_epoch_iter_reaps_stager_thread():
+    """ADVICE r2: breaking out of epoch_iter mid-epoch must not leak the
+    prefetch stager thread (it used to block forever on q.put)."""
+    import threading
+    import numpy as np
+    from laser_tpu.data import ArrayDataset, DataLoader
+
+    xs = np.arange(64, dtype=np.float32).reshape(32, 2)
+    dl = DataLoader(ArrayDataset(xs), batch_size=2, prefetch=2, shuffle=False)
+    before = threading.active_count()
+    it = dl.epoch_iter(0)
+    next(it)  # stager is now running and will fill the queue
+    it.close()  # abandon the epoch (what a `break` in a for-loop does)
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before, "stager thread leaked"

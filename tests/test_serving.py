@@ -702,8 +702,26 @@ class TestServingWindow:
 
     def test_window_validation(self, rng):
         params = _make_model(rng)
-        with pytest.raises(ValueError, match="llama family only"):
-            ServingEngine(params, n_heads=8, window=16)
+        with pytest.raises(ValueError, match="window must be >= 1"):
+            ServingEngine(params, n_heads=8, window=0)
+
+    def test_transformer_family_window(self, rng):
+        # window now spans BOTH families: transformer engine generations
+        # must match greedy_decode(window=W), crossing the window boundary
+        params = _make_model(rng)
+        W = 24
+        cfg = ServingConfig(page_size=8, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=16, prefill_buckets=(16, 32))
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, window=W)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (13, 30)]
+        ids = [eng.add_request(p, 20) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=20,
+                window=W))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
 
     def test_llama_forward_window_grad(self, rng):
         # dense family: window threads through the trainable kernels
@@ -846,3 +864,178 @@ class TestBatchedPrefill:
             want = np.asarray(greedy_decode(
                 params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=3))
             assert out[rid] == list(want[0, len(p):])
+
+
+class TestDecodeBurst:
+    """decode_burst=k runs k decode+sample steps per dispatch (device-side
+    lax.scan with in-loop stop detection) — the continuous-batching engine
+    stays token-identical to single-step decode in every composition."""
+
+    def _run_pair(self, rng, make_engine, prompts, max_new, **req_kw):
+        eng1 = make_engine(1)
+        engk = make_engine(4)
+        ids1 = [eng1.add_request(p, m, **req_kw)
+                for p, m in zip(prompts, max_new)]
+        idsk = [engk.add_request(p, m, **req_kw)
+                for p, m in zip(prompts, max_new)]
+        out1, outk = eng1.run(), engk.run()
+        for i1, ik in zip(ids1, idsk):
+            assert out1[i1] == outk[ik], (out1[i1], outk[ik])
+        return eng1, engk, out1, ids1
+
+    def test_burst_matches_single_step_and_dense(self, rng):
+        params = _make_model(rng)
+
+        def mk(burst):
+            cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=3,
+                                max_pages_per_seq=8,
+                                prefill_buckets=(16, 32, 64),
+                                decode_burst=burst)
+            return ServingEngine(params, n_heads=8, cfg=cfg)
+
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 26, 40)]
+        _, engk, out1, ids1 = self._run_pair(rng, mk, prompts, (7, 5, 9))
+        assert engk.stats.get("decode_bursts", 0) > 0
+        for p, rid in zip(prompts, ids1):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8,
+                max_new_tokens={ids1[0]: 7, ids1[1]: 5, ids1[2]: 9}[rid]))
+            assert out1[rid] == list(want[0, len(p):])
+
+    def test_burst_eos_mid_burst(self, rng):
+        # force an early eos: generate once, then replay with eos_id set to
+        # a token the model emits mid-burst — both engines must cut there
+        params = _make_model(rng)
+
+        def mk(burst):
+            cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                                max_pages_per_seq=8,
+                                prefill_buckets=(16, 32),
+                                decode_burst=burst)
+            return ServingEngine(params, n_heads=8, cfg=cfg)
+
+        p = rng.randint(0, 97, 20).astype(np.int32)
+        probe = mk(1)
+        rid = probe.add_request(p, 8)
+        full = probe.run()[rid]
+        eos = full[2]  # third emitted token = mid-burst for k=4
+        self._run_pair(rng, mk, [p], (8,), eos_id=int(eos))
+
+    def test_burst_with_sampling(self, rng):
+        params = _make_model(rng)
+
+        def mk(burst):
+            cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                                max_pages_per_seq=8,
+                                prefill_buckets=(16, 32),
+                                decode_burst=burst)
+            return ServingEngine(params, n_heads=8, cfg=cfg)
+
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (9, 17)]
+        self._run_pair(rng, mk, prompts, (6, 6),
+                       temperature=0.9, top_k=11, top_p=0.9, seed=7)
+
+    def test_burst_pool_pressure_falls_back(self, rng):
+        # pool too small to pre-allocate a burst: engine must fall back to
+        # single-step (which can preempt) and still finish everything
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=5, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16, 32),
+                            decode_burst=4)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (20, 25)]
+        ids = [eng.add_request(p, 30) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=30))
+            assert out[rid] == list(want[0, len(p):])
+
+    def test_burst_llama_window(self, rng):
+        from laser_tpu.models.llama import init_llama, llama_generate
+
+        params = init_llama(jax.random.PRNGKey(3), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+
+        def mk(burst):
+            cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                                max_pages_per_seq=8,
+                                prefill_buckets=(16, 32, 64),
+                                decode_burst=burst)
+            return ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                                 window=24)
+        p = rng.randint(0, 97, 40).astype(np.int32)
+        _, _, out1, ids1 = self._run_pair(rng, mk, [p], (10,))
+        want = np.asarray(llama_generate(
+            params, jnp.asarray(p[None]), jax.random.PRNGKey(0), n_heads=8,
+            n_kv_heads=4, max_new_tokens=10, temperature=0.0, window=24))
+        assert out1[ids1[0]] == list(want[0, len(p):])
+
+    def test_burst_tensor_parallel(self, rng):
+        from laser_tpu.models.llama import init_llama, llama_generate
+        from laser_tpu.parallel.mesh import make_mesh
+
+        params = init_llama(jax.random.PRNGKey(5), n_layers=2, d_model=128,
+                            n_heads=8, n_kv_heads=4, d_ff=256, vocab=97,
+                            max_len=256)
+        mesh = make_mesh({"tp": 4}, devices=jax.devices()[:4])
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32, 64),
+                            decode_burst=4)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, model="llama",
+                            mesh=mesh)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (9, 26)]
+        ids = [eng.add_request(p, 5) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(llama_generate(
+                params, jnp.asarray(p[None]), jax.random.PRNGKey(0),
+                n_heads=8, n_kv_heads=4, max_new_tokens=5, temperature=0.0))
+            assert out[rid] == list(want[0, len(p):])
+
+
+class TestTransformerWindow:
+    """Sliding-window serving for the transformer family (round 3: was
+    llama-only). Oracle: greedy_decode(window=W) — the dense forward with
+    the same mask."""
+
+    def test_decode_crosses_window(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=32, max_seqs=2,
+                            max_pages_per_seq=6, prefill_buckets=(16, 32))
+        W = 24
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, window=W)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (11, 30)]
+        ids = [eng.add_request(p, 20) for p in prompts]
+        out = eng.run()
+        assert eng.stats.get("window_pages_freed", 0) > 0
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=20,
+                window=W))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
+
+    def test_window_with_prefix_cache_and_burst(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=2,
+                            max_pages_per_seq=8, prefill_buckets=(16, 32),
+                            prefix_cache=True, decode_burst=4)
+        W = 40
+        eng = ServingEngine(params, n_heads=8, cfg=cfg, window=W)
+        shared = rng.randint(0, 97, 48).astype(np.int32)
+        prompts = [
+            np.concatenate([shared, rng.randint(0, 97, 9).astype(np.int32)]),
+            np.concatenate([shared, rng.randint(0, 97, 21).astype(np.int32)]),
+        ]
+        ids = [eng.add_request(p, 8) for p in prompts]
+        out = eng.run()
+        assert eng.stats["prefix_hits"] >= 1
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=8,
+                window=W))
+            assert out[rid] == list(want[0, len(p):]), (
+                f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
