@@ -47,6 +47,48 @@ class TestExp:
         assert got[1] == np.float32(np.exp(88.0))  # +inf -> clamp -> huge
         assert abs(got[2] - np.exp(np.float64(-88.0))) < 1e-38  # -inf -> ~0 (FTZ)
 
+    def test_matches_reference_lut_algorithm(self):
+        """Cross-validate against a NumPy port of the reference's ALGORITHM:
+        the fmath-style 2^(1/1024)-grid LUT exp (exp_log_common.nim:26-46 +
+        exp_log_avx2.nim:52-65). The port IS the reference computation —
+        range reduction by 1024/ln2 with round-to-nearest (cvtps2dq), 10-bit
+        mantissa LUT, exponent reassembly, linear remainder term — so this
+        checks our polynomial core agrees with the reference's table method
+        to the combined error budget (LUT algo ~1.5e-7 rel, ours <=1e-6)."""
+        EXP_BITS = 10
+        GRID = 1 << EXP_BITS                       # ExpBitsMask = 1024
+        ln2 = np.float32(np.log(np.float32(2.0)))
+        exp_a = np.float32(GRID) / ln2             # ExpA
+        exp_b = ln2 / np.float32(GRID)             # ExpB
+        # initExpLUT: mantissa bits of 2^(i/1024), f32
+        i = np.arange(GRID, dtype=np.float32)
+        lut = (np.float32(2.0) ** (i / np.float32(GRID))).view(np.int32) \
+            & ((1 << 23) - 1)
+
+        def lut_exp(x: np.ndarray) -> np.ndarray:
+            x = np.clip(x, -88.0, 88.0).astype(np.float32)
+            r = np.rint(x * exp_a).astype(np.int32)     # cvtps2dq: nearest
+            t = x - r.astype(np.float32) * exp_b + np.float32(1.0)
+            v = r & (GRID - 1)
+            u = ((r + (127 << EXP_BITS)) >> EXP_BITS) << 23
+            return t * (lut[v] | u).view(np.float32)
+
+        # Measured error budget of the LUT algorithm itself (vs f64 exp):
+        # 2.7e-7 rel for |x|<=1, but 4.1e-6 at large |x| — f32 cancellation
+        # in the remainder x - r*ExpB (ulp(88)/2 ~ 3.8e-6). So: tight 1e-6
+        # -class parity where the oracle is itself 1e-6-faithful, summed
+        # budgets on the full range.
+        x = np.linspace(-1.0, 1.0, 100_001).astype(np.float32)
+        got = np.asarray(lt.exp(x), np.float64)
+        want = lut_exp(x).astype(np.float64)
+        assert max_relative_error(got, want) < 1.3e-6
+        xf = np.linspace(-87.0, 88.0, 100_001).astype(np.float32)
+        gotf = np.asarray(lt.exp(xf), np.float64)
+        wantf = lut_exp(xf).astype(np.float64)
+        assert max_relative_error(gotf, wantf) < 5.2e-6
+        # the port is faithful to true exp within its own measured budget
+        assert max_relative_error(wantf, np.exp(xf.astype(np.float64))) < 4.5e-6
+
 
 class TestLog:
     def test_accuracy(self):
