@@ -26,24 +26,37 @@ class HostBuildError(RuntimeError):
     pass
 
 
-def _build_and_load() -> ctypes.CDLL:
-    src = os.path.abspath(_SRC)
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache_dir = os.path.join(os.path.dirname(src), ".build")
+def compile_cpp(source_text: str, tag: str) -> ctypes.CDLL:
+    """Compile C++ source text to a shared object and ctypes-load it.
+
+    The shared build path for BOTH the fixed runtime (csrc/laser_host.cpp)
+    and runtime-GENERATED kernels (host/jit.py): content-hash the source,
+    g++ -O3 -march=native into csrc/.build/<tag>_<hash>.so, cache by hash —
+    the photon_jit pipeline (photon_types.nim:195-298) with g++ standing in
+    for the in-process assembler."""
+    digest = hashlib.sha256(source_text.encode()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(_SRC)), ".build")
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, f"laser_host_{digest}.so")
+    so_path = os.path.join(cache_dir, f"{tag}_{digest}.so")
     if not os.path.exists(so_path):
-        tmp = so_path + ".tmp"
+        cpp_path = os.path.join(cache_dir, f"{tag}_{digest}.cpp")
+        with open(cpp_path, "w") as f:
+            f.write(source_text)
+        tmp = so_path + f".tmp{os.getpid()}"
         cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-               "-fPIC", "-pthread", src, "-o", tmp]
+               "-fPIC", "-pthread", cpp_path, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             msg = getattr(e, "stderr", str(e))
-            raise HostBuildError(f"laser_host build failed: {msg}") from e
+            raise HostBuildError(f"host kernel build failed: {msg}") from e
         os.replace(tmp, so_path)
-    lib = ctypes.CDLL(so_path)
+    return ctypes.CDLL(so_path)
+
+
+def _build_and_load() -> ctypes.CDLL:
+    with open(os.path.abspath(_SRC)) as f:
+        lib = compile_cpp(f.read(), "laser_host")
     _declare(lib)
     if lib.laser_host_abi_version() != 1:
         raise HostBuildError("laser_host ABI mismatch")
@@ -150,11 +163,23 @@ def multinomial(weights, num: int, *, seed: int = 0,
     return out
 
 
-def strided_copy(src: np.ndarray, shape, strides, offset: int = 0
-                 ) -> np.ndarray:
+def strided_copy(src: np.ndarray, shape, strides, offset: int = 0,
+                 specialize: bool = False) -> np.ndarray:
     """Gather a strided view of ``src`` (flat f32/f64 array, element strides)
     into a fresh row-major array — the native twin of
-    TensorView.materialize() for host tensors."""
+    TensorView.materialize() for host tensors.
+
+    ``specialize=True`` routes through the runtime host-code JIT (host/jit.py):
+    a C++ kernel with this exact (shape, strides, offset) folded into the
+    instruction stream is generated, hash-cache compiled, and reused —
+    faster for hot repeated layouts, one-time g++ cost on first use (the
+    photon_jit trade, photon_types.nim:79-163)."""
+    if specialize:
+        from .jit import host_kernel
+
+        k = host_kernel("copy", np.asarray(src).dtype, tuple(shape),
+                        [tuple(strides)], offsets=[int(offset)])
+        return k(src)
     src = np.ascontiguousarray(src).reshape(-1)
     shape = np.asarray(shape, np.int64)
     strides_a = np.asarray(strides, np.int64)

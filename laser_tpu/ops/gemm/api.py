@@ -194,11 +194,23 @@ def gemm(a: jax.Array, b: jax.Array, *, alpha=1.0, beta=0.0,
 
     if backend is None:
         fused = epilogue is not None or bias is not None or c is not None
-        # plain float matmuls: XLA's matmul codegen wins (~94% vs ~82%
-        # roofline). int8 is the opposite (Pallas 76% vs XLA 48% of peak) —
-        # keep every int8 call on our kernel.
         is_int8 = jnp.dtype(in_dtype).itemsize == 1
-        backend = "pallas" if (fused or is_int8) else "xla"
+        if fused or is_int8:
+            # fusion beats XLA's unfused epilogue; int8 Pallas (76% of peak)
+            # beats XLA int8 (48%) — both measured, docs/PERF_NOTES.md
+            backend = "pallas"
+        else:
+            # plain float matmul: MEASURED dispatch. An autotune record for
+            # this (shape, dtype, generation) — which races Pallas tile
+            # configs against the XLA emitter, autotune.py — wins; with no
+            # record, the measured-default prior is XLA (~94% vs ~82%
+            # roofline on large square bf16, docs/PERF_NOTES.md). Run
+            # autotune_gemm(M, N, K, dtype) at warmup to populate.
+            from .autotune import cached_backend, cached_tiles
+
+            backend = cached_backend(M, N, K, in_dtype) or "xla"
+            if backend == "pallas" and tiles is None:
+                tiles = cached_tiles(M, N, K, in_dtype)
     if backend == "xla":
         return _gemm_xla(a, b, alpha, beta, c, bias, epilogue, acc_dt, out_dt,
                          transpose_a, transpose_b)

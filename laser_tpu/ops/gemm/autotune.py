@@ -74,11 +74,14 @@ def autotune_gemm(M: int, N: int, K: int, dtype=jnp.bfloat16, *,
     gen = detect().generation
     key = f"{M}x{N}x{K}:{jnp.dtype(dtype).name}:{gen}"
     if key in _CACHE:
-        return _CACHE[key]
+        hit = _CACHE[key]
+        return hit[0] if isinstance(hit, tuple) else hit
     disk = _load_disk()
     if key in disk:
-        t = GemmTiles(**disk[key])
-        _CACHE[key] = t
+        rec = dict(disk[key])
+        backend = rec.pop("backend", None)
+        t = GemmTiles(**rec)
+        _CACHE[key] = (t, backend) if backend else t
         return t
     if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
         return plan_tiles(M, N, K, dtype)
@@ -88,36 +91,83 @@ def autotune_gemm(M: int, N: int, K: int, dtype=jnp.bfloat16, *,
     b = jnp.asarray(rng.randn(K, N) * 0.05, dtype)
     square = M == N == K
     best, best_t = None, float("inf")
-    for bm, bn, bk in _candidates(M, N, K, dtype):
-        tiles = GemmTiles(bm, bn, bk, plan_tiles(M, N, K, dtype).vmem_limit_bytes)
+    # Candidate list = Pallas tile configs + the XLA emitter. The winner's
+    # BACKEND is cached alongside the tiles, and gemm()'s auto dispatch
+    # consults it (measured dispatch, not an assumed heuristic — the
+    # reference's standard: race your kernel against the vendor and ship
+    # whichever wins per shape, gemm_bench_float32.nim:404-443).
+    cands = [(t, "pallas") for t in _candidates(M, N, K, dtype)]
+    cands.append((None, "xla"))
+    for tile_dims, backend in cands:
+        if backend == "pallas":
+            bm, bn, bk = tile_dims
+            tiles = GemmTiles(bm, bn, bk,
+                              plan_tiles(M, N, K, dtype).vmem_limit_bytes)
+        else:
+            tiles = None
 
         if square:
-            def step(x, y, tiles=tiles):
-                return gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype)
+            def step(x, y, tiles=tiles, backend=backend):
+                return gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype,
+                            backend=backend)
         else:
-            def step(x, y, tiles=tiles):
-                o = gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype)
+            def step(x, y, tiles=tiles, backend=backend):
+                o = gemm(x, y, alpha=0.05, tiles=tiles, out_dtype=dtype,
+                         backend=backend)
                 return x + (jnp.sum(o.astype(jnp.float32))
                             * jnp.float32(1e-30)).astype(x.dtype)
         try:
             ms = chain_rate(step, a, b, target_seconds=0.5, trials=1)
         except Exception as e:  # Mosaic rejects configs over VMEM; skip them
             if verbose:
-                print(f"  {bm}x{bn}x{bk}: rejected ({type(e).__name__})")
+                print(f"  {tile_dims or backend}: rejected ({type(e).__name__})")
             continue
         if verbose:
-            print(f"  {bm}x{bn}x{bk}: {ms:.3f} ms  "
+            print(f"  {tile_dims or backend}: {ms:.3f} ms  "
                   f"{2*M*N*K/(ms*1e6):.0f} GFLOP/s")
         if ms < best_t:
-            best, best_t = tiles, ms
+            best, best_t = (tiles, backend), ms
     if best is None:
-        best = plan_tiles(M, N, K, dtype)
-    _CACHE[key] = best
+        best = (plan_tiles(M, N, K, dtype), "pallas")
+    tiles, backend = best
+    if tiles is None:
+        tiles = plan_tiles(M, N, K, dtype)
+    _CACHE[key] = (tiles, backend)
     if persist:
-        disk[key] = {"bm": best.bm, "bn": best.bn, "bk": best.bk,
-                     "vmem_limit_bytes": best.vmem_limit_bytes}
+        disk[key] = {"bm": tiles.bm, "bn": tiles.bn, "bk": tiles.bk,
+                     "vmem_limit_bytes": tiles.vmem_limit_bytes,
+                     "backend": backend}
         _save_disk(disk)
-    return best
+    return tiles
+
+
+def cached_backend(M: int, N: int, K: int, dtype) -> "str | None":
+    """Measured auto-dispatch winner for this shape, or None if never tuned.
+
+    Consulted by gemm()'s backend=None path: a disk/in-process autotune
+    record beats the static heuristic. Never measures — call autotune_gemm
+    (offline or at warmup) to populate."""
+    gen = detect().generation
+    key = f"{M}x{N}x{K}:{jnp.dtype(dtype).name}:{gen}"
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[1] if isinstance(hit, tuple) else None
+    disk = _load_disk()
+    rec = disk.get(key)
+    if rec is not None and "backend" in rec:
+        _CACHE[key] = (GemmTiles(**{k: v for k, v in rec.items()
+                                    if k != "backend"}), rec["backend"])
+        return rec["backend"]
+    return None
+
+
+def cached_tiles(M: int, N: int, K: int, dtype) -> "GemmTiles | None":
+    gen = detect().generation
+    key = f"{M}x{N}x{K}:{jnp.dtype(dtype).name}:{gen}"
+    hit = _CACHE.get(key)
+    if isinstance(hit, tuple):
+        return hit[0]
+    return hit
 
 
 def _load_disk() -> dict:

@@ -287,3 +287,38 @@ class TestTransposedOperands:
         b = rng.randn(K, N).astype(np.float32)
         got = lt.gemm(at, b, transpose_a=True, backend="xla")
         assert mean_relative_error(np.asarray(got), oracle(at.T, b)) < 1e-5
+
+    def test_measured_dispatch_consults_autotune_record(self, rng, monkeypatch):
+        # backend=None routes plain matmuls through the MEASURED winner
+        # recorded by autotune_gemm (which races Pallas tiles vs the XLA
+        # emitter), not a hardcoded heuristic
+        from laser_tpu.ops.gemm import autotune
+        from laser_tpu.device_info import detect
+
+        M = N = K = 128
+        gen = detect().generation
+        key = f"{M}x{N}x{K}:float32:{gen}"
+        tiles = GemmTiles(128, 128, 128, 64 * 1024 * 1024)
+        monkeypatch.setitem(autotune._CACHE, key, (tiles, "pallas"))
+        assert autotune.cached_backend(M, N, K, np.float32) == "pallas"
+        assert autotune.cached_tiles(M, N, K, np.float32) is tiles
+
+        calls = []
+        real = autotune.cached_backend
+
+        def spy(*a):
+            r = real(*a)
+            calls.append(r)
+            return r
+
+        monkeypatch.setattr("laser_tpu.ops.gemm.autotune.cached_backend", spy)
+        a = rng.randn(M, K).astype(np.float32)
+        b = rng.randn(K, N).astype(np.float32)
+        got = lt.gemm(a, b)  # auto dispatch -> measured record -> pallas
+        assert calls == ["pallas"]
+        assert mean_relative_error(np.asarray(got), oracle(a, b)) < 1e-5
+        # an "xla" record routes to the emitter; unknown shape -> default
+        monkeypatch.setitem(autotune._CACHE, key, (tiles, "xla"))
+        got2 = lt.gemm(a, b)
+        assert calls[-1] == "xla"
+        assert mean_relative_error(np.asarray(got2), oracle(a, b)) < 1e-5

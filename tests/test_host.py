@@ -91,3 +91,95 @@ class TestStridedCopy:
         a = np.arange(20, dtype=np.float32)
         got = host.strided_copy(a, (3,), (2,), offset=4)
         np.testing.assert_array_equal(got, a[4:10:2])
+
+
+class TestHostJit:
+    """Runtime-GENERATED host code: specialized C++ from a declarative spec
+    (the photon_jit analog, host/jit.py). Oracles are NumPy as_strided."""
+
+    def _view(self, flat, shape, strides, offset=0):
+        return np.lib.stride_tricks.as_strided(
+            flat[offset:], shape,
+            [s * flat.itemsize for s in strides])
+
+    def test_copy_transpose(self):
+        from laser_tpu.host.jit import host_kernel
+
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        k = host_kernel("copy", np.float32, (6, 4), [(1, 6)])
+        np.testing.assert_array_equal(k(a), a.T)
+
+    def test_axpy_strided(self):
+        from laser_tpu.host.jit import host_kernel
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(8, 10).astype(np.float32)
+        y = rng.randn(4, 5).astype(np.float32)
+        # x view: every 2nd row, every 2nd col
+        k = host_kernel("axpy", np.float32, (4, 5), [(20, 2), (5, 1)])
+        got = k(x, y, alpha=2.5)
+        np.testing.assert_allclose(got, 2.5 * x[::2, ::2] + y, rtol=1e-6)
+
+    def test_negative_stride_reversal(self):
+        from laser_tpu.host.jit import host_kernel
+
+        a = np.arange(12, dtype=np.float64)
+        k = host_kernel("copy", np.float64, (12,), [(-1,)], offsets=[11])
+        np.testing.assert_array_equal(k(a), a[::-1])
+
+    def test_rank3_fma(self):
+        from laser_tpu.host.jit import host_kernel
+
+        rng = np.random.RandomState(1)
+        a = rng.randn(2, 3, 4).astype(np.float32)
+        b = rng.randn(2, 3, 4).astype(np.float32)
+        c = rng.randn(2, 3, 4).astype(np.float32)
+        st = (12, 4, 1)
+        k = host_kernel("fma", np.float32, (2, 3, 4), [st, st, st])
+        np.testing.assert_allclose(k(a, b, c), a * b + c, rtol=1e-6)
+
+    def test_int64_exact(self):
+        from laser_tpu.host.jit import host_kernel
+
+        a = np.arange(10, dtype=np.int64) * (1 << 40)
+        b = np.ones(10, dtype=np.int64)
+        k = host_kernel("add", np.int64, (10,), [(1,), (1,)])
+        np.testing.assert_array_equal(k(a, b), a + b)
+
+    def test_exp_matches_libm(self):
+        from laser_tpu.host.jit import host_kernel
+
+        x = np.linspace(-3, 3, 64).astype(np.float64)
+        k = host_kernel("exp", np.float64, (64,), [(1,)])
+        np.testing.assert_allclose(k(x), np.exp(x), rtol=1e-15)
+
+    def test_cache_identity_and_source(self):
+        from laser_tpu.host.jit import host_kernel
+
+        k1 = host_kernel("mul", np.float32, (3, 3), [(3, 1), (3, 1)])
+        k2 = host_kernel("mul", np.float32, (3, 3), [(3, 1), (3, 1)])
+        assert k1 is k2                      # spec-keyed cache
+        assert "3L" in k1.source             # bounds folded as literals
+        k3 = host_kernel("mul", np.float32, (4, 3), [(3, 1), (3, 1)])
+        assert k3 is not k1                  # new spec -> new code
+
+    def test_spec_validation(self):
+        from laser_tpu.host.jit import host_kernel
+
+        with pytest.raises(ValueError, match="unknown host op"):
+            host_kernel("bogus", np.float32, (4,), [(1,)])
+        with pytest.raises(ValueError, match="takes 2 inputs"):
+            host_kernel("add", np.float32, (4,), [(1,)])
+        with pytest.raises(TypeError, match="unsupported dtype"):
+            host_kernel("add", np.float16, (4,), [(1,), (1,)])
+        k = host_kernel("copy", np.float32, (100,), [(7,)])
+        with pytest.raises(ValueError, match="required"):
+            k(np.zeros(50, np.float32))  # buffer too small for the view
+
+    def test_strided_copy_specialized_path(self):
+        # strided_copy(specialize=True) == generic native path, via the
+        # generated-code kernel
+        a = np.arange(60, dtype=np.float64).reshape(3, 4, 5)
+        want = host.strided_copy(a, (5, 4, 3), (1, 5, 20))
+        got = host.strided_copy(a, (5, 4, 3), (1, 5, 20), specialize=True)
+        np.testing.assert_array_equal(got, want)
