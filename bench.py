@@ -100,11 +100,19 @@ def bench_gemm_int8(M):
         drift = (jnp.sum(out, dtype=jnp.int32) & 1).astype(jnp.int8)
         return x + drift
 
-    t = max(chain_rate(step, a, b) - t_drift, 1e-6)
+    # round-2 review flagged run-to-run variance (262-299 TOP/s quoted from
+    # separate runs): take 5 independent chain measurements and publish the
+    # whole spread so the committed record is falsifiable
+    ts = sorted(max(chain_rate(step, a, b, trials=1) - t_drift, 1e-6)
+                for _ in range(5))
+    t = ts[0]
     rate = fl / t / 1e6
     peak = detect().int8_tops * 1e3
+    rates = [round(fl / x / 1e6, 1) for x in ts]
     return {"gintops": round(rate, 1), "ms": round(t, 4),
-            "pct_peak": round(100 * rate / peak, 2)}
+            "pct_peak": round(100 * rate / peak, 2),
+            "gintops_runs_best_to_worst": rates,
+            "run_spread_pct": round(100 * (ts[-1] - ts[0]) / ts[0], 1)}
 
 
 def bench_gemm_int32(M):

@@ -70,3 +70,25 @@ class TestTriangularIndexInversion:
             col = i
             assert (row, col) == (r_want, c_want), (p, row, col)
         assert len(want) == P
+
+
+class TestInplacePipelined:
+    """Software-pipelined in-place paired-swap kernel (double-buffered
+    manual DMA): must match x.T bit-exactly for every tile/size combo."""
+
+    @pytest.mark.parametrize("N,T", [(256, 128), (512, 256), (512, 512),
+                                     (768, 256)])
+    def test_matches_transpose(self, N, T):
+        from laser_tpu.ops.transpose import _build_inplace_transpose_pipelined
+
+        x = jnp.asarray(np.random.RandomState(0).randn(N, N), jnp.float32)
+        got = _build_inplace_transpose_pipelined(N, T, "float32", True)(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x).T)
+
+    def test_single_block(self):
+        # P == 1: the drain branch with no predecessor
+        from laser_tpu.ops.transpose import _build_inplace_transpose_pipelined
+
+        x = jnp.asarray(np.random.RandomState(1).randn(128, 128), jnp.float32)
+        got = _build_inplace_transpose_pipelined(128, 128, "float32", True)(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x).T)
