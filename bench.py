@@ -68,7 +68,7 @@ def bench_gemm(M, dtype, autotune=True):
     t_xla = chain_rate(
         lambda x, y: (jnp.dot(x, y, precision=xla_prec) * scale).astype(dtype), a, b)
     ours, xla = fl / t_ours / 1e6, fl / t_xla / 1e6
-    return {
+    res = {
         "gflops": round(ours, 1),
         "xla_gflops": round(xla, 1),
         "vs_xla": round(ours / xla, 3),
@@ -78,6 +78,19 @@ def bench_gemm(M, dtype, autotune=True):
         "ms": round(t_ours, 4),
         "tiles": [tiles.bm, tiles.bn, tiles.bk] if tiles else None,
     }
+    if M >= 4096 and jnp.dtype(dtype) == jnp.bfloat16:
+        # strategy-breadth row (the reference's benches race naive vs tuned
+        # variants to show why each design choice pays): an untuned
+        # small-square-tile Pallas kernel vs the tuned one above
+        from laser_tpu.ops.gemm.tiling import GemmTiles
+
+        naive = GemmTiles(256, 256, 512, 64 * 1024 * 1024)
+        t_naive = chain_rate(
+            lambda x, y: lt.gemm(x, y, alpha=0.05, tiles=naive,
+                                 out_dtype=dtype, backend="pallas"), a, b)
+        res["pallas_naive_256x256x512_gflops"] = round(fl / t_naive / 1e6, 1)
+        res["tuned_vs_naive"] = round(t_naive / t_pallas, 2)
+    return res
 
 
 def bench_gemm_int8(M):
@@ -311,11 +324,21 @@ def bench_memory_bound():
           max(t_xla - t_drift, 1e-6), nbytes)
 
     # transpose on a 256MB square (both sides stream); ours uses the
-    # in-place paired-swap kernel (donated)
+    # PIPELINED in-place paired-swap kernel (donated). Strategy race (the
+    # reference's transpose bench runs 12 strategies; these are ours):
+    # pipelined in-place / serialized in-place / out-of-place Mosaic / XLA.
+    from laser_tpu.ops.transpose import _build_inplace_transpose
+
     nbytes = 2 * 4 * xb.size
     entry("transpose_8192", chain_rate(lambda v: lt.transpose2d(v, donate=True),
                                        xb),
           chain_rate(jax.jit(lambda v: jnp.swapaxes(v, 0, 1)), xb), nbytes)
+    t_serial = chain_rate(_build_inplace_transpose(8192, 512, "float32"), xb)
+    t_oop = chain_rate(lambda v: lt.transpose2d(v), xb)
+    out["transpose_8192"]["strategies_GBps"] = {
+        "inplace_serialized": round(nbytes / t_serial / 1e6, 1),
+        "outofplace_mosaic": round(nbytes / t_oop / 1e6, 1),
+    }
 
     # fused softmax at attention shape
     sm = jnp.asarray(rng.randn(8192, 4096), jnp.float32)

@@ -85,7 +85,7 @@ def transpose2d(x: jax.Array, *, tile: Optional[Tuple[int, int]] = None,
     if donate and R == C and not interp:
         for t in (512, 256, 128):
             if R % t == 0:
-                return _build_inplace_transpose(
+                return _build_inplace_transpose_pipelined(
                     R, t, jnp.dtype(x.dtype).name)(x)
     return transpose2d_batched(x[None], tile=tile, interpret=interpret)[0]
 
