@@ -116,9 +116,10 @@ def for_each(fn: Callable, *operands, out_dtype=None, interpret: Optional[bool] 
 
     Contiguous operands flow through zero-copy (the contiguous branch).
     Regular strided ``TensorView`` operands (sliced / every-k-th / offset /
-    leading-axis-reversed windows) stream in ONE kernel via the dense-embed
-    BlockSpec path (ops/strided.py — forEachStrided's no-copy contract,
-    foreach.nim:64-113); irregular views materialize first (the gather
+    leading-axis-reversed windows) lower to ONE fused XLA kernel via
+    basic-index fusion (ops/strided.py — forEachStrided's never-slower-
+    than-copy contract, foreach.nim:64-113; measured fastest at every
+    stride on v5e); irregular views materialize first (the gather
     fallback).
 
     ``donate=True`` aliases the first operand's buffer as the output (the

@@ -56,9 +56,22 @@ _EXP_P = tuple(np.float32(v) for v in (
 
 def _exp_expr(x):
     """expf core: n = round(x*log2e); r = x - n*ln2 (two-step Cody-Waite);
-    (1 + r + r^2*P(r)) * 2^n with 2^n built by exponent stuffing (split in
-    two factors so n down to -127-ish, i.e. x ~= -88, stays in normal-range
-    arithmetic). Measured max rel err 8e-8 vs f64 libm over ±88."""
+    (1 + r + r^2*P(r)) * 2^n with 2^n built by SINGLE-factor exponent
+    stuffing. Measured max rel err 7.9e-8 vs f64 libm over ±88.
+
+    Single vs two-factor stuffing (tools/exp_core_probe.py, v5e, 256MB
+    donated stream): 538.6 vs 509.1 GB/s — and the representable behavior
+    is identical under the VPU's flush-to-zero: the single factor yields 0
+    exactly when p < 1 with n = -126, i.e. x < ln(2^-126) = -87.3365, which
+    is precisely where the true result goes subnormal and the two-factor
+    product (p*s1)*s2 gets flushed anyway. (On CPU/interpret runs the
+    two-factor core produced gradual subnormals in that last 0.3-wide
+    window; the documented semantics — FTZ below x ~ -87.3,
+    test_vector_math.py:30-41 — never relied on them.) Estrin pairing of
+    the same polynomial measured SLOWER (487.9: the VPU stream is
+    throughput-bound, not latency-bound) and an 8-entry mux-table
+    quarter-octave reduction landed between (523.5) — both recorded in
+    docs/PERF_NOTES.md."""
     orig_dt = x.dtype
     dt = jnp.float32  # core always runs in f32, matching the reference kernels
     x = x.astype(dt)
@@ -71,13 +84,9 @@ def _exp_expr(x):
         p = p * r + coef
     p = p * (r * r) + r + jnp.asarray(1.0, dt)
     ni = n.astype(jnp.int32)
-    n_half = jnp.right_shift(ni, 1)  # floor(n/2): exponent stuffing factor 1
-    n_rest = ni - n_half
-    s1 = jax.lax.bitcast_convert_type(
-        jnp.left_shift(n_half + 127, 23), jnp.float32).astype(dt)
-    s2 = jax.lax.bitcast_convert_type(
-        jnp.left_shift(n_rest + 127, 23), jnp.float32)
-    return ((p * s1) * s2).astype(orig_dt)
+    s = jax.lax.bitcast_convert_type(
+        jnp.left_shift(jnp.maximum(ni + 127, 0), 23), jnp.float32)
+    return (p * s).astype(orig_dt)
 
 
 _SQRT2_OVER_2 = np.float32(0.7071067811865476)

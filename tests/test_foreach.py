@@ -91,6 +91,28 @@ class TestStridedInKernel:
         np.testing.assert_allclose(np.asarray(out), base[::2] + np.sin(b),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_backends_agree(self, rng, backend):
+        # the measured-dispatch default (XLA basic-index fusion) and the
+        # in-kernel Pallas dense-embed strategy must produce identical
+        # results on every regular-view pattern
+        from laser_tpu.ops.strided import plan_embedding, strided_for_each
+
+        base = rng.randn(8, 32, 256).astype(np.float32)
+        cases = [
+            self._view(base, (4, 32, 256), (2 * 32 * 256, 256, 1), 0),
+            self._view(base, (8, 16, 256), (32 * 256, 2 * 256, 1), 256),
+            self._view(base, (8, 32, 256), (-32 * 256, 256, 1),
+                       7 * 32 * 256),
+        ]
+        oracles = [np.asarray(base)[::2], np.asarray(base)[:, 1::2],
+                   np.asarray(base)[::-1]]
+        for v, want in zip(cases, oracles):
+            got = strided_for_each(lambda x: x * 2.0, [v], jnp.float32,
+                                   True, backend=backend)
+            assert got is not None
+            np.testing.assert_allclose(np.asarray(got), want * 2, rtol=1e-6)
+
     def test_unsupported_views_fall_back_correctly(self, rng):
         base = rng.randn(64, 256).astype(np.float32)
         # every-2nd-column (lane stride 2): materialize fallback
