@@ -108,29 +108,48 @@ def sample_logits_batch(seeds: jax.Array, positions: jax.Array,
     temperature = jnp.asarray(temperature, jnp.float32)
     top_k = jnp.asarray(top_k, jnp.int32)
     top_p = jnp.asarray(top_p, jnp.float32)
-    x = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-8)[:, None]
-
-    # top-k: mask below the k-th largest (sorted take == lax.top_k's kth)
-    sx = jnp.sort(x, axis=-1)[:, ::-1]
-    kth = jnp.take_along_axis(sx, jnp.clip(top_k - 1, 0, V - 1)[:, None],
-                              axis=-1)
-    k_on = ((top_k > 0) & (top_k < V))[:, None]
-    x = jnp.where(k_on & (x < kth), -jnp.inf, x)
-
-    # nucleus, on the post-top-k distribution (sample_logits's order)
-    sx = jnp.sort(x, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sx, axis=-1)
-    csum = jnp.cumsum(probs, axis=-1)
-    keep = csum - probs < top_p[:, None]
-    cutoff = jnp.min(jnp.where(keep, sx, jnp.inf), axis=-1, keepdims=True)
-    p_on = (top_p < 1.0)[:, None]
-    x = jnp.where(p_on & (x < cutoff), -jnp.inf, x)
-
-    def g_row(s, p):
-        key = jax.random.fold_in(jax.random.PRNGKey(s), p)
-        return jax.random.gumbel(key, (V,), jnp.float32)
-
-    g = jax.vmap(g_row)(seeds, positions)
-    sampled = jnp.argmax(x + g, axis=-1).astype(jnp.int32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+    # Runtime fast paths (lax.cond executes ONE branch): the all-greedy
+    # batch — the dominant serving configuration — pays a single argmax,
+    # and a filter-free sampling batch skips both (B, V) bitonic sorts.
+    # The decode-burst scan inherits this: its per-step sampler cost was
+    # the two sorts, not the Gumbel draw.
+    k_on_any = jnp.any((top_k > 0) & (top_k < V))
+    p_on_any = jnp.any(top_p < 1.0)
+
+    def do_sample(_):
+        x = logits.astype(jnp.float32) / jnp.maximum(
+            temperature, 1e-8)[:, None]
+
+        def do_filters(x):
+            # top-k: mask below the k-th largest (sorted take ==
+            # lax.top_k's kth)
+            sx = jnp.sort(x, axis=-1)[:, ::-1]
+            kth = jnp.take_along_axis(
+                sx, jnp.clip(top_k - 1, 0, V - 1)[:, None], axis=-1)
+            k_on = ((top_k > 0) & (top_k < V))[:, None]
+            x = jnp.where(k_on & (x < kth), -jnp.inf, x)
+
+            # nucleus, on the post-top-k distribution (sample_logits order)
+            sx = jnp.sort(x, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sx, axis=-1)
+            csum = jnp.cumsum(probs, axis=-1)
+            keep = csum - probs < top_p[:, None]
+            cutoff = jnp.min(jnp.where(keep, sx, jnp.inf), axis=-1,
+                             keepdims=True)
+            p_on = (top_p < 1.0)[:, None]
+            return jnp.where(p_on & (x < cutoff), -jnp.inf, x)
+
+        x = jax.lax.cond(k_on_any | p_on_any, do_filters, lambda x: x, x)
+
+        def g_row(s, p):
+            key = jax.random.fold_in(jax.random.PRNGKey(s), p)
+            return jax.random.gumbel(key, (V,), jnp.float32)
+
+        g = jax.vmap(g_row)(seeds, positions)
+        sampled = jnp.argmax(x + g, axis=-1).astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
+
+    return jax.lax.cond(jnp.any(temperature > 0.0), do_sample,
+                        lambda _: greedy, None)

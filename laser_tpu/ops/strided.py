@@ -317,57 +317,85 @@ def build_strided_foreach(fn: Callable, views: Sequence[TensorView],
     return out.reshape(*lead, R, C) if lead else out.reshape(R, C)
 
 
-def _merged_expr(e: StridedEmbed):
-    """(merged_shape, index_tuple, flip_axes): the LAYOUT-FRIENDLY basic-
-    indexing form of the embedding.
+def plan_xla_view(view: TensorView):
+    """Layout-friendly basic-indexing plan for the XLA fusion backend, or
+    None outside its class.
 
-    Indexing ``buffer.reshape(dense_shape)`` directly is correct but a
-    layout disaster: a skip dim of extent G < 8 wedged into the last-two
-    region makes the sublane dim G, forcing a full HBM relayout with 8/G x
-    padding (measured 142 GB/s on the every-2nd-row bench vs 262 for XLA's
-    own slice). Instead merge each skip dim into the view dim ABOVE it —
-    (R, G, C)[:, g, :] becomes (R*G, C)[g::G, :] — so merged_shape is the
+    Returns (merged_shape, index, flip_axes, logical_shape) such that
+    buffer.reshape(merged_shape)[index], flipped on flip_axes, equals the
+    squeezed view. Each stride gap g merges into the view dim ABOVE it —
+    (R, G, C)[:, d, :] becomes (R*G, C)[d::G, :] — so merged_shape is the
     view's NATIVE enclosing shape (the reshape cancels against the caller's
-    flatten) and every phase select is a strided slice XLA fuses for free.
-    Flipped leading axes come back as flip_axes (lax.rev, also fused)."""
-    merged: List[int] = []
-    index: List = []
+    flatten; indexing the raw rank-(n+k) dense reshape instead measured 142
+    GB/s because a sub-8 sublane dim forces a padded relayout) and every
+    phase select is a strided slice XLA fuses into the elementwise kernel.
+
+    The class is STRICTLY BROADER than the Pallas embedding's: lane strides
+    > 1 (every-k-th column), flips on ANY axis (lax.rev is free in XLA;
+    Mosaic has no sublane/lane rev), and 1-D strided views are all in;
+    transposed (non-monotone) and broadcast (stride-0) views are not."""
+    dims = _squeeze(view)
+    if not dims:
+        return None  # 0/1-element views are contiguous upstream
+    offset = view.offset
     flips: List[int] = []
-    dims = list(e.dims)
-    i = 0
-    if dims and dims[0].role == SKIP and len(dims) > 1 and \
-            dims[1].role == SKIP:
-        # cannot happen by construction (gaps are coalesced); guard anyway
-        raise AssertionError("adjacent skip dims")
-    if dims and dims[0].role == SKIP:
-        # top-level skip: its own major dim, int-indexed (free: major axis)
-        merged.append(dims[0].extent)
-        index.append(int(dims[0].param))
-        i = 1
-    while i < len(dims):
-        d = dims[i]
-        assert d.role in (LEAD, ROW, LANE), e
-        gap, digit = 1, 0
-        if i + 1 < len(dims) and dims[i + 1].role in (SKIP, SKIPFULL):
-            gap, digit = dims[i + 1].extent, int(dims[i + 1].param)
-            i += 1
-        merged.append(d.extent * gap)
-        index.append(slice(digit, None, gap) if gap > 1 else slice(None))
-        if d.role == LEAD and d.param[2]:
-            flips.append(len(merged) - 1)
-        i += 1
-    return tuple(merged), tuple(index), tuple(flips)
+    norm = []
+    for i, (sh, st) in enumerate(dims):
+        if st < 0:
+            offset += (sh - 1) * st
+            st = -st
+            flips.append(i)
+        if st == 0:
+            return None  # broadcast views unsupported
+        norm.append((sh, st))
+    if offset < 0:
+        return None
+    for (sa, a), (sb, b) in zip(norm, norm[1:]):
+        if a <= b:
+            return None  # transposed: route to the transpose kernels
+    merged_rev: List[int] = []
+    index_rev: List = []
+    acc = 1
+    for axis in range(len(norm) - 1, -1, -1):
+        sh, st = norm[axis]
+        if st % acc:
+            return None
+        g = st // acc
+        d = (offset // acc) % g if g > 1 else 0
+        if (offset // (acc * g)) % sh:
+            return None  # within-axis offset digit: fall back
+        merged_rev.append(sh * g)
+        index_rev.append(slice(d, None, g) if g > 1 else slice(None))
+        acc *= sh * g
+    if view.buffer.size % acc:
+        return None
+    remaining = view.buffer.size // acc
+    top_digit = offset // acc
+    if remaining > 1:
+        merged_rev.append(int(remaining))
+        index_rev.append(int(top_digit))
+    elif top_digit:
+        return None
+    # the digit decomposition must reconstruct the offset exactly
+    rec, stride = 0, 1
+    for ext, idx in zip(merged_rev, index_rev):
+        rec += (idx.start or 0 if isinstance(idx, slice) else idx) * stride
+        stride *= ext
+    if rec != offset:
+        return None
+    return (tuple(reversed(merged_rev)), tuple(reversed(index_rev)),
+            tuple(flips), tuple(sh for sh, _ in norm))
 
 
-def _xla_apply(fn, embeds, out_dtype, bufs):
+def _xla_apply(fn, plans, out_dtype, bufs):
     ops = []
-    for b, e in zip(bufs, embeds):
-        merged, index, flips = _merged_expr(e)
+    for b, (merged, index, flips, logical) in zip(bufs, plans):
         x = b.reshape(merged)[index]
-        for ax_off, ax in enumerate(flips):
-            # int-indexed top-skip (if any) dropped one leading axis
-            x = jnp.flip(x, axis=ax - (len(merged) - x.ndim))
-        ops.append(x.reshape(e.logical_shape))
+        for ax in flips:
+            # after the int index on a top skip dim (if any) the result
+            # rank equals len(logical), so flip axes apply directly
+            x = jnp.flip(x, axis=ax)
+        ops.append(x.reshape(logical))
     return fn(*ops).astype(out_dtype)
 
 
@@ -401,6 +429,31 @@ def strided_for_each(fn: Callable, views: Sequence[TensorView], out_dtype,
     for v in views[1:]:
         if v.shape != shape:
             raise ValueError(f"operand shape mismatch: {v.shape} vs {shape}")
+    if backend == "xla":
+        plans = []
+        for v in views:
+            p = plan_xla_view(v)
+            if p is None:
+                return None
+            plans.append(p)
+        if any(p[3] != plans[0][3] for p in plans):
+            return None
+        bufs = [v.buffer for v in views]
+        if any(isinstance(b, jax.core.Tracer) for b in bufs):
+            # already under a trace: the caller's jit fuses the expression
+            out = _xla_apply(fn, plans, out_dtype, bufs)
+        else:
+            # eager: jit once per (fn, view geometry, dtypes) so slicing +
+            # compute still land in ONE fused XLA kernel
+            key = (fn, tuple((v.shape, v.strides, v.offset, v.buffer.size,
+                              v.dtype.name) for v in views),
+                   jnp.dtype(out_dtype).name)
+            applier = _XLA_JIT_CACHE.get(key)
+            if applier is None:
+                applier = jax.jit(partial(_xla_apply, fn, plans, out_dtype))
+                _XLA_JIT_CACHE[key] = applier
+            out = applier(bufs)
+        return out.reshape(views[0].shape)
     embeds = []
     for v in views:
         e = plan_embedding(v)
@@ -409,22 +462,6 @@ def strided_for_each(fn: Callable, views: Sequence[TensorView], out_dtype,
         embeds.append(e)
     if any(e.logical_shape != embeds[0].logical_shape for e in embeds):
         return None
-    if backend == "xla":
-        bufs = [v.buffer for v in views]
-        if any(isinstance(b, jax.core.Tracer) for b in bufs):
-            # already under a trace: the caller's jit fuses the expression
-            out = _xla_apply(fn, embeds, out_dtype, bufs)
-        else:
-            # eager: jit once per (fn, embeds, dtypes) so slicing + compute
-            # still land in ONE fused XLA kernel
-            key = (fn, tuple(embeds), tuple(b.dtype.name for b in bufs),
-                   jnp.dtype(out_dtype).name)
-            applier = _XLA_JIT_CACHE.get(key)
-            if applier is None:
-                applier = jax.jit(partial(_xla_apply, fn, embeds, out_dtype))
-                _XLA_JIT_CACHE[key] = applier
-            out = applier(bufs)
-        return out.reshape(views[0].shape)
     out = build_strided_foreach(fn, views, embeds, out_dtype, interpret)
     if out is None:
         return None

@@ -202,3 +202,63 @@ class TestMapReduce:
         a = float(lt.reduce_sum(x))
         b = float(lt.reduce_sum(x))
         assert a == b
+
+
+class TestXlaFusionBroaderClass:
+    """plan_xla_view covers strictly more than the Pallas embedding: lane
+    strides > 1, flips on any axis, 1-D strided views — all lowered to one
+    fused XLA kernel instead of the gather materialize."""
+
+    def _view(self, base, shape, strides, offset=0):
+        return TensorView(jnp.asarray(base).reshape(-1), shape, strides, offset)
+
+    def test_lane_strided_in_class(self, rng):
+        from laser_tpu.ops.strided import plan_embedding, plan_xla_view
+
+        base = rng.randn(64, 256).astype(np.float32)
+        v = self._view(base, (64, 128), (256, 2), 0)     # every-2nd-col
+        assert plan_embedding(v) is None                 # Pallas can't
+        assert plan_xla_view(v) is not None              # XLA can
+        out = lt.for_each(lambda x: x * 3.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[:, ::2] * 3,
+                                   rtol=1e-6)
+
+    def test_lane_strided_with_phase(self, rng):
+        base = rng.randn(64, 256).astype(np.float32)
+        v = self._view(base, (64, 64), (256, 4), 1)      # cols 1::4
+        out = lt.for_each(lambda x: x + 1.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[:, 1::4] + 1,
+                                   rtol=1e-6)
+
+    def test_flipped_row_axis(self, rng):
+        from laser_tpu.ops.strided import plan_xla_view
+
+        base = rng.randn(32, 128).astype(np.float32)
+        v = self._view(base, (32, 128), (-128, 1), 31 * 128)  # rows reversed
+        assert plan_xla_view(v) is not None
+        out = lt.for_each(lambda x: x * 2.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[::-1] * 2, rtol=1e-6)
+
+    def test_one_dim_strided(self, rng):
+        base = rng.randn(1024).astype(np.float32)
+        v = self._view(base, (256,), (4,), 2)            # base[2::4]
+        out = lt.for_each(lambda x: x - 1.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[2::4] - 1, rtol=1e-6)
+
+    def test_flip_and_lane_stride_combined(self, rng):
+        base = rng.randn(16, 8, 64).astype(np.float32)
+        # planes reversed, every-2nd column
+        v = self._view(base, (16, 8, 32), (-8 * 64, 64, 2), 15 * 8 * 64)
+        out = lt.for_each(lambda x: x * 5.0, v)
+        np.testing.assert_allclose(np.asarray(out), base[::-1, :, ::2] * 5,
+                                   rtol=1e-6)
+
+    def test_transposed_still_out_of_class(self, rng):
+        from laser_tpu.ops.strided import plan_xla_view
+
+        base = rng.randn(32, 64).astype(np.float32)
+        assert plan_xla_view(self._view(base, (64, 32), (1, 64))) is None
+        # but for_each is still correct via the materialize fallback
+        out = lt.for_each(lambda x: x * 2.0,
+                          self._view(base, (64, 32), (1, 64)))
+        np.testing.assert_allclose(np.asarray(out), base.T * 2, rtol=1e-6)
