@@ -545,10 +545,12 @@ def bench_paged_attention():
 def bench_serving_engine():
     """Continuous-batching engine steady state: B8 slots decoding together.
 
-    decode_burst=32 makes the engine device-bound: one dispatch runs 32
+    decode_burst=64 makes the engine device-bound: one dispatch runs 64
     decode+sample steps in a device-side lax.scan (in-loop stop detection),
-    so the ~30 ms tunnel round trip amortizes over 256 tokens instead of
-    gating every 8."""
+    so the ~30 ms tunnel round trip amortizes over 512 tokens instead of
+    gating every 8 — and the burst operands (tables/lengths/tokens/
+    sampling params) stay device-resident between bursts, so steady-state
+    decode uploads nothing."""
     import time
 
     from laser_tpu.models.transformer import init_transformer
@@ -559,7 +561,7 @@ def bench_serving_engine():
                               d_ff=512, vocab=1024)
     rng = np.random.RandomState(0)
     out = {}
-    BURST = 32
+    BURST = 64
     for tag, quant in (("serving_engine_b8", False),
                        ("serving_engine_b8_int8kv", True)):
         cfg = ServingConfig(page_size=64, n_pages=128, max_seqs=8,
@@ -572,7 +574,7 @@ def bench_serving_engine():
         # admit + warm the burst executable
         for _ in range(2):
             eng.step()
-        n_steps = 8
+        n_steps = 5
         t0 = time.perf_counter()
         for _ in range(n_steps):
             eng.step()

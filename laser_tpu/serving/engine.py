@@ -250,6 +250,9 @@ class ServingEngine:
         self._prefill_fn = _prefill_paged if model == "transformer" else \
             _llama_prefill_paged
         self._burst_fn = None  # built lazily on first burst dispatch
+        # device-resident burst operands (tables/lengths/tokens/remaining/
+        # eos/sampling params); None = host state changed, re-upload
+        self._dev = None
         if mesh is None:
             self._decode_raw = partial(decode_fn, n_heads=n_heads,
                                        page_size=cfg.page_size, window=window)
@@ -346,6 +349,8 @@ class ServingEngine:
             return
         if self.cfg.decode_burst > 1 and self._step_burst(active):
             return
+        # the single-step path mutates lengths/tokens host-side per token
+        self._dev = None
         ps = self.cfg.page_size
         # a decode step writes K/V at position lengths[s]: make sure the
         # page exists; inactive slots write to the trash page
@@ -437,7 +442,7 @@ class ServingEngine:
                 self._burst_fn = jax.jit(jax.shard_map(
                     body, mesh=self.mesh,
                     in_specs=(pspecs, kv_specs) + (rep,) * 9,
-                    out_specs=(kv_specs, rep, rep), check_vma=False),
+                    out_specs=(kv_specs,) + (rep,) * 5, check_vma=False),
                     donate_argnums=(1,))
         return self._burst_fn
 
@@ -451,6 +456,7 @@ class ServingEngine:
         can preempt — when the pool can't cover the whole burst."""
         k = self.cfg.decode_burst
         ps = self.cfg.page_size
+        alloc_happened = False
         for s in active:
             r = self.running[s]
             kk = min(k, r.max_new_tokens - len(r.out))
@@ -463,20 +469,45 @@ class ServingEngine:
                 if short > self.cache.n_free():
                     return False
                 self.cache.alloc(s, short)
+                alloc_happened = True
         S = self.cfg.max_seqs
-        remaining = np.zeros((S,), np.int32)
-        eos = np.full((S,), -1, np.int32)
-        for s in active:
-            r = self.running[s]
-            remaining[s] = r.max_new_tokens - len(r.out)
-            if r.eos_id is not None:
-                eos[s] = r.eos_id
-        self.cache.state, toks, lives = self._get_burst_fn()(
-            self.params, self.cache.state, jnp.asarray(self.cache.tables),
-            jnp.asarray(self.cache.lengths), jnp.asarray(self._tokens),
-            jnp.asarray(remaining), jnp.asarray(eos),
-            jnp.asarray(self._samp["seed"]), jnp.asarray(self._samp["temp"]),
-            jnp.asarray(self._samp["top_k"]), jnp.asarray(self._samp["top_p"]))
+        # Device-resident burst state: every operand the burst fn needs
+        # besides params/KV lives in self._dev between bursts (the scan
+        # returns its final token/length/remaining carries). In steady
+        # state — no admission, finish, preemption, or page movement —
+        # NOTHING is uploaded per burst; through a high-latency host link
+        # each jnp.asarray here is a round trip, and uploads were costing
+        # as much as the decode itself (measured 73 -> ~40 ms/burst, b8
+        # burst 32). Any structural host-state change sets self._dev =
+        # None and the next burst re-uploads everything.
+        d = self._dev
+        if d is None:
+            remaining = np.zeros((S,), np.int32)
+            eos = np.full((S,), -1, np.int32)
+            for s in active:
+                r = self.running[s]
+                remaining[s] = r.max_new_tokens - len(r.out)
+                if r.eos_id is not None:
+                    eos[s] = r.eos_id
+            d = {"tables": jnp.asarray(self.cache.tables),
+                 "lengths": jnp.asarray(self.cache.lengths),
+                 "tokens": jnp.asarray(self._tokens),
+                 "remaining": jnp.asarray(remaining),
+                 "eos": jnp.asarray(eos),
+                 "seed": jnp.asarray(self._samp["seed"]),
+                 "temp": jnp.asarray(self._samp["temp"]),
+                 "top_k": jnp.asarray(self._samp["top_k"]),
+                 "top_p": jnp.asarray(self._samp["top_p"])}
+        elif alloc_happened:
+            d["tables"] = jnp.asarray(self.cache.tables)
+        (self.cache.state, toks, lives, tok_f, len_f,
+         rem_f) = self._get_burst_fn()(
+            self.params, self.cache.state, d["tables"], d["lengths"],
+            d["tokens"], d["remaining"], d["eos"], d["seed"], d["temp"],
+            d["top_k"], d["top_p"])
+        d["tokens"], d["lengths"], d["remaining"] = tok_f, len_f, rem_f
+        self._dev = d
+        toks, lives = jax.device_get((toks, lives))
         toks = np.asarray(toks)
         lives = np.asarray(lives)
         self.stats["decode_steps"] += k
@@ -502,10 +533,12 @@ class ServingEngine:
                     self.finished[r.req_id] = prefix + r.out
                     self.cache.release(s)
                     self.running[s] = None
+                    self._dev = None  # request set changed
         if self.window is not None:
             for s in active:
                 if self.running[s] is not None:
                     self._free_out_of_window_pages(s)
+            self._dev = None  # window recycling rewrites table entries
         return True
 
     def _prefix_keys(self, prompt: np.ndarray) -> List[bytes]:
@@ -639,6 +672,8 @@ class ServingEngine:
             if self.cfg.prefix_cache:
                 pending_keys |= self._registrable_keys(r.prompt)
 
+        if pending:
+            self._dev = None  # admission changed slots/samp/tables/lengths
         # one batched prefill per (bucket, n_prefix) group
         groups: Dict[Tuple[int, int], list] = {}
         for slot, r, suffix, npfx in pending:
@@ -677,6 +712,7 @@ class ServingEngine:
         self.queue.appendleft(req)
         self.cache.release(slot)
         self.running[slot] = None
+        self._dev = None  # request set changed
 
     def _free_out_of_window_pages(self, slot: int):
         """Windowed decode never reads pages whose every key sits below
@@ -968,9 +1004,12 @@ def _decode_burst_scan(params, kv, tables, lengths, tokens, remaining, eos,
         lengths = jnp.where(live, lengths + 1, lengths)
         return (kv, nxt, lengths, remaining), (nxt, live)
 
-    (kv, _, _, _), (toks, lives) = jax.lax.scan(
+    (kv, tokens, lengths, remaining), (toks, lives) = jax.lax.scan(
         body, (kv, tokens, lengths, remaining), None, length=k)
-    return kv, toks, lives
+    # the final carries come back so the host can keep them DEVICE-RESIDENT
+    # for the next burst: in steady state (no admission/finish/preemption)
+    # nothing is uploaded between bursts — see ServingEngine._step_burst
+    return kv, toks, lives, tokens, lengths, remaining
 
 def _kv_write_token(kv, li, write_page, row, k, v):
     """Scatter one new K/V row per slot into the pools (quantizing when the
