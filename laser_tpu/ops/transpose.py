@@ -160,6 +160,11 @@ def _build_inplace_transpose_pipelined(N: int, T: int, dtype: str,
     being swapped, so the DMA engines stream continuously — the hand-rolled
     version of the Mosaic block pipeline that in-place aliasing forbids
     (reference behavior target: swapaxes.nim:16-54 "HBM-bandwidth bound").
+
+    Diagonal steps (r == c) move ONE tile, not two: the naive pair scheme
+    loads and stores x[r,r] twice, wasting 1/(nt+1) of all HBM traffic
+    (5.9% at 8192/512) — every second DMA is issued only when r != c, and
+    the swap writes transpose(b1) into b1 on the diagonal.
     """
     dt = jnp.dtype(dtype)
     nt = N // T
@@ -197,11 +202,37 @@ def _build_inplace_transpose_pipelined(N: int, T: int, dtype: str,
                         o_hbm.at[pl.ds(c * T, T), pl.ds(r * T, T)],
                         ssem.at[slot, 1]))
 
+        def off_diag(step):
+            r, c = rc(step)
+            return r != c
+
+        def start_loads(step, slot):
+            d1, d2 = load_descs(step, slot)
+            d1.start()
+
+            @pl.when(off_diag(step))
+            def _():
+                d2.start()
+
+        def start_stores(step, slot):
+            w1, w2 = store_descs(step, slot)
+            w1.start()
+
+            @pl.when(off_diag(step))
+            def _():
+                w2.start()
+
+        def wait_stores(step, slot):
+            w1, w2 = store_descs(step, slot)
+            w1.wait()
+
+            @pl.when(off_diag(step))
+            def _():
+                w2.wait()
+
         @pl.when(p == 0)
         def _first_load():
-            d1, d2 = load_descs(p, q)
-            d1.start()
-            d2.start()
+            start_loads(p, q)
 
         @pl.when(p + 1 < P)
         def _prefetch_next():
@@ -209,37 +240,33 @@ def _build_inplace_transpose_pipelined(N: int, T: int, dtype: str,
             # stream during THIS step's swap/compute
             @pl.when(p >= 1)
             def _():
-                w1, w2 = store_descs(p - 1, 1 - q)
-                w1.wait()
-                w2.wait()
-            d1, d2 = load_descs(p + 1, 1 - q)
-            d1.start()
-            d2.start()
+                wait_stores(p - 1, 1 - q)
+            start_loads(p + 1, 1 - q)
 
         d1, d2 = load_descs(p, q)
+        diag = ~off_diag(p)
         d1.wait()
-        d2.wait()
+
+        @pl.when(~diag)
+        def _():
+            d2.wait()
+
         b1t = jnp.swapaxes(b1[q], 0, 1)
         b2t = jnp.swapaxes(b2[q], 0, 1)
-        b1[q] = b2t
+        # diagonal: o[r,r] = transpose(x[r,r]) = b1t; b2 is stale, unstored
+        b1[q] = jnp.where(diag, b1t, b2t)
         b2[q] = b1t
-        w1, w2 = store_descs(p, q)
-        w1.start()
-        w2.start()
+        start_stores(p, q)
 
         @pl.when(p == P - 1)
         def _drain():
-            w1, w2 = store_descs(p, q)
-            w1.wait()
-            w2.wait()
+            wait_stores(p, q)
 
             @pl.when(p >= 1)
             def _():
                 # the last step never ran the prefetch branch, so step
                 # p-1's stores are still in flight
-                pw1, pw2 = store_descs(p - 1, 1 - q)
-                pw1.wait()
-                pw2.wait()
+                wait_stores(p - 1, 1 - q)
 
     return pl.pallas_call(
         kern,
