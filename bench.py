@@ -312,6 +312,34 @@ def bench_memory_bound():
           max(chain_rate(_strided_step, xb2) - t_drift, 1e-6),
           max(chain_rate(jax.jit(_strided_xla), xb2) - t_drift, 1e-6), nbytes)
 
+    # strategy race (the reference's iter benches race the fused loop
+    # against naive/gather forms): the shipped merged basic-index XLA
+    # fusion above vs the in-kernel Pallas dense-embed path vs the
+    # materialize (gather-then-compute) fallback
+    from laser_tpu.ops.strided import strided_for_each
+
+    def _strided_pallas(b):
+        v = TensorView(b.reshape(-1), (Mb // 2, Cb), (2 * Cb, 1), Cb)
+        out = strided_for_each(lambda p: p * 2.0, [v], jnp.float32,
+                               False, backend="pallas")
+        return b + out[0, 0] * 1e-30
+
+    def _strided_materialize(b):
+        # both passes barriered: the gather MUST land in memory and the
+        # compute must run over the whole gathered array (not DCE to the
+        # one probed element)
+        v = jax.lax.optimization_barrier(
+            jnp.take(b, jnp.arange(1, Mb, 2), axis=0))
+        out = jax.lax.optimization_barrier(v * 2.0)
+        return b + out[0, 0] * 1e-30
+    t_pl = max(chain_rate(_strided_pallas, xb2) - t_drift, 1e-6)
+    t_mat = max(chain_rate(jax.jit(_strided_materialize), xb2) - t_drift,
+                1e-6)
+    out["foreach_strided_every2row"]["strategies_GBps"] = {
+        "pallas_inkernel": round(nbytes / t_pl / 1e6, 1),
+        "materialize_gather": round(nbytes / t_mat / 1e6, 1),
+    }
+
     # sum reduction on a 256MB array. The chain needs a drift add (x stays
     # the carry), whose r+w traffic would be billed to the reduction —
     # measure the drift alone and subtract to isolate the kernel (read-bound).
