@@ -160,6 +160,73 @@ def lux_max(x: LuxNode, axis: Optional[int] = None) -> LuxNode:
 
 
 # ---------------------------------------------------------------------------
+# Schedule hints (the reference's ScheduleKind, lux_types.nim:100-154 —
+# declared there as ScParallel/ScVectorize/ScUnroll/... but never
+# implemented by its compiler passes; here each hint maps to a MEASURED
+# TPU mechanism)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Per-expression schedule hints for the lowering.
+
+    TPU re-interpretation of the reference's schedule enum: "vectorize" is
+    implicit (everything runs on the VPU/MXU), so the levers that actually
+    move measured performance here are:
+
+      donate            alias the first operand's buffer as the output —
+                        the in-place HBM stream runs ~2x the out-of-place
+                        rate (PERF_NOTES "HBM streaming"); the ScStoreLoc
+                        analog. The caller must not reuse the donated input.
+      grain             min elements per elementwise grid step (the OpenMP
+                        grain-size / ScParallel granularity analog)
+      reduction_grain   same for reduction partial blocks
+      gemm_tiles        (bm, bn, bk) VMEM block shape for matmul nodes —
+                        the partitionMNK override
+      gemm_backend      "pallas" | "xla" matmul dispatch override
+      precision         f32 in-kernel dot precision: "default" (1-pass
+                        bf16) | "high" (3-pass) | "highest" (6-pass)
+      algorithm         vector-math tier for exp/log/tanh/sigmoid nodes:
+                        "fast" (hw approx) | "accurate" (<=1e-6)
+    """
+
+    donate: bool = False
+    grain: Optional[int] = None
+    reduction_grain: Optional[int] = None
+    gemm_tiles: Optional[Tuple[int, int, int]] = None
+    gemm_backend: Optional[str] = None
+    precision: Optional[str] = None
+    algorithm: Optional[str] = None
+
+    def _config_overrides(self) -> Dict[str, Any]:
+        o: Dict[str, Any] = {}
+        if self.grain is not None:
+            o["elementwise_grain"] = self.grain
+        if self.reduction_grain is not None:
+            o["reduction_grain"] = self.reduction_grain
+        if self.precision is not None:
+            o["matmul_precision"] = self.precision
+        if self.algorithm is not None:
+            o["vector_math_algorithm"] = self.algorithm
+        return o
+
+    def _gemm_kwargs(self) -> Dict[str, Any]:
+        kw: Dict[str, Any] = {}
+        if self.gemm_tiles is not None:
+            from ..ops.gemm.tiling import GemmTiles
+
+            bm, bn, bk = self.gemm_tiles
+            kw["tiles"] = GemmTiles(bm, bn, bk, 128 * 1024 * 1024)
+        if self.gemm_backend is not None:
+            kw["backend"] = self.gemm_backend
+        return kw
+
+
+_DEFAULT_SCHEDULE = Schedule()
+
+
+# ---------------------------------------------------------------------------
 # Lowering (the pass_build_loops + codegen analog, pass_build_loops.nim:28-186)
 # ---------------------------------------------------------------------------
 
@@ -179,9 +246,9 @@ def _eval_elementwise(node: LuxNode, env: Dict[int, Any]):
         if node.op in ("tanh", "sigmoid", "exp", "log"):
             from ..ops import vector_math as vm
 
-            expr = {"tanh": vm._tanh_expr, "sigmoid": vm._sigmoid_expr,
-                    "exp": vm._exp_expr, "log": vm._log_expr}[node.op]
-            return expr(v)
+            # honors Schedule(algorithm=...)/config: the accurate
+            # polynomial core or the hardware approximation, in-kernel
+            return vm._pick(node.op, None)(v)
         return _UNOPS[node.op](v)
     raise AssertionError(f"not elementwise: {node.kind}")
 
@@ -221,7 +288,7 @@ def _broadcast_operands(ops):
             else jnp.broadcast_to(o, target) for o in ops]
 
 
-def _lower(node: LuxNode) -> Callable:
+def _lower(node: LuxNode, sch: Schedule = _DEFAULT_SCHEDULE) -> Callable:
     """Return run(arrays: dict idx->array) -> jax array."""
     from ..ops.foreach import for_each, map_reduce
     from ..ops.gemm import gemm
@@ -233,7 +300,7 @@ def _lower(node: LuxNode) -> Callable:
             ops = _broadcast_operands([jnp.asarray(arrays[i]) for i in idxs])
             fn = lambda *blocks: _eval_elementwise(
                 node, dict(zip(idxs, blocks)))
-            return for_each(fn, *ops)
+            return for_each(fn, *ops, donate=sch.donate)
 
         return run
 
@@ -242,7 +309,7 @@ def _lower(node: LuxNode) -> Callable:
         red = {"sum": jnp.sum, "max": jnp.max}[node.op]
         ident = {"sum": 0.0, "max": -jnp.inf}[node.op]
         if not operand.is_elementwise_tree():
-            inner = _lower(operand)
+            inner = _lower(operand, sch)
 
             def run(arrays):
                 v = inner(arrays)
@@ -277,8 +344,9 @@ def _lower(node: LuxNode) -> Callable:
     m = _match_gemm_epilogue(node)
     if m is not None:
         lhs, rhs, bias, act = m
-        run_l, run_r = _lower(lhs), _lower(rhs)
-        run_bias = _lower(bias) if bias is not None else None
+        run_l, run_r = _lower(lhs, sch), _lower(rhs, sch)
+        run_bias = _lower(bias, sch) if bias is not None else None
+        gemm_kw = sch._gemm_kwargs()
 
         def run(arrays):
             a = run_l(arrays)
@@ -291,7 +359,7 @@ def _lower(node: LuxNode) -> Callable:
                 # not be applied before the add.
                 from ..ops.foreach import for_each as fe
 
-                r = gemm(a, b)
+                r = gemm(a, b, **gemm_kw)
                 if act is None:
                     return fe(lambda u, v: u + v, r, bb)
                 from ..ops import vector_math as vm
@@ -301,12 +369,12 @@ def _lower(node: LuxNode) -> Callable:
                         "sigmoid": vm._sigmoid_expr,
                         "gelu": jax.nn.gelu}[act]
                 return fe(lambda u, v: actf(u + v), r, bb)
-            return gemm(a, b, bias=bb, epilogue=act)
+            return gemm(a, b, bias=bb, epilogue=act, **gemm_kw)
 
         return run
 
     # generic fallback: lower children, apply op via jnp (keeps any tree legal)
-    runs = [_lower(a) for a in node.args]
+    runs = [_lower(a, sch) for a in node.args]
     if node.kind == "binop":
         def run(arrays):
             return _BINOPS[node.op](runs[0](arrays), runs[1](arrays))
@@ -325,10 +393,33 @@ def _lower(node: LuxNode) -> Callable:
     raise NotImplementedError(f"cannot lower node kind {node.kind}")
 
 
-def generate(f: Callable) -> Callable:
+def generate(f: Optional[Callable] = None, *,
+             schedule: Optional[Schedule] = None) -> Callable:
     """Symbolically execute ``f`` over LuxNode placeholders and return a
-    compiled callable (frontend/lux_frontend.nim:23-97 'generate' analog)."""
+    compiled callable (frontend/lux_frontend.nim:23-97 'generate' analog).
+
+    ``schedule``: optional :class:`Schedule` hints applied during lowering
+    (donation, grain sizes, GEMM tiles/backend, f32 precision, vector-math
+    tier) — usable bare (``@lux.generate``) or parameterized
+    (``@lux.generate(schedule=lux.Schedule(donate=True))``).
+    """
+    if f is None:
+        return functools.partial(generate, schedule=schedule)
     import inspect
+
+    sch = schedule if schedule is not None else _DEFAULT_SCHEDULE
+    overrides = sch._config_overrides()
+
+    def _with_overrides(run):
+        if not overrides:
+            return run
+        from ..config import config_override
+
+        def wrapped(arrays):
+            with config_override(**overrides):
+                return run(arrays)
+
+        return wrapped
 
     nparams = len(inspect.signature(f).parameters)
     graph = f(*[LuxNode("input", value=i) for i in range(nparams)])
@@ -357,10 +448,12 @@ def generate(f: Callable) -> Callable:
 
                 return for_each_multi(fn, *ops)
         else:
-            runs = [_lower(g) for g in graph]
+            runs = [_lower(g, sch) for g in graph]
 
             def run_multi(arrays):
                 return tuple(r(arrays) for r in runs)
+
+        run_multi = _with_overrides(run_multi)
 
         @functools.wraps(f)
         def compiled_multi(*arrays):
@@ -369,11 +462,12 @@ def generate(f: Callable) -> Callable:
             return run_multi(dict(enumerate(arrays)))
 
         compiled_multi.lux_graph = graph
+        compiled_multi.lux_schedule = sch
         return compiled_multi
 
     if not isinstance(graph, LuxNode):
         raise TypeError("lux function must return a LuxNode expression")
-    run = _lower(graph)
+    run = _with_overrides(_lower(graph, sch))
 
     @functools.wraps(f)
     def compiled(*arrays):
@@ -382,4 +476,5 @@ def generate(f: Callable) -> Callable:
         return run(dict(enumerate(arrays)))
 
     compiled.lux_graph = graph
+    compiled.lux_schedule = sch
     return compiled
