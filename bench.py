@@ -373,6 +373,26 @@ def bench_memory_bound():
     nbytes = 2 * 4 * 8192 * 4096
     entry("softmax_8192x4096", chain_rate(lambda v: lt.softmax(v, donate=True), sm),
           chain_rate(jax.jit(lambda v: jax.nn.softmax(v, axis=-1)), sm), nbytes)
+
+    # fused cross-entropy value+grad at LM-head shape. Ours recomputes the
+    # backward from the saved per-row lse (3 logits-sized passes total:
+    # fwd read, bwd read, dx write = the nbytes billed); the jnp
+    # composition materializes the (T, V) log-softmax as a saved residual
+    # (2 extra passes). The chain carry is the gradient itself (same
+    # shape, data-dependent).
+    T, V = 2048, 32768
+    ce_x = jnp.asarray(rng.randn(T, V), jnp.float32)
+    ce_t = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+    nbytes = 3 * T * V * 4
+
+    def _ce_xla_loss(u):
+        logp = jax.nn.log_softmax(u, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, ce_t[:, None], 1))
+    entry("cross_entropy_grad_2048x32768",
+          chain_rate(lambda v: jax.grad(
+              lambda u: lt.cross_entropy(u, ce_t))(v), ce_x),
+          chain_rate(jax.jit(lambda v: jax.grad(_ce_xla_loss)(v)), ce_x),
+          nbytes)
     return out
 
 

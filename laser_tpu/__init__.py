@@ -54,3 +54,4 @@ from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batche
 from .ops.conv import conv2d_direct, conv2d_im2col, conv2d_trainable  # noqa: E402
 from .ops.sampling import (sample_logits, sample_logits_batch,  # noqa: E402
                            sample_multinomial, sample_multinomial_batch)
+from .ops.loss import cross_entropy, lm_cross_entropy  # noqa: E402

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention_trainable as attention
 from ..ops.gemm.autodiff import gemm_ad, linear
+from ..ops.loss import lm_cross_entropy
 from ..ops.norm import layer_norm
 from ..parallel.moe import _topk_gates, init_moe
 
@@ -116,11 +117,11 @@ def moe_block(params: Params, x: jax.Array, *, n_heads: int, top_k: int,
     return x + f.reshape(B, S, D), aux
 
 
-def moe_transformer_forward(params: Dict, tokens: jax.Array, *,
-                            n_heads: int, top_k: int = 2,
-                            causal: bool = True
-                            ) -> Tuple[jax.Array, jax.Array]:
-    """tokens (B, S) int32 -> (logits (B, S, vocab), mean aux loss)."""
+def moe_transformer_hidden(params: Dict, tokens: jax.Array, *,
+                           n_heads: int, top_k: int = 2,
+                           causal: bool = True
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """tokens (B, S) int32 -> (final-norm hidden (B, S, D), mean aux)."""
     x = params["embed"][tokens]
     aux = jnp.float32(0)
     for blk in params["blocks"]:
@@ -128,19 +129,32 @@ def moe_transformer_forward(params: Dict, tokens: jax.Array, *,
                          causal=causal)
         aux = aux + a
     x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    return x, aux / len(params["blocks"])
+
+
+def moe_transformer_forward(params: Dict, tokens: jax.Array, *,
+                            n_heads: int, top_k: int = 2,
+                            causal: bool = True
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """tokens (B, S) int32 -> (logits (B, S, vocab), mean aux loss)."""
+    x, aux = moe_transformer_hidden(params, tokens, n_heads=n_heads,
+                                    top_k=top_k, causal=causal)
     B, S, D = x.shape
     logits = gemm_ad(x.reshape(B * S, D), params["embed"], None, False, True)
-    return logits.reshape(B, S, -1), aux / len(params["blocks"])
+    return logits.reshape(B, S, -1), aux
 
 
 def moe_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
                 top_k: int = 2, aux_weight: float = 0.01) -> jax.Array:
-    """Next-token cross entropy + weighted load-balance auxiliary loss."""
-    logits, aux = moe_transformer_forward(params, tokens, n_heads=n_heads,
-                                          top_k=top_k)
-    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-    tgt = tokens[:, 1:]
-    ce = -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], -1))
+    """Next-token cross entropy + weighted load-balance auxiliary loss.
+
+    The unembedding and the loss run as ONE chunked-vocab pass
+    (ops/loss.py:lm_cross_entropy): the (B·S, vocab) logits are never
+    materialized in the training step, forward or backward.
+    """
+    x, aux = moe_transformer_hidden(params, tokens, n_heads=n_heads,
+                                    top_k=top_k)
+    ce = lm_cross_entropy(x[:, :-1], params["embed"], tokens[:, 1:])
     return ce + aux_weight * aux
 
 
@@ -298,12 +312,7 @@ def moe_train_step_ep(params: Dict, tokens: jax.Array, mesh, *,
                 aux = aux + load_balance_loss(logits, gates)
                 x = x + out.reshape(B, S, D)
             x = layer_norm(x, p["lnf_g"], p["lnf_b"])
-            logits = gemm_ad(x.reshape(B * S, D), p["embed"], None,
-                             False, True).reshape(B, S, -1)
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32),
-                                      axis=-1)
-            tgt = toks[:, 1:]
-            ce = -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], -1))
+            ce = lm_cross_entropy(x[:, :-1], p["embed"], toks[:, 1:])
             return ce + aux_weight * aux / len(p["blocks"])
 
         loss, grads = jax.value_and_grad(loss_fn)(p)

@@ -1,0 +1,242 @@
+"""Fused cross-entropy: oracle parity, gradients, shapes, reductions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import laser_tpu as lt
+
+
+def _oracle(logits, targets):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+
+
+class TestCrossEntropy:
+    @pytest.mark.parametrize("T,V", [(32, 1000), (8, 128), (37, 517),
+                                     (128, 32000)])
+    def test_matches_log_softmax_oracle(self, rng, T, V):
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32) * 3)
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        got = lt.cross_entropy(logits, targets, reduction="none")
+        want = _oracle(logits, targets)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_reductions(self, rng):
+        logits = jnp.asarray(rng.randn(16, 100).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, 100, (16,)), jnp.int32)
+        per = np.asarray(lt.cross_entropy(logits, targets, reduction="none"))
+        np.testing.assert_allclose(
+            float(lt.cross_entropy(logits, targets, reduction="sum")),
+            per.sum(), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(lt.cross_entropy(logits, targets)), per.mean(), rtol=1e-6)
+
+    def test_leading_dims_flattened(self, rng):
+        logits = jnp.asarray(rng.randn(4, 7, 64).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, 64, (4, 7)), jnp.int32)
+        got = lt.cross_entropy(logits, targets, reduction="none")
+        assert got.shape == (4, 7)
+        want = _oracle(logits, targets)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches_oracle(self, rng):
+        T, V = 24, 300
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+
+        g_ours = jax.grad(lambda x: lt.cross_entropy(x, targets))(logits)
+        g_ref = jax.grad(lambda x: jnp.mean(_oracle(x, targets)))(logits)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_gradient_under_jit_and_weighting(self, rng):
+        # non-uniform upstream cotangent (per-row weights via "none")
+        T, V = 16, 200
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        w = jnp.asarray(rng.rand(T).astype(np.float32))
+
+        @jax.jit
+        def f(x):
+            return jnp.sum(lt.cross_entropy(x, targets, reduction="none") * w)
+
+        g_ours = jax.grad(f)(logits)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(_oracle(x, targets) * w))(logits)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("eps", [0.1, 0.3])
+    def test_label_smoothing(self, rng, eps):
+        T, V = 16, 200
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        got = lt.cross_entropy(logits, targets, reduction="none",
+                               label_smoothing=eps)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        want = ((1 - eps) * _oracle(logits, targets)
+                - (eps / V) * jnp.sum(logp, axis=-1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_label_smoothing_grad(self, rng):
+        T, V, eps = 12, 300, 0.2
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+
+        def oracle_loss(x):
+            logp = jax.nn.log_softmax(x, axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[:, None], 1)[:, 0]
+            return jnp.mean((1 - eps) * nll - (eps / V) * jnp.sum(logp, -1))
+        g_ours = jax.grad(lambda x: lt.cross_entropy(
+            x, targets, label_smoothing=eps))(logits)
+        g_ref = jax.grad(oracle_loss)(logits)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_label_smoothing_padded_vocab(self, rng):
+        # V=517 pads to 640 lanes: smoothing mass must not leak into pads
+        T, V, eps = 8, 517, 0.25
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        got = lt.cross_entropy(logits, targets, reduction="none",
+                               label_smoothing=eps)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        want = ((1 - eps) * _oracle(logits, targets)
+                - (eps / V) * jnp.sum(logp, axis=-1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        g = jax.grad(lambda x: lt.cross_entropy(
+            x, targets, label_smoothing=eps))(logits)
+        g_ref = jax.grad(lambda x: jnp.mean(
+            (1 - eps) * _oracle(x, targets)
+            - (eps / V) * jnp.sum(jax.nn.log_softmax(x, -1), -1)))(logits)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_ignore_index(self, rng):
+        T, V = 20, 100
+        logits = jnp.asarray(rng.randn(T, V).astype(np.float32))
+        targets = np.asarray(rng.randint(0, V, (T,)), np.int32)
+        targets[::3] = -100
+        tj = jnp.asarray(targets)
+        per = np.asarray(lt.cross_entropy(logits, tj, reduction="none",
+                                          ignore_index=-100))
+        assert (per[::3] == 0).all() and (per[1::3] > 0).all()
+        valid = targets != -100
+        want_rows = np.asarray(_oracle(logits, jnp.where(tj == -100, 0, tj)))
+        np.testing.assert_allclose(per[valid], want_rows[valid], rtol=1e-5,
+                                   atol=1e-5)
+        # mean divides by the VALID count
+        np.testing.assert_allclose(
+            float(lt.cross_entropy(logits, tj, ignore_index=-100)),
+            per[valid].mean(), rtol=1e-6)
+        # ignored rows get exactly zero gradient
+        g = np.asarray(jax.grad(lambda x: lt.cross_entropy(
+            x, tj, ignore_index=-100))(logits))
+        assert (g[~valid] == 0).all() and np.abs(g[valid]).max() > 0
+
+    def test_ignore_index_all_ignored(self, rng):
+        logits = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+        tj = jnp.full((4,), -1, jnp.int32)
+        assert float(lt.cross_entropy(logits, tj, ignore_index=-1)) == 0.0
+
+    def test_shape_validation(self, rng):
+        logits = jnp.zeros((4, 10))
+        with pytest.raises(ValueError, match="targets shape"):
+            lt.cross_entropy(logits, jnp.zeros((5,), jnp.int32))
+        with pytest.raises(ValueError, match="unknown reduction"):
+            lt.cross_entropy(logits, jnp.zeros((4,), jnp.int32),
+                             reduction="avg")
+        with pytest.raises(ValueError, match="label_smoothing"):
+            lt.cross_entropy(logits, jnp.zeros((4,), jnp.int32),
+                             label_smoothing=1.0)
+
+
+class TestLMCrossEntropy:
+    """Chunked LM-head CE: hidden @ embed.T + loss, logits never built."""
+
+    def _setup(self, rng, T, D, V, dtype=np.float32):
+        h = jnp.asarray(rng.randn(T, D).astype(dtype))
+        emb = jnp.asarray((rng.randn(V, D) / np.sqrt(D)).astype(dtype))
+        tgt = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        return h, emb, tgt
+
+    @pytest.mark.parametrize("V,bv", [(1000, 256), (517, 128), (2048, 2048),
+                                      (300, 8192)])
+    def test_matches_materialized(self, rng, V, bv):
+        h, emb, tgt = self._setup(rng, 24, 64, V)
+        got = lt.lm_cross_entropy(h, emb, tgt, reduction="none", block_v=bv)
+        want = _oracle(h @ emb.T, tgt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_matches_cross_entropy_op(self, rng):
+        h, emb, tgt = self._setup(rng, 16, 32, 700)
+        a = lt.lm_cross_entropy(h, emb, tgt, block_v=256)
+        b = lt.cross_entropy(h @ emb.T, tgt)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_gradients_match_oracle(self, rng):
+        T, D, V = 20, 48, 900
+        h, emb, tgt = self._setup(rng, T, D, V)
+
+        def ours(h_, e_):
+            return lt.lm_cross_entropy(h_, e_, tgt, block_v=256)
+
+        def ref(h_, e_):
+            return jnp.mean(_oracle(h_ @ e_.T, tgt))
+        gh, ge = jax.grad(ours, argnums=(0, 1))(h, emb)
+        gh_r, ge_r = jax.grad(ref, argnums=(0, 1))(h, emb)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_r),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_smoothing_ignore_jit(self, rng):
+        T, D, V, eps = 18, 32, 640, 0.15
+        h, emb, _ = self._setup(rng, T, D, V)
+        tgt = np.asarray(rng.randint(0, V, (T,)), np.int32)
+        tgt[::4] = -100
+        tj = jnp.asarray(tgt)
+
+        @jax.jit
+        def ours(h_, e_):
+            return lt.lm_cross_entropy(h_, e_, tj, block_v=256,
+                                       label_smoothing=eps,
+                                       ignore_index=-100)
+
+        def ref(h_, e_):
+            x = h_ @ e_.T
+            logp = jax.nn.log_softmax(x, axis=-1)
+            safe = jnp.where(tj == -100, 0, tj)
+            nll = -jnp.take_along_axis(logp, safe[:, None], 1)[:, 0]
+            per = (1 - eps) * nll - (eps / V) * jnp.sum(logp, -1)
+            valid = tj != -100
+            return jnp.sum(jnp.where(valid, per, 0.0)) / jnp.sum(valid)
+        np.testing.assert_allclose(float(ours(h, emb)), float(ref(h, emb)),
+                                   rtol=1e-5)
+        gh, ge = jax.grad(lambda a, b: ours(a, b), argnums=(0, 1))(h, emb)
+        gh_r, ge_r = jax.grad(ref, argnums=(0, 1))(h, emb)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_r),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_leading_dims_and_validation(self, rng):
+        h = jnp.asarray(rng.randn(2, 6, 16).astype(np.float32))
+        emb = jnp.asarray(rng.randn(100, 16).astype(np.float32) * 0.1)
+        tgt = jnp.asarray(rng.randint(0, 100, (2, 6)), jnp.int32)
+        got = lt.lm_cross_entropy(h, emb, tgt, reduction="none")
+        assert got.shape == (2, 6)
+        want = _oracle(h @ emb.T, tgt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError, match="embed shape"):
+            lt.lm_cross_entropy(h, emb.T, tgt)
+        with pytest.raises(ValueError, match="targets shape"):
+            lt.lm_cross_entropy(h, emb, tgt[0])
