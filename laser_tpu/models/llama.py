@@ -6,6 +6,10 @@ attention -> SwiGLU FFN, untied in/out embeddings. Exercises the round-2
 kernel surface end to end: GQA (ops/attention.py:attention_gqa_trainable),
 rotary embeddings (ops/rope.py), fused RMSNorm rows (ops/norm.py), the
 flash prefill + KV-cached decode pattern, and the fused linear VJPs.
+Training: llama_train_step — fused AdamW (ops/optim.py) over a loss whose
+unembedding projection is fused into the chunked-vocab cross entropy
+(ops/loss.py:lm_cross_entropy), so the (B·S, vocab) logits are never
+materialized in a training step.
 """
 
 from __future__ import annotations
@@ -18,7 +22,9 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention_gqa_trainable
 from ..ops.gemm.autodiff import gemm_ad, linear
+from ..ops.loss import lm_cross_entropy
 from ..ops.norm import rms_norm
+from ..ops.optim import adamw_init, adamw_step
 from ..ops.rope import apply_rope, rope_tables
 
 Params = Dict[str, jax.Array]
@@ -69,13 +75,9 @@ def _qkv(blk, x, B, S, H, Hkv, hd, cos, sin, pos=0):
     return q, k, v
 
 
-def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
-                  n_kv_heads: int, window=None) -> jax.Array:
-    """tokens (B, S) int32 -> logits (B, S, vocab). Causal. Head counts are
-    static call args (they must not live in the differentiable pytree).
-    ``window``: sliding-window attention (mistral-style) — every position
-    sees at most the previous ``window`` tokens; the flash kernels skip
-    out-of-window blocks in forward AND backward."""
+def llama_hidden(params: Dict, tokens: jax.Array, *, n_heads: int,
+                 n_kv_heads: int, window=None) -> jax.Array:
+    """tokens (B, S) int32 -> final-RMSNorm hidden states (B, S, D)."""
     H, Hkv = n_heads, n_kv_heads
     x = params["embed"][tokens]
     B, S, D = x.shape
@@ -94,10 +96,69 @@ def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
         up = linear(h2, blk["w_up"], None)
         f = jax.nn.silu(gate) * up  # SwiGLU
         x = x + linear(f, blk["w_down"], None).reshape(B, S, D)
-    x = rms_norm(x, params["rms_f"])
+    return rms_norm(x, params["rms_f"])
+
+
+def llama_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
+                  n_kv_heads: int, window=None) -> jax.Array:
+    """tokens (B, S) int32 -> logits (B, S, vocab). Causal. Head counts are
+    static call args (they must not live in the differentiable pytree).
+    ``window``: sliding-window attention (mistral-style) — every position
+    sees at most the previous ``window`` tokens; the flash kernels skip
+    out-of-window blocks in forward AND backward."""
+    x = llama_hidden(params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
+                     window=window)
+    B, S, D = x.shape
     logits = gemm_ad(x.reshape(B * S, D), params["unembed"], None,
                      False, False)
     return logits.reshape(B, S, -1)
+
+
+# -- training: chunked-vocab LM loss + fused AdamW ----------------------------
+
+_STATIC_KEYS = ("rope_cos", "rope_sin")  # precomputed tables, not trained
+
+
+def llama_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
+                  n_kv_heads: int, window=None,
+                  label_smoothing: float = 0.0) -> jax.Array:
+    """Next-token cross entropy. The unembedding projection and the loss
+    run as ONE chunked-vocab pass (ops/loss.py:lm_cross_entropy,
+    transb=False for the untied (D, vocab) layout): the (B·S, vocab)
+    logits are never materialized, forward or backward."""
+    x = llama_hidden(params, tokens, n_heads=n_heads,
+                     n_kv_heads=n_kv_heads, window=window)
+    return lm_cross_entropy(x[:, :-1], params["unembed"], tokens[:, 1:],
+                            transb=False, label_smoothing=label_smoothing)
+
+
+def llama_train_init(params: Dict):
+    """AdamW state (m, v) for the trainable subset of ``params``."""
+    train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
+    return adamw_init(train)
+
+
+def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
+                     step, *, n_heads: int, n_kv_heads: int,
+                     lr=1e-3, weight_decay: float = 0.0, window=None,
+                     label_smoothing: float = 0.0):
+    """One AdamW step; returns (new_params, new_opt_state, loss). Jittable
+    (``step`` is the 1-based count; ``lr`` may be a traced schedule value).
+    The rope tables ride along untouched — they are positional constants,
+    not weights."""
+    static = {k: params[k] for k in _STATIC_KEYS}
+    train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
+
+    def loss_fn(tp):
+        return llama_lm_loss({**tp, **static}, tokens, n_heads=n_heads,
+                             n_kv_heads=n_kv_heads, window=window,
+                             label_smoothing=label_smoothing)
+
+    loss, grads = jax.value_and_grad(loss_fn)(train)
+    m, v = opt_state
+    new_train, m2, v2 = adamw_step(train, grads, m, v, step, lr=lr,
+                                   weight_decay=weight_decay)
+    return {**new_train, **static}, (m2, v2), loss
 
 
 # -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------

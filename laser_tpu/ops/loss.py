@@ -275,18 +275,38 @@ def _reduce_rows(loss, valid, reduction, lead):
 # ---------------------------------------------------------------------------
 
 
-def _lmce_fwd_impl(h, emb, targets, eps, bv):
+def _emb_pad(emb, V, nc, bv, transb):
+    if nc * bv == V:
+        return emb
+    pad = ((0, nc * bv - V), (0, 0)) if transb else ((0, 0), (0, nc * bv - V))
+    return jnp.pad(emb, pad)
+
+
+def _emb_chunk(embp, c, bv, D, transb):
+    """The c-th vocab chunk of the (padded) unembedding: (bv, D) rows when
+    transb (tied (V, D) layout) else (D, bv) columns ((D, V) layout)."""
+    if transb:
+        return jax.lax.dynamic_slice(embp, (c * bv, 0), (bv, D))
+    return jax.lax.dynamic_slice(embp, (0, c * bv), (D, bv))
+
+
+def _chunk_logits(h, rows, transb):
+    dims = (((1,), (1,)), ((), ())) if transb else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(h, rows, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _lmce_fwd_impl(h, emb, targets, eps, bv, transb):
     T, D = h.shape
-    V = emb.shape[0]
+    V = emb.shape[0] if transb else emb.shape[1]
     nc = cdiv(V, bv)
-    embp = jnp.pad(emb, ((0, nc * bv - V), (0, 0))) if nc * bv != V else emb
+    embp = _emb_pad(emb, V, nc, bv, transb)
     tgt = targets.astype(jnp.int32)
 
     def body(c, carry):
         m, s, tv, sv = carry
-        rows = jax.lax.dynamic_slice(embp, (c * bv, 0), (bv, D))
-        lg = jax.lax.dot_general(h, rows, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        rows = _emb_chunk(embp, c, bv, D, transb)
+        lg = _chunk_logits(h, rows, transb)
         pos = c * bv + jax.lax.iota(jnp.int32, bv)
         lg = jnp.where((pos < V)[None, :], lg, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
@@ -312,31 +332,30 @@ def _lmce_fwd_impl(h, emb, targets, eps, bv):
     return loss, lse
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _lmce_rows(h, emb, targets, eps, bv):
-    loss, _ = _lmce_fwd_impl(h, emb, targets, eps, bv)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _lmce_rows(h, emb, targets, eps, bv, transb):
+    loss, _ = _lmce_fwd_impl(h, emb, targets, eps, bv, transb)
     return loss
 
 
-def _lmce_fwd_vjp(h, emb, targets, eps, bv):
-    loss, lse = _lmce_fwd_impl(h, emb, targets, eps, bv)
+def _lmce_fwd_vjp(h, emb, targets, eps, bv, transb):
+    loss, lse = _lmce_fwd_impl(h, emb, targets, eps, bv, transb)
     return loss, (h, emb, targets, lse)
 
 
-def _lmce_bwd_vjp(eps, bv, res, g):
+def _lmce_bwd_vjp(eps, bv, transb, res, g):
     h, emb, targets, lse = res
     T, D = h.shape
-    V = emb.shape[0]
+    V = emb.shape[0] if transb else emb.shape[1]
     nc = cdiv(V, bv)
-    embp = jnp.pad(emb, ((0, nc * bv - V), (0, 0))) if nc * bv != V else emb
+    embp = _emb_pad(emb, V, nc, bv, transb)
     tgt = targets.astype(jnp.int32)
     gr = g.astype(jnp.float32)
 
     def body(c, carry):
         dh, demb = carry
-        rows = jax.lax.dynamic_slice(embp, (c * bv, 0), (bv, D))
-        lg = jax.lax.dot_general(h, rows, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        rows = _emb_chunk(embp, c, bv, D, transb)
+        lg = _chunk_logits(h, rows, transb)
         pos = c * bv + jax.lax.iota(jnp.int32, bv)
         p = jnp.exp(lg - lse[:, None])       # softmax via saved lse
         q = (pos[None, :] == tgt[:, None]).astype(jnp.float32)
@@ -344,36 +363,51 @@ def _lmce_bwd_vjp(eps, bv, res, g):
             q = (1.0 - eps) * q + (eps / V)
         dl = gr[:, None] * (p - q)
         dl = jnp.where((pos < V)[None, :], dl, 0.0)  # pad rows: no signal
-        dh = dh + jax.lax.dot_general(
-            dl, rows.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        drows = jax.lax.dot_general(dl, h, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        demb = jax.lax.dynamic_update_slice(demb, drows, (c * bv, 0))
+        rows32 = rows.astype(jnp.float32)
+        if transb:
+            dh = dh + jax.lax.dot_general(          # (T,bv)·(bv,D)
+                dl, rows32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            drows = jax.lax.dot_general(            # (bv,D) chunk grad
+                dl, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            demb = jax.lax.dynamic_update_slice(demb, drows, (c * bv, 0))
+        else:
+            dh = dh + jax.lax.dot_general(          # (T,bv)·(D,bv)ᵀ
+                dl, rows32, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dcols = jax.lax.dot_general(            # (D,bv) chunk grad
+                h, dl, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            demb = jax.lax.dynamic_update_slice(demb, dcols, (0, c * bv))
         return dh, demb
 
     dh0 = jnp.zeros((T, D), jnp.float32)
-    demb0 = jnp.zeros((nc * bv, D), jnp.float32)
+    demb0 = jnp.zeros((nc * bv, D) if transb else (D, nc * bv), jnp.float32)
     dh, demb = jax.lax.fori_loop(0, nc, body, (dh0, demb0))
-    return dh.astype(h.dtype), demb[:V].astype(emb.dtype), None
+    demb = demb[:V] if transb else demb[:, :V]
+    return dh.astype(h.dtype), demb.astype(emb.dtype), None
 
 
 _lmce_rows.defvjp(_lmce_fwd_vjp, _lmce_bwd_vjp)
 
 
 def lm_cross_entropy(hidden: jax.Array, embed: jax.Array,
-                     targets: jax.Array, *, reduction: str = "mean",
+                     targets: jax.Array, *, transb: bool = True,
+                     reduction: str = "mean",
                      label_smoothing: float = 0.0,
                      ignore_index: Optional[int] = None,
                      block_v: int = 8192) -> jax.Array:
-    """Cross-entropy of ``hidden @ embed.T`` without materializing logits.
+    """Cross-entropy of the unembedding projection, logits never built.
 
-    hidden (..., D) float, embed (V, D) — the tied-embedding row layout
-    every model family here unembeds with (``gemm(x, embed, transb=True)``)
-    — targets (...) int. Streams the vocabulary in ``block_v``-row chunks
-    with online-logsumexp carries; peak live memory is O(T·block_v)
-    instead of O(T·V), forward AND backward (custom VJP recomputes each
-    chunk's logits from the saved per-row lse). Same ``reduction`` /
+    hidden (..., D) float, targets (...) int. ``transb=True`` (default):
+    embed is (V, D) — the tied-embedding row layout, logits = hidden @
+    embed.T (``gemm(x, embed, transb=True)``). ``transb=False``: embed is
+    (D, V) — the untied column layout (llama's ``unembed``), logits =
+    hidden @ embed. Streams the vocabulary in ``block_v`` chunks with
+    online-logsumexp carries; peak live memory is O(T·block_v) instead of
+    O(T·V), forward AND backward (custom VJP recomputes each chunk's
+    logits from the saved per-row lse). Same ``reduction`` /
     ``label_smoothing`` / ``ignore_index`` semantics as
     :func:`cross_entropy`, and numerically interchangeable with it.
     """
@@ -383,10 +417,16 @@ def lm_cross_entropy(hidden: jax.Array, embed: jax.Array,
     if not 0.0 <= eps < 1.0:
         raise ValueError(f"label_smoothing must be in [0, 1); got {eps}")
     *lead, D = hidden.shape
-    V, De = embed.shape
-    if De != D:
-        raise ValueError(f"embed shape {embed.shape} is not (V, {D}); "
-                         "pass the (V, D) unembedding row layout")
+    if transb:
+        V, De = embed.shape
+        if De != D:
+            raise ValueError(f"embed shape {embed.shape} is not (V, {D}); "
+                             "pass the (V, D) row layout (or transb=False)")
+    else:
+        De, V = embed.shape
+        if De != D:
+            raise ValueError(f"embed shape {embed.shape} is not ({D}, V); "
+                             "pass the (D, V) column layout (or transb=True)")
     if tuple(targets.shape) != tuple(lead):
         raise ValueError(f"targets shape {targets.shape} != hidden leading "
                          f"dims {tuple(lead)}")
@@ -397,5 +437,6 @@ def lm_cross_entropy(hidden: jax.Array, embed: jax.Array,
     if ignore_index is not None:
         valid = targets != ignore_index
         targets = jnp.where(valid, targets, 0)
-    loss = _lmce_rows(hidden.reshape(T, D), embed, targets, eps, bv)
+    loss = _lmce_rows(hidden.reshape(T, D), embed, targets, eps, bv,
+                      bool(transb))
     return _reduce_rows(loss, valid, reduction, lead)

@@ -7,7 +7,9 @@ import pytest
 
 from laser_tpu.models.llama import (init_llama, init_llama_cache,
                                     llama_decode_step, llama_forward,
-                                    llama_generate, llama_prefill)
+                                    llama_generate, llama_lm_loss,
+                                    llama_prefill, llama_train_init,
+                                    llama_train_step)
 from laser_tpu.ops.rope import apply_rope, rope_tables
 
 CFG = dict(n_layers=2, d_model=128, n_heads=4, n_kv_heads=2, d_ff=96,
@@ -64,6 +66,41 @@ class TestLlama:
             {k: v for k, v in g.items() if k != "rope_cos" and k != "rope_sin"})
         assert all(bool(jnp.isfinite(x).all()) for x in flat)
         assert float(jnp.abs(g["blocks"][0]["wq"]).max()) > 0
+
+    def test_lm_loss_matches_materialized_logits(self, rng):
+        params = init_llama(jax.random.PRNGKey(3), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+        got = float(llama_lm_loss(params, toks, n_heads=H, n_kv_heads=HKV))
+        lg = llama_forward(params, toks, n_heads=H, n_kv_heads=HKV)
+        logp = jax.nn.log_softmax(lg[:, :-1].astype(jnp.float32), axis=-1)
+        want = -jnp.mean(jnp.take_along_axis(logp, toks[:, 1:, None], -1))
+        np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+    def test_train_step_learns_and_keeps_rope(self, rng):
+        params = init_llama(jax.random.PRNGKey(4), **CFG)
+        opt = llama_train_init(params)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+        rope0 = np.asarray(params["rope_cos"])
+
+        step = jax.jit(lambda p, o, t, i: llama_train_step(
+            p, o, t, i, n_heads=H, n_kv_heads=HKV, lr=3e-3))
+        losses = []
+        for i in range(8):
+            params, opt, loss = step(params, opt, toks, i + 1)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses
+        np.testing.assert_array_equal(np.asarray(params["rope_cos"]), rope0)
+        # grads flowed into every trainable leaf class
+        assert not np.allclose(np.asarray(params["unembed"]).mean(), 0.02)
+
+    def test_train_step_window(self, rng):
+        params = init_llama(jax.random.PRNGKey(5), **CFG)
+        opt = llama_train_init(params)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (1, 16)))
+        _, _, loss = llama_train_step(params, opt, toks, 1, n_heads=H,
+                                      n_kv_heads=HKV, window=4,
+                                      label_smoothing=0.1)
+        assert np.isfinite(float(loss))
 
     def test_prefill_matches_stepwise(self, rng):
         params = init_llama(jax.random.PRNGKey(1), **CFG)

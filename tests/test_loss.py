@@ -227,6 +227,27 @@ class TestLMCrossEntropy:
         np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_r),
                                    rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("V", [900, 517])
+    def test_transb_false_column_layout(self, rng, V):
+        # llama's untied (D, V) unembedding: logits = hidden @ embed
+        T, D = 20, 48
+        h = jnp.asarray(rng.randn(T, D).astype(np.float32))
+        emb = jnp.asarray((rng.randn(D, V) / np.sqrt(D)).astype(np.float32))
+        tgt = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
+        got = lt.lm_cross_entropy(h, emb, tgt, transb=False,
+                                  reduction="none", block_v=256)
+        want = _oracle(h @ emb, tgt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        gh, ge = jax.grad(lambda a, b: lt.lm_cross_entropy(
+            a, b, tgt, transb=False, block_v=256), argnums=(0, 1))(h, emb)
+        gh_r, ge_r = jax.grad(lambda a, b: jnp.mean(_oracle(a @ b, tgt)),
+                              argnums=(0, 1))(h, emb)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(ge_r),
+                                   rtol=1e-4, atol=1e-6)
+
     def test_leading_dims_and_validation(self, rng):
         h = jnp.asarray(rng.randn(2, 6, 16).astype(np.float32))
         emb = jnp.asarray(rng.randn(100, 16).astype(np.float32) * 0.1)
