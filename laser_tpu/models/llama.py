@@ -138,14 +138,8 @@ def llama_train_init(params: Dict):
     return adamw_init(train)
 
 
-def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
-                     step, *, n_heads: int, n_kv_heads: int,
-                     lr=1e-3, weight_decay: float = 0.0, window=None,
-                     label_smoothing: float = 0.0):
-    """One AdamW step; returns (new_params, new_opt_state, loss). Jittable
-    (``step`` is the 1-based count; ``lr`` may be a traced schedule value).
-    The rope tables ride along untouched — they are positional constants,
-    not weights."""
+def _llama_loss_grads(params, tokens, *, n_heads, n_kv_heads, window,
+                      label_smoothing):
     static = {k: params[k] for k in _STATIC_KEYS}
     train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
 
@@ -155,10 +149,59 @@ def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
                              label_smoothing=label_smoothing)
 
     loss, grads = jax.value_and_grad(loss_fn)(train)
+    return static, train, loss, grads
+
+
+def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
+                     step, *, n_heads: int, n_kv_heads: int,
+                     lr=1e-3, weight_decay: float = 0.0, window=None,
+                     label_smoothing: float = 0.0):
+    """One AdamW step; returns (new_params, new_opt_state, loss). Jittable
+    (``step`` is the 1-based count; ``lr`` may be a traced schedule value).
+    The rope tables ride along untouched — they are positional constants,
+    not weights."""
+    static, train, loss, grads = _llama_loss_grads(
+        params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
+        window=window, label_smoothing=label_smoothing)
     m, v = opt_state
     new_train, m2, v2 = adamw_step(train, grads, m, v, step, lr=lr,
                                    weight_decay=weight_decay)
     return {**new_train, **static}, (m2, v2), loss
+
+
+def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
+                        step, mesh, *, axis: str = "dp", n_heads: int,
+                        n_kv_heads: int, lr=1e-3,
+                        weight_decay: float = 0.0, window=None,
+                        label_smoothing: float = 0.0):
+    """Data-parallel AdamW step over ``mesh[axis]``: the batch is sharded,
+    params/optimizer state replicated, and gradients (and the reported
+    loss) are pmean'd over ICI. The collective sits OUTSIDE the
+    differentiated region — grads are averaged after value_and_grad — so
+    no collective is ever differentiated through shard_map (the
+    replicated-cotangent pitfall; see models/mlp.py:sharded_sgd_step).
+    Every device then applies the identical AdamW update. Semantically
+    one `llama_train_step` on the full batch (equal shard sizes)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(p, o, toks, i):
+        static, train, loss, grads = _llama_loss_grads(
+            p, toks, n_heads=n_heads, n_kv_heads=n_kv_heads,
+            window=window, label_smoothing=label_smoothing)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        m, v = o
+        new_train, m2, v2 = adamw_step(train, grads, m, v, i, lr=lr,
+                                       weight_decay=weight_decay)
+        return {**new_train, **static}, (m2, v2), loss
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)  # Pallas calls don't carry vma metadata yet
+    return mapped(params, opt_state, tokens,
+                  jnp.asarray(step, jnp.int32))
 
 
 # -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------

@@ -82,19 +82,69 @@ def init_transformer(key: jax.Array, *, n_layers: int, d_model: int,
     }
 
 
-def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
-                        causal: bool = True, window=None) -> jax.Array:
-    """tokens (B, S) int32 -> logits (B, S, vocab)."""
+def transformer_hidden(params: Dict, tokens: jax.Array, *, n_heads: int,
+                       causal: bool = True, window=None) -> jax.Array:
+    """tokens (B, S) int32 -> final-norm hidden states (B, S, D)."""
     x = params["embed"][tokens]
     for blk in params["blocks"]:
         x = transformer_block(blk, x, n_heads=n_heads, causal=causal,
                               window=window)
-    x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    return layer_norm(x, params["lnf_g"], params["lnf_b"])
+
+
+def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
+                        causal: bool = True, window=None) -> jax.Array:
+    """tokens (B, S) int32 -> logits (B, S, vocab)."""
+    x = transformer_hidden(params, tokens, n_heads=n_heads, causal=causal,
+                           window=window)
     B, S, D = x.shape
     from ..ops.gemm.autodiff import gemm_ad
 
     logits = gemm_ad(x.reshape(B * S, D), params["embed"], None, False, True)
     return logits.reshape(B, S, -1)
+
+
+# ---------------------------------------------------------------------------
+# Training: chunked-vocab LM loss (tied embedding) + fused AdamW.
+# ---------------------------------------------------------------------------
+
+def transformer_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
+                        window=None,
+                        label_smoothing: float = 0.0) -> jax.Array:
+    """Next-token cross entropy through the tied (vocab, D) embedding.
+    The unembedding and the loss run as ONE chunked-vocab pass
+    (ops/loss.py:lm_cross_entropy): the (B·S, vocab) logits are never
+    materialized in the training step, forward or backward."""
+    from ..ops.loss import lm_cross_entropy
+
+    x = transformer_hidden(params, tokens, n_heads=n_heads, causal=True,
+                           window=window)
+    return lm_cross_entropy(x[:, :-1], params["embed"], tokens[:, 1:],
+                            label_smoothing=label_smoothing)
+
+
+def transformer_train_init(params: Dict):
+    """AdamW state (m, v) matching ``params`` (everything trains)."""
+    from ..ops.optim import adamw_init
+
+    return adamw_init(params)
+
+
+def transformer_train_step(params: Dict, opt_state, tokens: jax.Array,
+                           step, *, n_heads: int, lr=1e-3,
+                           weight_decay: float = 0.0, window=None,
+                           label_smoothing: float = 0.0):
+    """One fused-AdamW step; returns (new_params, new_opt_state, loss).
+    Jittable; ``step`` is the 1-based count, ``lr`` may be traced."""
+    from ..ops.optim import adamw_step
+
+    loss, grads = jax.value_and_grad(transformer_lm_loss)(
+        params, tokens, n_heads=n_heads, window=window,
+        label_smoothing=label_smoothing)
+    m, v = opt_state
+    new_params, m2, v2 = adamw_step(params, grads, m, v, step, lr=lr,
+                                    weight_decay=weight_decay)
+    return new_params, (m2, v2), loss
 
 
 # ---------------------------------------------------------------------------

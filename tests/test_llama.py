@@ -93,6 +93,30 @@ class TestLlama:
         # grads flowed into every trainable leaf class
         assert not np.allclose(np.asarray(params["unembed"]).mean(), 0.02)
 
+    def test_train_step_dp_matches_single_device(self, rng):
+        """dp=8 sharded-batch AdamW step == one full-batch step: same loss
+        AND same updated params (grad pmean of equal shards is exact up to
+        summation order)."""
+        from jax.sharding import Mesh
+        from laser_tpu.models.llama import llama_train_step_dp
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+        params = init_llama(jax.random.PRNGKey(6), **CFG)
+        opt = llama_train_init(params)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (8, 16)))
+
+        p_ref, o_ref, l_ref = llama_train_step(params, opt, toks, 1,
+                                               n_heads=H, n_kv_heads=HKV,
+                                               lr=3e-3)
+        p_dp, o_dp, l_dp = llama_train_step_dp(params, opt, toks, 1, mesh,
+                                               n_heads=H, n_kv_heads=HKV,
+                                               lr=3e-3)
+        np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_dp),
+                        jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
     def test_train_step_window(self, rng):
         params = init_llama(jax.random.PRNGKey(5), **CFG)
         opt = llama_train_init(params)

@@ -118,6 +118,36 @@ class TestTransformerTraining:
                                             params, grads)
         assert float(loss_fn(params)) < l0
 
+    def test_train_step_chunked_loss(self, rng):
+        """The family's own train step: AdamW + lm_cross_entropy (logits
+        never materialized) matches the materialized-logits loss and
+        learns."""
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_forward,
+                                                  transformer_lm_loss,
+                                                  transformer_train_init,
+                                                  transformer_train_step)
+
+        params = init_transformer(jax.random.PRNGKey(4), n_layers=1,
+                                  d_model=128, n_heads=2, d_ff=128,
+                                  vocab=11)
+        tokens = jnp.asarray(rng.randint(0, 11, (2, 16)))
+
+        got = float(transformer_lm_loss(params, tokens, n_heads=2))
+        lg = transformer_forward(params, tokens, n_heads=2)
+        logp = jax.nn.log_softmax(lg[:, :-1].astype(jnp.float32), axis=-1)
+        want = -jnp.mean(jnp.take_along_axis(logp, tokens[:, 1:, None], -1))
+        np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+        opt = transformer_train_init(params)
+        step = jax.jit(lambda p, o, t, i: transformer_train_step(
+            p, o, t, i, n_heads=2, lr=3e-3))
+        losses = []
+        for i in range(8):
+            params, opt, loss = step(params, opt, tokens, i + 1)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses
+
 
 class TestGreedyDecode:
     def test_deterministic_and_prefix_preserving(self, rng):
