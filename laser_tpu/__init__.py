@@ -47,7 +47,10 @@ from .ops.attention import (attention, attention_gqa,  # noqa: E402
 from .ops.paged_attention import (paged_attention,  # noqa: E402
                                   paged_attention_reference)
 from .ops.norm import layer_norm, rms_norm  # noqa: E402
-from .ops.optim import adamw_init, adamw_step, sgd_momentum_step  # noqa: E402
+from .ops.optim import (adamw_init, adamw_step,  # noqa: E402
+                        accumulated_value_and_grad, clip_by_global_norm,
+                        global_norm, inverse_sqrt_lr, sgd_momentum_step,
+                        warmup_cosine_lr)
 from .ops.quant import dequantize_int8, gemm_quantized, quantize_int8  # noqa: E402
 from .ops.vector_math import exp, log, sigmoid, softmax, tanh  # noqa: E402
 from .ops.transpose import nchw2nhwc, nhwc2nchw, transpose2d, transpose2d_batched  # noqa: E402

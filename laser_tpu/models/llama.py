@@ -24,7 +24,8 @@ from ..ops.attention import attention_gqa_trainable
 from ..ops.gemm.autodiff import gemm_ad, linear
 from ..ops.loss import lm_cross_entropy
 from ..ops.norm import rms_norm
-from ..ops.optim import adamw_init, adamw_step
+from ..ops.optim import (accumulated_value_and_grad, adamw_init, adamw_step,
+                         clip_by_global_norm)
 from ..ops.rope import apply_rope, rope_tables
 
 Params = Dict[str, jax.Array]
@@ -76,14 +77,22 @@ def _qkv(blk, x, B, S, H, Hkv, hd, cos, sin, pos=0):
 
 
 def llama_hidden(params: Dict, tokens: jax.Array, *, n_heads: int,
-                 n_kv_heads: int, window=None) -> jax.Array:
-    """tokens (B, S) int32 -> final-RMSNorm hidden states (B, S, D)."""
+                 n_kv_heads: int, window=None,
+                 remat: bool = False) -> jax.Array:
+    """tokens (B, S) int32 -> final-RMSNorm hidden states (B, S, D).
+
+    remat=True wraps each block in ``jax.checkpoint``: the backward pass
+    recomputes block activations instead of saving them, cutting live
+    training memory from O(layers) to O(1) blocks of activations at the
+    cost of one extra forward — the standard TPU trade of FLOPs (MXU has
+    headroom) for HBM (the binding resource at long sequence)."""
     H, Hkv = n_heads, n_kv_heads
     x = params["embed"][tokens]
     B, S, D = x.shape
     hd = D // H
     cos, sin = params["rope_cos"], params["rope_sin"]
-    for blk in params["blocks"]:
+
+    def block(x, blk):
         h = rms_norm(x, blk["rms1"])
         q, k, v = _qkv(blk, h, B, S, H, Hkv, hd, cos, sin)
         o = attention_gqa_trainable(q, k, v, causal=True, window=window)
@@ -95,7 +104,11 @@ def llama_hidden(params: Dict, tokens: jax.Array, *, n_heads: int,
         gate = linear(h2, blk["w_gate"], None)
         up = linear(h2, blk["w_up"], None)
         f = jax.nn.silu(gate) * up  # SwiGLU
-        x = x + linear(f, blk["w_down"], None).reshape(B, S, D)
+        return x + linear(f, blk["w_down"], None).reshape(B, S, D)
+
+    step = jax.checkpoint(block) if remat else block
+    for blk in params["blocks"]:
+        x = step(x, blk)
     return rms_norm(x, params["rms_f"])
 
 
@@ -121,13 +134,14 @@ _STATIC_KEYS = ("rope_cos", "rope_sin")  # precomputed tables, not trained
 
 def llama_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
                   n_kv_heads: int, window=None,
-                  label_smoothing: float = 0.0) -> jax.Array:
+                  label_smoothing: float = 0.0,
+                  remat: bool = False) -> jax.Array:
     """Next-token cross entropy. The unembedding projection and the loss
     run as ONE chunked-vocab pass (ops/loss.py:lm_cross_entropy,
     transb=False for the untied (D, vocab) layout): the (B·S, vocab)
     logits are never materialized, forward or backward."""
     x = llama_hidden(params, tokens, n_heads=n_heads,
-                     n_kv_heads=n_kv_heads, window=window)
+                     n_kv_heads=n_kv_heads, window=window, remat=remat)
     return lm_cross_entropy(x[:, :-1], params["unembed"], tokens[:, 1:],
                             transb=False, label_smoothing=label_smoothing)
 
@@ -139,30 +153,41 @@ def llama_train_init(params: Dict):
 
 
 def _llama_loss_grads(params, tokens, *, n_heads, n_kv_heads, window,
-                      label_smoothing):
+                      label_smoothing, accum: int = 1,
+                      remat: bool = False):
     static = {k: params[k] for k in _STATIC_KEYS}
     train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
 
-    def loss_fn(tp):
-        return llama_lm_loss({**tp, **static}, tokens, n_heads=n_heads,
+    def loss_fn(tp, toks):
+        return llama_lm_loss({**tp, **static}, toks, n_heads=n_heads,
                              n_kv_heads=n_kv_heads, window=window,
-                             label_smoothing=label_smoothing)
+                             label_smoothing=label_smoothing, remat=remat)
 
-    loss, grads = jax.value_and_grad(loss_fn)(train)
+    loss, grads = accumulated_value_and_grad(loss_fn, accum)(train, tokens)
     return static, train, loss, grads
 
 
 def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
                      step, *, n_heads: int, n_kv_heads: int,
                      lr=1e-3, weight_decay: float = 0.0, window=None,
-                     label_smoothing: float = 0.0):
+                     label_smoothing: float = 0.0, clip_norm=None,
+                     accum: int = 1, remat: bool = False):
     """One AdamW step; returns (new_params, new_opt_state, loss). Jittable
-    (``step`` is the 1-based count; ``lr`` may be a traced schedule value).
-    The rope tables ride along untouched — they are positional constants,
-    not weights."""
+    (``step`` is the 1-based count; ``lr`` may be a traced schedule value,
+    e.g. ops/optim.py:warmup_cosine_lr). The rope tables ride along
+    untouched — they are positional constants, not weights.
+
+    clip_norm: global-L2 gradient clipping before the update.
+    accum: split the batch into ``accum`` sequentially-scanned
+    microbatches (gradient accumulation — one microbatch of activations
+    live at a time). remat: recompute block activations in backward
+    (jax.checkpoint per block)."""
     static, train, loss, grads = _llama_loss_grads(
         params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
-        window=window, label_smoothing=label_smoothing)
+        window=window, label_smoothing=label_smoothing, accum=accum,
+        remat=remat)
+    if clip_norm is not None:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
     m, v = opt_state
     new_train, m2, v2 = adamw_step(train, grads, m, v, step, lr=lr,
                                    weight_decay=weight_decay)
@@ -173,23 +198,29 @@ def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
                         step, mesh, *, axis: str = "dp", n_heads: int,
                         n_kv_heads: int, lr=1e-3,
                         weight_decay: float = 0.0, window=None,
-                        label_smoothing: float = 0.0):
+                        label_smoothing: float = 0.0, clip_norm=None,
+                        accum: int = 1, remat: bool = False):
     """Data-parallel AdamW step over ``mesh[axis]``: the batch is sharded,
     params/optimizer state replicated, and gradients (and the reported
     loss) are pmean'd over ICI. The collective sits OUTSIDE the
     differentiated region — grads are averaged after value_and_grad — so
     no collective is ever differentiated through shard_map (the
     replicated-cotangent pitfall; see models/mlp.py:sharded_sgd_step).
-    Every device then applies the identical AdamW update. Semantically
-    one `llama_train_step` on the full batch (equal shard sizes)."""
+    Clipping (when asked) uses the POST-pmean global norm, so it matches
+    the single-device step. Every device then applies the identical AdamW
+    update. Semantically one `llama_train_step` on the full batch (equal
+    shard sizes)."""
     from jax.sharding import PartitionSpec as P
 
     def body(p, o, toks, i):
         static, train, loss, grads = _llama_loss_grads(
             p, toks, n_heads=n_heads, n_kv_heads=n_kv_heads,
-            window=window, label_smoothing=label_smoothing)
+            window=window, label_smoothing=label_smoothing, accum=accum,
+            remat=remat)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
+        if clip_norm is not None:
+            grads, _ = clip_by_global_norm(grads, clip_norm)
         m, v = o
         new_train, m2, v2 = adamw_step(train, grads, m, v, i, lr=lr,
                                        weight_decay=weight_decay)
@@ -199,6 +230,116 @@ def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
         body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False)  # Pallas calls don't carry vma metadata yet
+    return mapped(params, opt_state, tokens,
+                  jnp.asarray(step, jnp.int32))
+
+
+# -- ZeRO-1: optimizer state sharded over the data axis -----------------------
+
+
+def llama_train_init_zero1(params: Dict, mesh, *, axis: str = "dp"):
+    """AdamW (m, v) for ZeRO-1: each trainable leaf's moments live
+    FLATTENED, zero-padded to a multiple of mesh[axis], and evenly sharded
+    over that axis — every device owns 1/n of the optimizer state instead
+    of a full replica (the round-off of DP memory: states are only ever
+    read/written by their owner shard). Lay out with
+    ``NamedSharding(mesh, P(axis))`` per leaf."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis]
+    train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
+    sh = NamedSharding(mesh, P(axis))
+
+    def z(p):
+        pad = -p.size % n
+        return jax.device_put(jnp.zeros((p.size + pad,), p.dtype), sh)
+
+    m = jax.tree_util.tree_map(z, train)
+    v = jax.tree_util.tree_map(z, train)
+    return m, v
+
+
+def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
+                           step, mesh, *, axis: str = "dp", n_heads: int,
+                           n_kv_heads: int, lr=1e-3,
+                           weight_decay: float = 0.0, window=None,
+                           label_smoothing: float = 0.0, clip_norm=None,
+                           accum: int = 1, remat: bool = False):
+    """ZeRO-1 data-parallel AdamW step: batch sharded, params replicated,
+    optimizer state SHARDED (``llama_train_init_zero1``). Per leaf:
+
+      1. local grads -> ``psum_scatter`` over ICI (each device receives
+         only ITS 1/n slice of the summed gradient — half the bytes of
+         the all-reduce a plain DP step pays, and the only slice it needs),
+      2. the owner updates its param/moment shard with the fused AdamW,
+      3. ``all_gather`` rebuilds the full (replicated) params for the
+         next forward.
+
+    reduce_scatter + all_gather together move exactly what one all-reduce
+    moves, so ZeRO-1 costs no extra ICI — it only deletes (n-1)/n of the
+    optimizer-state HBM. Arithmetically identical to `llama_train_step`
+    on the full batch (equal shards): the update is elementwise, so
+    updating shards == updating the whole tensor. Gradient clipping uses
+    the global norm (psum of owner-shard partials)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+
+    def body(p, o, toks, i):
+        static, train, loss, grads = _llama_loss_grads(
+            p, toks, n_heads=n_heads, n_kv_heads=n_kv_heads,
+            window=window, label_smoothing=label_smoothing, accum=accum,
+            remat=remat)
+        loss = jax.lax.pmean(loss, axis)
+
+        def scatter(g):
+            flat = g.reshape(-1).astype(jnp.float32)
+            pad = -flat.size % n
+            if pad:
+                flat = jnp.pad(flat, (0, pad))
+            return jax.lax.psum_scatter(flat, axis, scatter_dimension=0,
+                                        tiled=True) * (1.0 / n)
+
+        gsh = jax.tree_util.tree_map(scatter, grads)
+        if clip_norm is not None:
+            # global norm from owner-shard partials: each element is owned
+            # by exactly one device, so the psum of local squares is the
+            # full squared norm (pad lanes carry zero grads)
+            sq = jnp.sum(jnp.stack(
+                [jnp.sum(jnp.square(l))
+                 for l in jax.tree_util.tree_leaves(gsh)]))
+            norm = jnp.sqrt(jax.lax.psum(sq, axis))
+            scale = jnp.asarray(clip_norm, jnp.float32) / jnp.maximum(
+                norm, clip_norm)
+            gsh = jax.tree_util.tree_map(lambda g: g * scale, gsh)
+
+        idx = jax.lax.axis_index(axis)
+
+        def shard_of(pl):
+            flat = pl.reshape(-1)
+            pad = -flat.size % n
+            if pad:
+                flat = jnp.pad(flat, (0, pad))
+            chunk = flat.size // n
+            return jax.lax.dynamic_slice(flat, (idx * chunk,), (chunk,))
+
+        psh = jax.tree_util.tree_map(shard_of, train)
+        m, v = o
+        new_psh, m2, v2 = adamw_step(psh, gsh, m, v, i, lr=lr,
+                                     weight_decay=weight_decay)
+
+        def gather(newp, old):
+            full = jax.lax.all_gather(newp, axis, tiled=True)
+            return full[:old.size].reshape(old.shape).astype(old.dtype)
+
+        new_train = jax.tree_util.tree_map(gather, new_psh, train)
+        return {**new_train, **static}, (m2, v2), loss
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(axis), P()),
         check_vma=False)  # Pallas calls don't carry vma metadata yet
     return mapped(params, opt_state, tokens,
                   jnp.asarray(step, jnp.int32))

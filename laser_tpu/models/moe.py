@@ -160,11 +160,18 @@ def moe_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
 
 def moe_train_step(params: Dict, tokens: jax.Array, *, n_heads: int,
                    top_k: int = 2, lr: float = 1e-2,
-                   aux_weight: float = 0.01) -> Tuple[Dict, jax.Array]:
-    """One SGD step; returns (new params, loss). Jittable."""
+                   aux_weight: float = 0.01,
+                   clip_norm=None) -> Tuple[Dict, jax.Array]:
+    """One SGD step; returns (new params, loss). Jittable. clip_norm:
+    global-L2 gradient clipping (the same knob as the llama/transformer
+    train steps)."""
+    from ..ops.optim import clip_by_global_norm
+
     loss, grads = jax.value_and_grad(moe_lm_loss)(
         params, tokens, n_heads=n_heads, top_k=top_k,
         aux_weight=aux_weight)
+    if clip_norm is not None:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
     new = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new, loss
 
@@ -247,10 +254,16 @@ def _ep_moe_ffn(axis: str, e_loc: int):
     return f
 
 
+def _is_expert_path(path) -> bool:
+    """True for the expert-sharded leaves (blocks[i].moe.{w1,w2})."""
+    keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+    return "moe" in keys and keys[-1] in ("w1", "w2")
+
+
 def moe_train_step_ep(params: Dict, tokens: jax.Array, mesh, *,
                       n_heads: int, top_k: int = 2, lr: float = 1e-2,
-                      aux_weight: float = 0.01, axis: str = "ep"
-                      ) -> Tuple[Dict, jax.Array]:
+                      aux_weight: float = 0.01, axis: str = "ep",
+                      clip_norm=None) -> Tuple[Dict, jax.Array]:
     """One SGD step with every block's experts SHARDED over ``mesh[axis]``.
 
     The whole loss (attention + routing + expert FFNs + CE) runs inside one
@@ -275,13 +288,8 @@ def moe_train_step_ep(params: Dict, tokens: jax.Array, mesh, *,
 
     def split_specs(p):
         """PartitionSpec pytree: expert tensors sharded on dim 0."""
-        def spec_of(path, leaf):
-            keys = [getattr(k, "key", getattr(k, "idx", None))
-                    for k in path]
-            if "moe" in keys and keys[-1] in ("w1", "w2"):
-                return P(axis)
-            return P()
-        return jax.tree_util.tree_map_with_path(spec_of, p)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: P(axis) if _is_expert_path(path) else P(), p)
 
     pspecs = split_specs(params)
 
@@ -316,6 +324,27 @@ def moe_train_step_ep(params: Dict, tokens: jax.Array, mesh, *,
             return ce + aux_weight * aux / len(p["blocks"])
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
+        if clip_norm is not None:
+            # global norm across the SHARDED param tree: expert leaves
+            # (w1/w2, e_loc experts per device) contribute their local
+            # squares psum'd over ep — every element counted exactly once,
+            # so the norm (and the clip) equals the single-device step's
+            shard_mask = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map_with_path(
+                    lambda path, _: _is_expert_path(path), grads))
+            gl = jax.tree_util.tree_leaves(grads)
+            loc = [jnp.sum(jnp.square(g.astype(jnp.float32)))
+                   for g in gl]
+            rep = sum((s for s, m in zip(loc, shard_mask) if not m),
+                      jnp.float32(0))
+            shd = sum((s for s, m in zip(loc, shard_mask) if m),
+                      jnp.float32(0))
+            norm = jnp.sqrt(rep + jax.lax.psum(shd, axis))
+            scale = jnp.asarray(clip_norm, jnp.float32) / jnp.maximum(
+                norm, clip_norm)
+            grads = jax.tree.map(
+                lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+                grads)
         new = jax.tree.map(lambda w, g: w - lr * g, p, grads)
         return new, loss
 

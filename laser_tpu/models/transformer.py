@@ -133,14 +133,23 @@ def transformer_train_init(params: Dict):
 def transformer_train_step(params: Dict, opt_state, tokens: jax.Array,
                            step, *, n_heads: int, lr=1e-3,
                            weight_decay: float = 0.0, window=None,
-                           label_smoothing: float = 0.0):
+                           label_smoothing: float = 0.0, clip_norm=None,
+                           accum: int = 1):
     """One fused-AdamW step; returns (new_params, new_opt_state, loss).
-    Jittable; ``step`` is the 1-based count, ``lr`` may be traced."""
-    from ..ops.optim import adamw_step
+    Jittable; ``step`` is the 1-based count, ``lr`` may be traced (e.g.
+    ops/optim.py:warmup_cosine_lr). clip_norm: global-L2 gradient
+    clipping; accum: gradient accumulation over sequentially-scanned
+    microbatches — the same knobs as models/llama.py:llama_train_step."""
+    from ..ops.optim import (accumulated_value_and_grad, adamw_step,
+                             clip_by_global_norm)
 
-    loss, grads = jax.value_and_grad(transformer_lm_loss)(
-        params, tokens, n_heads=n_heads, window=window,
-        label_smoothing=label_smoothing)
+    def loss_fn(p, toks):
+        return transformer_lm_loss(p, toks, n_heads=n_heads, window=window,
+                                   label_smoothing=label_smoothing)
+
+    loss, grads = accumulated_value_and_grad(loss_fn, accum)(params, tokens)
+    if clip_norm is not None:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
     m, v = opt_state
     new_params, m2, v2 = adamw_step(params, grads, m, v, step, lr=lr,
                                     weight_decay=weight_decay)

@@ -206,6 +206,89 @@ def adamw_init(params):
     return zeros, jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
+def global_norm(tree) -> jax.Array:
+    """L2 norm over every leaf of a pytree, accumulated in f32."""
+    sq = [jnp.sum(jnp.square(l.astype(jnp.float32)))
+          for l in jax.tree_util.tree_leaves(tree)]
+    return jnp.sqrt(jnp.sum(jnp.stack(sq)))
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale ``grads`` so their global L2 norm is at most ``max_norm``.
+
+    Returns (clipped_grads, pre_clip_norm). Identity when the norm is
+    already within bound (scale == 1 exactly, no drift on the common
+    path). Leaf dtypes are preserved; the norm and scale are f32.
+    """
+    norm = global_norm(grads)
+    scale = jnp.asarray(max_norm, jnp.float32) / jnp.maximum(norm, max_norm)
+    return jax.tree_util.tree_map(
+        lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads), norm
+
+
+def warmup_cosine_lr(step, *, peak_lr: float, warmup_steps: int,
+                     total_steps: int, end_lr: float = 0.0) -> jax.Array:
+    """Linear warmup to ``peak_lr`` over ``warmup_steps``, then cosine decay
+    to ``end_lr`` at ``total_steps``. Pure jittable function of the (1-based,
+    traced ok) step — feed it to ``adamw_step(lr=...)``; hyperparameters ride
+    in SMEM so schedules never retrace."""
+    s = jnp.asarray(step, jnp.float32)
+    w = float(max(warmup_steps, 1))
+    warm = peak_lr * s / w
+    t = jnp.clip((s - w) / float(max(total_steps - w, 1.0)), 0.0, 1.0)
+    decay = end_lr + 0.5 * (peak_lr - end_lr) * (1.0 + jnp.cos(jnp.pi * t))
+    return jnp.where(s < w, warm, decay)
+
+
+def inverse_sqrt_lr(step, *, peak_lr: float, warmup_steps: int) -> jax.Array:
+    """The classic transformer schedule: linear warmup to ``peak_lr`` then
+    1/sqrt(step) decay (continuous at the warmup boundary)."""
+    s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+    w = float(max(warmup_steps, 1))
+    return peak_lr * jnp.minimum(s / w, jnp.sqrt(w) / jnp.sqrt(s))
+
+
+def accumulated_value_and_grad(loss_fn, accum: int):
+    """``jax.value_and_grad`` with microbatch gradient accumulation.
+
+    Returns ``vg(params, *batch)`` where every array in ``batch`` has a
+    leading batch dim divisible by ``accum``. The batch is split into
+    ``accum`` microbatches scanned sequentially; only ONE microbatch's
+    activations are ever live (the memory point of accumulation), while
+    gradients accumulate in f32. For a mean-reduced ``loss_fn`` and equal
+    microbatch sizes this is arithmetically the full-batch
+    value_and_grad, up to f32 summation order.
+    """
+    if accum <= 1:
+        return jax.value_and_grad(loss_fn)
+
+    def vg(params, *batch):
+        def split(a):
+            if a.shape[0] % accum:
+                raise ValueError(
+                    f"batch dim {a.shape[0]} not divisible by accum={accum}")
+            return a.reshape((accum, a.shape[0] // accum) + a.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+        def body(carry, xs):
+            acc_l, acc_g = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *xs)
+            acc_g = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), acc_g, grads)
+            return (acc_l + loss, acc_g), None
+
+        (loss, gsum), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), micro)
+        inv = 1.0 / accum
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g * inv).astype(p.dtype), gsum, params)
+        return loss * inv, grads
+
+    return vg
+
+
 def sgd_momentum_step(params, grads, momentum, *, lr, mu: float = 0.9,
                       nesterov: bool = False, backend: Optional[str] = None,
                       interpret: Optional[bool] = None):

@@ -155,3 +155,120 @@ class TestLlama:
         lg = llama_forward(params, out, n_heads=H, n_kv_heads=HKV)
         for i in range(5, 9):
             assert int(out[0, i]) == int(np.asarray(lg)[0, i - 1].argmax())
+
+
+class TestTrainStepVariants:
+    """clip/accum/remat knobs and the ZeRO-1 sharded-optimizer step."""
+
+    def test_remat_matches_plain(self, rng):
+        """jax.checkpoint per block changes memory, not math: loss and
+        grads equal the non-remat step."""
+        params = init_llama(jax.random.PRNGKey(7), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+        from laser_tpu.models.llama import _llama_loss_grads
+
+        _, _, l0, g0 = _llama_loss_grads(params, toks, n_heads=H,
+                                         n_kv_heads=HKV, window=None,
+                                         label_smoothing=0.0)
+        _, _, l1, g1 = _llama_loss_grads(params, toks, n_heads=H,
+                                         n_kv_heads=HKV, window=None,
+                                         label_smoothing=0.0, remat=True)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_accum_matches_full_batch(self, rng):
+        params = init_llama(jax.random.PRNGKey(8), **CFG)
+        opt = llama_train_init(params)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+        p0, _, l0 = llama_train_step(params, opt, toks, 1, n_heads=H,
+                                     n_kv_heads=HKV, lr=3e-3)
+        p1, _, l1 = llama_train_step(params, opt, toks, 1, n_heads=H,
+                                     n_kv_heads=HKV, lr=3e-3, accum=2,
+                                     remat=True)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        # microbatch summation order shifts tiny second moments; AdamW's
+        # rsqrt amplifies that to ~4e-4 relative on isolated elements
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_clip_norm_caps_update(self, rng):
+        """With clip_norm tiny, the update direction is preserved but the
+        effective gradient norm is bounded; the step still runs jitted
+        with a scheduled lr."""
+        import laser_tpu as lt
+
+        params = init_llama(jax.random.PRNGKey(9), **CFG)
+        opt = llama_train_init(params)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+        lr = lt.warmup_cosine_lr(1, peak_lr=3e-3, warmup_steps=4,
+                                 total_steps=100)
+        step = jax.jit(lambda p, o, t, i, lr: llama_train_step(
+            p, o, t, i, n_heads=H, n_kv_heads=HKV, lr=lr, clip_norm=1e-3))
+        p1, _, loss = step(params, opt, toks, 1, lr)
+        assert np.isfinite(float(loss))
+        # params moved, but by a bounded amount
+        d = max(float(jnp.abs(a - b).max()) for a, b in
+                zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(params))
+                if a.shape == b.shape)
+        assert 0 < d < 1e-2
+
+    def test_zero1_matches_single_device(self, rng):
+        """ZeRO-1 (sharded optimizer state, reduce_scatter + all_gather)
+        == the plain full-batch AdamW step: same loss, same params. The
+        optimizer state comes back SHARDED (1/n per device)."""
+        from jax.sharding import Mesh
+        from laser_tpu.models.llama import (llama_train_init_zero1,
+                                            llama_train_step_zero1)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+        params = init_llama(jax.random.PRNGKey(10), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        opt = llama_train_init(params)
+        p_ref, _, l_ref = llama_train_step(params, opt, toks, 1, n_heads=H,
+                                           n_kv_heads=HKV, lr=3e-3,
+                                           weight_decay=0.01)
+        oz = llama_train_init_zero1(params, mesh)
+        p_z, oz2, l_z = llama_train_step_zero1(
+            params, oz, toks, 1, mesh, n_heads=H, n_kv_heads=HKV, lr=3e-3,
+            weight_decay=0.01)
+        np.testing.assert_allclose(float(l_z), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_z),
+                        jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+        # moments live flattened+sharded: each leaf 1-D, padded to n
+        for leaf in jax.tree_util.tree_leaves(oz2[0]):
+            assert leaf.ndim == 1 and leaf.shape[0] % 4 == 0
+
+    def test_zero1_second_step_and_clip(self, rng):
+        """Two chained ZeRO-1 steps (state threading) with clipping stay
+        equal to the single-device trajectory."""
+        from jax.sharding import Mesh
+        from laser_tpu.models.llama import (llama_train_init_zero1,
+                                            llama_train_step_zero1)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+        params = init_llama(jax.random.PRNGKey(11), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        p_r, o_r = params, llama_train_init(params)
+        p_z, o_z = params, llama_train_init_zero1(params, mesh)
+        for i in (1, 2):
+            p_r, o_r, l_r = llama_train_step(p_r, o_r, toks, i, n_heads=H,
+                                             n_kv_heads=HKV, lr=3e-3,
+                                             clip_norm=0.5)
+            p_z, o_z, l_z = llama_train_step_zero1(
+                p_z, o_z, toks, i, mesh, n_heads=H, n_kv_heads=HKV,
+                lr=3e-3, clip_norm=0.5)
+            np.testing.assert_allclose(float(l_z), float(l_r), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_z),
+                        jax.tree_util.tree_leaves(p_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-6)

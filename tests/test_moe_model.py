@@ -144,3 +144,20 @@ class TestMoEExpertParallel:
         with pytest.raises(ValueError, match="not divisible"):
             moe_train_step_ep(bad, jnp.zeros((1, 8), jnp.int32), mesh_ep4,
                               n_heads=2)
+
+
+class TestClipNorm:
+    def test_ep_clip_matches_single_device(self, params, mesh_ep4, rng):
+        """Gradient clipping under expert sharding: the mixed
+        replicated+psum global norm must reproduce the single-device
+        clipped step (every element counted exactly once)."""
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (2, 16)))
+        new_ref, l_ref = moe_train_step(params, toks, n_heads=2, lr=1e-2,
+                                        clip_norm=0.05)
+        new_ep, l_ep = moe_train_step_ep(params, toks, mesh_ep4, n_heads=2,
+                                         lr=1e-2, clip_norm=0.05)
+        np.testing.assert_allclose(float(l_ep), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(new_ep),
+                        jax.tree_util.tree_leaves(new_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)

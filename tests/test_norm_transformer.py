@@ -225,3 +225,60 @@ class TestCachedDecode:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(logits_p),
                                    np.asarray(logits_s), rtol=1e-3, atol=1e-4)
+
+
+class TestTransformerTrainKnobs:
+    def test_clip_and_accum_match_plain(self, rng):
+        """accum=2 with a generous clip bound == the plain full-batch step
+        (the clip scale is exactly 1 below the bound). Gradients are the
+        tight check; post-AdamW params get a loose atol because at step 1
+        the update is ~lr*sign(g), so microbatch summation order on the
+        tied embedding's near-zero grad elements flips isolated updates
+        by up to ~lr regardless of how exact the accumulation is."""
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_lm_loss,
+                                                  transformer_train_init,
+                                                  transformer_train_step)
+        from laser_tpu.ops.optim import accumulated_value_and_grad
+
+        params = init_transformer(jax.random.PRNGKey(9), n_layers=1,
+                                  d_model=128, n_heads=2, d_ff=128, vocab=11)
+        opt = transformer_train_init(params)
+        toks = jnp.asarray(rng.randint(0, 11, (4, 16)))
+
+        def loss_fn(p, t):
+            return transformer_lm_loss(p, t, n_heads=2)
+
+        l0, g0 = jax.value_and_grad(loss_fn)(params, toks)
+        l1, g1 = accumulated_value_and_grad(loss_fn, 2)(params, toks)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+        p0, _, _ = transformer_train_step(params, opt, toks, 1, n_heads=2,
+                                          lr=3e-3)
+        p1, _, _ = transformer_train_step(params, opt, toks, 1, n_heads=2,
+                                          lr=3e-3, clip_norm=1e6, accum=2)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_tight_clip_bounds_update(self, rng):
+        from laser_tpu.models.transformer import (init_transformer,
+                                                  transformer_train_init,
+                                                  transformer_train_step)
+
+        params = init_transformer(jax.random.PRNGKey(10), n_layers=1,
+                                  d_model=128, n_heads=2, d_ff=128, vocab=11)
+        opt = transformer_train_init(params)
+        toks = jnp.asarray(rng.randint(0, 11, (2, 16)))
+        p1, _, loss = transformer_train_step(params, opt, toks, 1, n_heads=2,
+                                             lr=1e-3, clip_norm=1e-3)
+        assert np.isfinite(float(loss))
+        d = max(float(jnp.abs(a - b).max()) for a, b in
+                zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(params)))
+        assert 0 < d < 1e-2

@@ -97,3 +97,82 @@ class TestSGDM:
         m_ref = g
         np.testing.assert_allclose(np.asarray(p2), p - 0.1 * (g + 0.9 * m_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestTrainUtils:
+    """Schedules, clipping, gradient accumulation (ops/optim.py additions).
+
+    Parity-plus production-training surface; oracles are NumPy f64 math
+    and the unaccumulated value_and_grad."""
+
+    def test_global_norm_matches_numpy(self, rng):
+        tree = {"a": rng.randn(13, 7).astype(np.float32),
+                "b": [rng.randn(5).astype(np.float32),
+                      rng.randn(2, 2, 2).astype(np.float32)]}
+        want = np.sqrt(sum(
+            np.sum(np.square(l.astype(np.float64)))
+            for l in jax.tree_util.tree_leaves(tree)))
+        np.testing.assert_allclose(float(lt.global_norm(tree)), want,
+                                   rtol=1e-6)
+
+    def test_clip_identity_below_bound(self, rng):
+        g = {"w": (rng.randn(8, 8) * 1e-3).astype(np.float32)}
+        clipped, norm = lt.clip_by_global_norm(g, 10.0)
+        # scale is exactly 1 on the common path: bitwise identity
+        np.testing.assert_array_equal(np.asarray(clipped["w"]), g["w"])
+        assert float(norm) < 10.0
+
+    def test_clip_scales_to_bound(self, rng):
+        g = {"w": rng.randn(64, 32).astype(np.float32) * 100.0}
+        clipped, norm = lt.clip_by_global_norm(g, 1.0)
+        assert float(norm) > 1.0
+        np.testing.assert_allclose(float(lt.global_norm(clipped)), 1.0,
+                                   rtol=1e-5)
+        # direction preserved
+        np.testing.assert_allclose(
+            np.asarray(clipped["w"]) * float(norm), g["w"], rtol=1e-4,
+            atol=1e-5)
+
+    def test_warmup_cosine_shape(self):
+        lr = lambda s: float(lt.warmup_cosine_lr(
+            s, peak_lr=1e-3, warmup_steps=10, total_steps=110, end_lr=1e-5))
+        assert lr(0) == 0.0
+        np.testing.assert_allclose(lr(5), 5e-4, rtol=1e-6)   # mid warmup
+        np.testing.assert_allclose(lr(10), 1e-3, rtol=1e-6)  # peak
+        np.testing.assert_allclose(lr(60), (1e-3 + 1e-5) / 2, rtol=1e-5)
+        np.testing.assert_allclose(lr(110), 1e-5, rtol=1e-4)  # floor
+        np.testing.assert_allclose(lr(500), 1e-5, rtol=1e-4)  # clamped past
+        vals = [lr(s) for s in range(0, 11)]
+        assert all(b >= a for a, b in zip(vals, vals[1:]))  # monotone warmup
+
+    def test_inverse_sqrt_shape(self):
+        lr = lambda s: float(lt.inverse_sqrt_lr(
+            s, peak_lr=1e-3, warmup_steps=16))
+        np.testing.assert_allclose(lr(8), 5e-4, rtol=1e-6)
+        np.testing.assert_allclose(lr(16), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(lr(64), 1e-3 * np.sqrt(16 / 64), rtol=1e-6)
+
+    def test_accumulated_matches_full_batch(self, rng):
+        """accum=4 microbatch scan == one full-batch value_and_grad for a
+        mean-reduced loss (equal microbatches)."""
+        W = jnp.asarray(rng.randn(12, 5), jnp.float32)
+        x = jnp.asarray(rng.randn(16, 12), jnp.float32)
+        y = jnp.asarray(rng.randn(16, 5), jnp.float32)
+
+        def loss(w, xb, yb):
+            return jnp.mean((xb @ w - yb) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss)(W, x, y)
+        l_acc, g_acc = jax.jit(lt.accumulated_value_and_grad(loss, 4))(
+            W, x, y)
+        np.testing.assert_allclose(float(l_acc), float(l_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_acc), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_accumulated_rejects_indivisible(self, rng):
+        def loss(w, xb):
+            return jnp.mean(w * xb)
+
+        with pytest.raises(ValueError, match="divisible"):
+            lt.accumulated_value_and_grad(loss, 3)(
+                jnp.ones(()), jnp.ones((8, 2)))
