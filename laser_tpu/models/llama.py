@@ -345,6 +345,207 @@ def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
                   jnp.asarray(step, jnp.int32))
 
 
+# -- tensor parallel: megatron dp x tp training -------------------------------
+#
+# Column/row split per block (arXiv:1909.08053 §3, the layout Megatron-LM
+# uses because it needs only TWO collectives per block per direction):
+#   wq, wk, wv     (D, heads*hd)  column-parallel — each shard owns whole
+#                                 heads, so attention is embarrassingly
+#                                 head-parallel (no collective inside)
+#   wo             (heads*hd, D)  row-parallel    — psum at the exit
+#   w_gate, w_up   (D, d_ff)      column-parallel
+#   w_down         (d_ff, D)      row-parallel    — psum at the exit
+# Norms/embeddings replicated. The conjugate boundary operators
+# (parallel/mesh.py: copy_fwd_psum_bwd / psum_fwd_copy_bwd) make the
+# backward pass exact under shard_map(check_vma=False).
+
+_TP_COL = ("wq", "wk", "wv", "w_gate", "w_up")  # sharded on dim 1
+_TP_ROW = ("wo", "w_down")                      # sharded on dim 0
+
+
+def _tp_leaf_kind(path) -> int:
+    """0 = replicated, 1 = column-sharded, 2 = row-sharded."""
+    name = getattr(path[-1], "key", None) if path else None
+    if name in _TP_COL:
+        return 1
+    if name in _TP_ROW:
+        return 2
+    return 0
+
+
+def _tp_spec_tree(tree, tp_axis: str):
+    from jax.sharding import PartitionSpec as P
+
+    def spec_of(path, leaf):
+        kind = _tp_leaf_kind(path)
+        if kind == 1:
+            return P(None, tp_axis)
+        if kind == 2:
+            return P(tp_axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_of, tree)
+
+
+def llama_tp_params(params: Dict, mesh, *, tp_axis: str = "tp") -> Dict:
+    """Relayout ``init_llama`` params for megatron tensor parallelism.
+
+    The fused ``wkv`` is split into separate ``wk``/``wv`` leaves (its
+    column order is [all K heads | all V heads], so a single contiguous
+    column shard would hand low shards only K and high shards only V),
+    then every leaf is placed with its TP NamedSharding: whole q/kv heads
+    per shard on the column side, matching row shards on the exit side,
+    everything else replicated. ``llama_tp_merge`` is the inverse."""
+    from jax.sharding import NamedSharding
+
+    blocks = []
+    for blk in params["blocks"]:
+        b = dict(blk)
+        wkv = b.pop("wkv")
+        half = wkv.shape[1] // 2
+        b["wk"], b["wv"] = wkv[:, :half], wkv[:, half:]
+        blocks.append(b)
+    tp = {**{k: v for k, v in params.items() if k != "blocks"},
+          "blocks": blocks}
+    specs = _tp_spec_tree(tp, tp_axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tp, specs)
+
+
+def llama_tp_merge(params_tp: Dict) -> Dict:
+    """Gather a TP param tree back to the single-device ``init_llama``
+    layout (wk/wv re-fused into wkv). For checkpoints and oracle tests."""
+    blocks = []
+    for blk in params_tp["blocks"]:
+        b = dict(blk)
+        wk, wv = b.pop("wk"), b.pop("wv")
+        b["wkv"] = jnp.concatenate([jnp.asarray(wk), jnp.asarray(wv)],
+                                   axis=1)
+        blocks.append(b)
+    return {**{k: jnp.asarray(v) for k, v in params_tp.items()
+               if k != "blocks"}, "blocks": blocks}
+
+
+def _llama_tp_hidden(params: Dict, tokens: jax.Array, *, h_loc: int,
+                     hkv_loc: int, head_dim: int, tp_axis: str,
+                     window=None, remat: bool = False) -> jax.Array:
+    """Per-shard block forward (runs INSIDE shard_map). Activations
+    entering the residual stream are replicated over tp; only the
+    head/d_ff dimension inside a block is sharded."""
+    from ..parallel.mesh import copy_fwd_psum_bwd, psum_fwd_copy_bwd
+
+    f = copy_fwd_psum_bwd(tp_axis)
+    g = psum_fwd_copy_bwd(tp_axis)
+    H, Hkv, hd = h_loc, hkv_loc, head_dim
+    x = params["embed"][tokens]
+    B, S, D = x.shape
+    cos, sin = params["rope_cos"], params["rope_sin"]
+
+    def block(x, blk):
+        h = f(rms_norm(x, blk["rms1"]))
+        h2 = h.reshape(B * S, D)
+        q = linear(h2, blk["wq"], None).reshape(B, S, H, hd)
+        k = linear(h2, blk["wk"], None).reshape(B, S, Hkv, hd)
+        v = linear(h2, blk["wv"], None).reshape(B, S, Hkv, hd)
+        q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        o = attention_gqa_trainable(q, k, v.transpose(0, 2, 1, 3),
+                                    causal=True, window=window)
+        o = o.transpose(0, 2, 1, 3).reshape(B * S, H * hd)
+        x = x + g(linear(o, blk["wo"], None)).reshape(B, S, D)
+
+        h = f(rms_norm(x, blk["rms2"]))
+        h2 = h.reshape(B * S, D)
+        gate = linear(h2, blk["w_gate"], None)
+        up = linear(h2, blk["w_up"], None)
+        ffn = jax.nn.silu(gate) * up  # SwiGLU over the local d_ff shard
+        return x + g(linear(ffn, blk["w_down"], None)).reshape(B, S, D)
+
+    step = jax.checkpoint(block) if remat else block
+    for blk in params["blocks"]:
+        x = step(x, blk)
+    return rms_norm(x, params["rms_f"])
+
+
+def llama_train_step_tp(params: Dict, opt_state, tokens: jax.Array,
+                        step, mesh, *, axes=("dp", "tp"), n_heads: int,
+                        n_kv_heads: int, lr=1e-3,
+                        weight_decay: float = 0.0, window=None,
+                        label_smoothing: float = 0.0, clip_norm=None,
+                        accum: int = 1, remat: bool = False):
+    """2D-sharded AdamW step: batch over ``axes[0]`` (dp), heads/d_ff over
+    ``axes[1]`` (tp, megatron split — params from ``llama_tp_params``).
+
+    Per block and direction the tp axis carries exactly two psums (after
+    wo and after w_down) riding ICI; backward adds the two conjugate
+    psums at the rms entries. Gradients are pmean'd over dp outside the
+    differentiated region, sharded-leaf AdamW updates run on each shard's
+    own columns/rows (elementwise — updating shards == updating the whole
+    tensor), and the loss (replicated over tp: hidden and unembed are)
+    is pmean'd over dp. Arithmetically one `llama_train_step` on the full
+    batch; certified in tests/test_llama.py and dryrun_multichip.
+
+    clip_norm uses the exact global norm: replicated leaves counted once
+    + psum(tp) of sharded-leaf partials."""
+    from jax.sharding import PartitionSpec as P
+
+    dp_ax, tp_ax = axes
+    ntp = mesh.shape[tp_ax]
+    if n_heads % ntp or n_kv_heads % ntp:
+        raise ValueError(f"n_heads={n_heads}/n_kv_heads={n_kv_heads} must "
+                         f"divide by tp={ntp}")
+    h_loc, hkv_loc = n_heads // ntp, n_kv_heads // ntp
+    head_dim = params["embed"].shape[1] // n_heads
+
+    def body(p, o, toks, i):
+        static = {k: p[k] for k in _STATIC_KEYS}
+        train = {k: v for k, v in p.items() if k not in _STATIC_KEYS}
+
+        def loss_fn(tp_, toks_):
+            x = _llama_tp_hidden({**tp_, **static}, toks_, h_loc=h_loc,
+                                 hkv_loc=hkv_loc, head_dim=head_dim,
+                                 tp_axis=tp_ax, window=window, remat=remat)
+            return lm_cross_entropy(x[:, :-1], tp_["unembed"],
+                                    toks_[:, 1:], transb=False,
+                                    label_smoothing=label_smoothing)
+
+        loss, grads = accumulated_value_and_grad(loss_fn, accum)(train, toks)
+        grads = jax.lax.pmean(grads, dp_ax)
+        loss = jax.lax.pmean(loss, dp_ax)
+
+        if clip_norm is not None:
+            mask = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map_with_path(
+                    lambda path, _: _tp_leaf_kind(path) != 0, grads))
+            sq = [jnp.sum(jnp.square(l.astype(jnp.float32)))
+                  for l in jax.tree_util.tree_leaves(grads)]
+            rep = sum((s for s, m_ in zip(sq, mask) if not m_),
+                      jnp.float32(0))
+            shd = sum((s for s, m_ in zip(sq, mask) if m_),
+                      jnp.float32(0))
+            norm = jnp.sqrt(rep + jax.lax.psum(shd, tp_ax))
+            scale = jnp.asarray(clip_norm, jnp.float32) / jnp.maximum(
+                norm, clip_norm)
+            grads = jax.tree_util.tree_map(
+                lambda g_: (g_.astype(jnp.float32) * scale).astype(g_.dtype),
+                grads)
+
+        m, v = o
+        new_train, m2, v2 = adamw_step(train, grads, m, v, i, lr=lr,
+                                       weight_decay=weight_decay)
+        return {**new_train, **static}, (m2, v2), loss
+
+    pspecs = _tp_spec_tree(params, tp_ax)
+    tspecs = {k: v for k, v in pspecs.items() if k not in _STATIC_KEYS}
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, (tspecs, tspecs), P(dp_ax), P()),
+        out_specs=(pspecs, (tspecs, tspecs), P()),
+        check_vma=False)  # Pallas calls don't carry vma metadata yet
+    return mapped(params, opt_state, tokens,
+                  jnp.asarray(step, jnp.int32))
+
+
 # -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------
 
 def init_llama_cache(params: Dict, B: int, max_len: int, *, n_heads: int,

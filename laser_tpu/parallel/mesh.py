@@ -52,3 +52,48 @@ def shard_array(x: jax.Array, mesh: Mesh, *spec) -> jax.Array:
 
 def replicate(x: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+# -- megatron boundary operators ---------------------------------------------
+#
+# Tensor-parallel training differentiates THROUGH shard_map regions whose
+# value-replication metadata is off (check_vma=False: Pallas calls don't
+# carry vma yet). jax then applies the *local* transpose rule at every
+# collective boundary, which silently drops the cross-shard psum that
+# replicated-operand cotangents need (see models/mlp.py / models/moe.py).
+# The fix is the Megatron-LM pair of conjugate operators (arXiv:1909.08053
+# §3, their f and g): each one pins down both transfer directions at one
+# region boundary, so the rest of the region differentiates with plain
+# local rules.
+
+
+def copy_fwd_psum_bwd(axis: str):
+    """Megatron's ``f``: identity forward, ``psum(axis)`` backward.
+
+    Place at the ENTRY of a column-parallel region (the operand is
+    replicated over ``axis``; each shard's branch produces an independent
+    cotangent contribution that must be summed)."""
+
+    @jax.custom_vjp
+    def f(x):
+        return x
+
+    f.defvjp(lambda x: (x, None),
+             lambda _, ct: (jax.lax.psum(ct, axis),))
+    return f
+
+
+def psum_fwd_copy_bwd(axis: str):
+    """Megatron's ``g``: ``psum(axis)`` forward, identity backward.
+
+    Place at the EXIT of a row-parallel region (shards hold partial sums
+    of the output; the output's cotangent is replicated and each shard
+    needs exactly its own copy)."""
+
+    @jax.custom_vjp
+    def g(x):
+        return jax.lax.psum(x, axis)
+
+    g.defvjp(lambda x: (jax.lax.psum(x, axis), None),
+             lambda _, ct: (ct,))
+    return g

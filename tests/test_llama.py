@@ -272,3 +272,86 @@ class TestTrainStepVariants:
                         jax.tree_util.tree_leaves(p_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=5e-6)
+
+
+class TestLlamaTensorParallel:
+    """Megatron dp x tp training (llama_train_step_tp) vs the single-device
+    oracle. The TP layout splits wkv into wk/wv (contiguous head shards);
+    llama_tp_merge re-fuses for comparison."""
+
+    def _mesh22(self):
+        from laser_tpu.parallel import make_mesh
+        return make_mesh({"dp": 2, "tp": 2}, devices=jax.devices()[:4])
+
+    def test_tp_step_matches_single_device(self, rng):
+        from laser_tpu.models.llama import (llama_tp_merge, llama_tp_params,
+                                            llama_train_step_tp)
+
+        mesh = self._mesh22()
+        params = init_llama(jax.random.PRNGKey(12), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        opt = llama_train_init(params)
+        p_ref, _, l_ref = llama_train_step(params, opt, toks, 1, n_heads=H,
+                                           n_kv_heads=HKV, lr=3e-3,
+                                           weight_decay=0.01)
+
+        ptp = llama_tp_params(params, mesh)
+        otp = llama_train_init(ptp)
+        p_tp, _, l_tp = llama_train_step_tp(
+            ptp, otp, toks, 1, mesh, n_heads=H, n_kv_heads=HKV, lr=3e-3,
+            weight_decay=0.01)
+        np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-5)
+        merged = llama_tp_merge(p_tp)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_ref)[0]):
+            assert str(ka) == str(kb)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5,
+                                       err_msg=str(ka))
+
+    def test_tp_two_steps_clip_remat(self, rng):
+        """Chained TP steps with clipping + remat track the single-device
+        trajectory (clip norm = replicated + psum(tp) shard partials)."""
+        from laser_tpu.models.llama import (llama_tp_merge, llama_tp_params,
+                                            llama_train_step_tp)
+
+        mesh = self._mesh22()
+        params = init_llama(jax.random.PRNGKey(13), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        p_r, o_r = params, llama_train_init(params)
+        ptp = llama_tp_params(params, mesh)
+        p_t, o_t = ptp, llama_train_init(ptp)
+        for i in (1, 2):
+            p_r, o_r, l_r = llama_train_step(p_r, o_r, toks, i, n_heads=H,
+                                             n_kv_heads=HKV, lr=3e-3,
+                                             clip_norm=0.5, remat=True)
+            p_t, o_t, l_t = llama_train_step_tp(
+                p_t, o_t, toks, i, mesh, n_heads=H, n_kv_heads=HKV,
+                lr=3e-3, clip_norm=0.5, remat=True)
+            np.testing.assert_allclose(float(l_t), float(l_r), rtol=1e-5)
+        merged = llama_tp_merge(p_t)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_r)[0]):
+            # two clipped AdamW steps: the clip scale differs in the last
+            # ulp between summation orders and rsqrt amplifies it on
+            # near-zero grad elements — atol rides just above that
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-4,
+                                       err_msg=str(ka))
+
+    def test_tp_rejects_bad_head_split(self):
+        from laser_tpu.models.llama import (llama_tp_params,
+                                            llama_train_step_tp)
+        from laser_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"dp": 1, "tp": 4}, devices=jax.devices()[:4])
+        params = init_llama(jax.random.PRNGKey(14), **CFG)
+        ptp = llama_tp_params(params, mesh)
+        with pytest.raises(ValueError, match="divide"):
+            llama_train_step_tp(ptp, llama_train_init(ptp),
+                                jnp.zeros((4, 16), jnp.int32), 1, mesh,
+                                n_heads=H, n_kv_heads=HKV)  # HKV=2 % 4 != 0
