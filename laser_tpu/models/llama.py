@@ -235,29 +235,100 @@ def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
                   jnp.asarray(step, jnp.int32))
 
 
+# -- mixed precision: bf16 compute tree + f32 master weights ------------------
+
+
+def llama_cast(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Cast every float leaf — INCLUDING the rope tables — to ``dtype``.
+
+    The result is a compute tree: on TPU, bf16 params mean bf16 MXU
+    matmuls (2× the f32 FLOPs) and half the weight/activation HBM. Keep
+    the optimizer in f32 via ``llama_train_init_mp`` — bf16 has f32's
+    exponent range (no loss scaling needed) but only 8 mantissa bits,
+    too coarse to integrate small updates."""
+    def c(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+            else x
+
+    return jax.tree_util.tree_map(c, params)
+
+
+def llama_train_init_mp(params: Dict, master_dtype=jnp.float32):
+    """(m, v, master) for mixed-precision AdamW: f32 master weights
+    upcast from the (bf16) compute tree, f32 moments."""
+    train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
+    master = jax.tree_util.tree_map(lambda p: p.astype(master_dtype), train)
+    m, v = adamw_init(master)
+    return m, v, master
+
+
+def llama_train_step_mp(params: Dict, opt_state, tokens: jax.Array,
+                        step, *, n_heads: int, n_kv_heads: int,
+                        lr=1e-3, weight_decay: float = 0.0, window=None,
+                        label_smoothing: float = 0.0, clip_norm=None,
+                        accum: int = 1, remat: bool = False):
+    """Mixed-precision AdamW step. ``params`` is the COMPUTE tree
+    (``llama_cast(params, bf16)``); ``opt_state`` = (m, v, master) from
+    ``llama_train_init_mp``. Loss/grads run in the compute dtype, grads
+    upcast to f32, the f32 masters take the fused-AdamW update, and the
+    new compute params are the masters re-cast — so round-to-bf16 error
+    never accumulates in the weights across steps. Same knobs as
+    ``llama_train_step``."""
+    static, train, loss, grads = _llama_loss_grads(
+        params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
+        window=window, label_smoothing=label_smoothing, accum=accum,
+        remat=remat)
+    grads = jax.tree_util.tree_map(
+        lambda g: g.astype(jnp.float32), grads)
+    if clip_norm is not None:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
+    m, v, master = opt_state
+    new_master, m2, v2 = adamw_step(master, grads, m, v, step, lr=lr,
+                                    weight_decay=weight_decay)
+    new_train = jax.tree_util.tree_map(
+        lambda mw, old: mw.astype(old.dtype), new_master, train)
+    return {**new_train, **static}, (m2, v2, new_master), loss
+
+
 # -- ZeRO-1: optimizer state sharded over the data axis -----------------------
 
 
-def llama_train_init_zero1(params: Dict, mesh, *, axis: str = "dp"):
+def llama_train_init_zero1(params: Dict, mesh, *, axis: str = "dp",
+                           master_dtype=None):
     """AdamW (m, v) for ZeRO-1: each trainable leaf's moments live
     FLATTENED, zero-padded to a multiple of mesh[axis], and evenly sharded
     over that axis — every device owns 1/n of the optimizer state instead
     of a full replica (the round-off of DP memory: states are only ever
     read/written by their owner shard). Lay out with
-    ``NamedSharding(mesh, P(axis))`` per leaf."""
+    ``NamedSharding(mesh, P(axis))`` per leaf.
+
+    master_dtype (e.g. jnp.float32 with bf16 ``params`` from
+    ``llama_cast``): ALSO keep sharded f32 MASTER WEIGHTS — the state
+    becomes (m, v, master) and the step updates masters, re-casting the
+    replicated compute params each step (the standard mixed-precision
+    recipe; the all_gather then moves bf16, half the ICI bytes)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
     train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
     sh = NamedSharding(mesh, P(axis))
+    mdt = master_dtype
 
     def z(p):
         pad = -p.size % n
-        return jax.device_put(jnp.zeros((p.size + pad,), p.dtype), sh)
+        return jax.device_put(
+            jnp.zeros((p.size + pad,), p.dtype if mdt is None else mdt), sh)
 
     m = jax.tree_util.tree_map(z, train)
     v = jax.tree_util.tree_map(z, train)
-    return m, v
+    if mdt is None:
+        return m, v
+
+    def mz(p):
+        flat = p.reshape(-1).astype(mdt)
+        return jax.device_put(jnp.pad(flat, (0, -p.size % n)), sh)
+
+    return m, v, jax.tree_util.tree_map(mz, train)
 
 
 def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
@@ -324,17 +395,28 @@ def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
             chunk = flat.size // n
             return jax.lax.dynamic_slice(flat, (idx * chunk,), (chunk,))
 
-        psh = jax.tree_util.tree_map(shard_of, train)
-        m, v = o
+        # mixed precision (init with master_dtype=...): the opt state
+        # carries sharded f32 masters — update those, not the bf16 params
+        mp = len(o) == 3
+        if mp:
+            m, v, master = o
+            psh = master
+        else:
+            m, v = o
+            psh = jax.tree_util.tree_map(shard_of, train)
         new_psh, m2, v2 = adamw_step(psh, gsh, m, v, i, lr=lr,
                                      weight_decay=weight_decay)
 
         def gather(newp, old):
-            full = jax.lax.all_gather(newp, axis, tiled=True)
-            return full[:old.size].reshape(old.shape).astype(old.dtype)
+            # cast BEFORE the all_gather: in mixed precision the wire
+            # then carries the compute dtype (bf16 = half the ICI bytes)
+            full = jax.lax.all_gather(newp.astype(old.dtype), axis,
+                                      tiled=True)
+            return full[:old.size].reshape(old.shape)
 
         new_train = jax.tree_util.tree_map(gather, new_psh, train)
-        return {**new_train, **static}, (m2, v2), loss
+        new_o = (m2, v2, new_psh) if mp else (m2, v2)
+        return {**new_train, **static}, new_o, loss
 
     mapped = jax.shard_map(
         body, mesh=mesh,
