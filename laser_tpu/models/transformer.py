@@ -390,6 +390,105 @@ def speculative_decode_greedy(target_params: Dict, draft_params: Dict,
     return tokens[:, :total]
 
 
+def speculative_decode(target_params: Dict, draft_params: Dict,
+                       prompt: jax.Array, key: jax.Array, *, n_heads: int,
+                       draft_n_heads: int, max_new_tokens: int,
+                       gamma: int = 4,
+                       temperature: float = 1.0) -> jax.Array:
+    """SAMPLED speculative decoding — the rejection-sampling scheme of
+    arXiv:2211.17192: the draft proposes ``gamma`` sampled tokens (cheap
+    cached steps, recording its distribution q_i at each), the target
+    scores the window in ONE ``window_step`` forward, and
+    ``ops/sampling.py:speculative_accept`` keeps the exact-distribution
+    prefix + one residual/bonus token. Every emitted token is marginally
+    distributed EXACTLY as temperature-sampling the target alone — for
+    ANY draft; the draft's quality only moves the accept length (the
+    speed), never the distribution.
+
+    Same cache-rollback-free design as ``speculative_decode_greedy``
+    (the position pointer is the only rollback state). ``temperature``
+    scales BOTH models' logits; it must be > 0 — at 0 rejection
+    sampling degenerates, use the greedy variant."""
+    B, S0 = prompt.shape
+    if B != 1:
+        raise ValueError("speculative decoding is single-sequence (B=1)")
+    if gamma < 1:
+        raise ValueError("gamma must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0; use "
+                         "speculative_decode_greedy for greedy decoding")
+    from ..ops.sampling import speculative_accept
+
+    total = S0 + max_new_tokens
+    cap = total + gamma + 1
+    V = target_params["embed"].shape[0]
+    inv_t = 1.0 / temperature
+    D_t = target_params["embed"].shape[1]
+    D_d = draft_params["embed"].shape[1]
+    tcache = init_decode_cache(len(target_params["blocks"]), B, n_heads,
+                               D_t // n_heads, cap,
+                               target_params["embed"].dtype)
+    dcache = init_decode_cache(len(draft_params["blocks"]), B,
+                               draft_n_heads, D_d // draft_n_heads, cap,
+                               draft_params["embed"].dtype)
+    tokens = jnp.zeros((B, cap), jnp.int32)
+    tokens = tokens.at[:, :S0].set(prompt)
+
+    tlog, tcache = prefill(target_params, prompt, tcache, n_heads=n_heads)
+    _, dcache = prefill(draft_params, prompt, dcache,
+                        n_heads=draft_n_heads)
+    key, k0 = jax.random.split(key)
+    first = jax.random.categorical(
+        k0, tlog.astype(jnp.float32) * inv_t, -1).astype(jnp.int32)
+    tokens = tokens.at[:, S0].set(first)
+
+    def body(carry):
+        tokens, tcache, dcache, pos, key = carry
+        key, kd, kv = jax.random.split(key, 3)
+
+        # -- draft: gamma sampled proposals, q_i recorded; the extra
+        # (gamma+1)-th step only fills the draft cache (see the greedy
+        # variant for why)
+        def dstep(i, c):
+            toks, dcache, qbuf = c
+            tok = jax.lax.dynamic_index_in_dim(toks, pos + i, 1, False)
+            lg, dcache = decode_step(draft_params, dcache, tok, pos + i,
+                                     n_heads=draft_n_heads)
+            lg = lg.astype(jnp.float32) * inv_t
+            qbuf = jax.lax.cond(
+                i < gamma,
+                lambda b: jax.lax.dynamic_update_index_in_dim(
+                    b, jax.nn.softmax(lg[0]), jnp.minimum(i, gamma - 1), 0),
+                lambda b: b, qbuf)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(kd, i), lg, -1).astype(jnp.int32)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, nxt,
+                                                       pos + i + 1, axis=1)
+            return toks, dcache, qbuf
+
+        qbuf = jnp.zeros((gamma, V), jnp.float32)
+        tokens, dcache, qbuf = jax.lax.fori_loop(
+            0, gamma + 1, dstep, (tokens, dcache, qbuf))
+
+        # -- target: one window forward, then exact accept/resample
+        window = jax.lax.dynamic_slice_in_dim(tokens, pos, gamma + 1, 1)
+        tlog, tcache = window_step(target_params, tcache, window, pos,
+                                   n_heads=n_heads)
+        pprob = jax.nn.softmax(tlog[0].astype(jnp.float32) * inv_t, -1)
+        prop = window[0, 1:]  # proposal i sits at window position i+1
+        n_acc, nxt = speculative_accept(kv, pprob, qbuf, prop)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, nxt[None], pos + n_acc + 1, axis=1)
+        return tokens, tcache, dcache, pos + n_acc + 1, key
+
+    def cond(carry):
+        return carry[3] < total - 1
+
+    tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (tokens, tcache, dcache, jnp.int32(S0), key))
+    return tokens[:, :total]
+
+
 def prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,
             n_heads: int):
     """ONE flash-attention forward over the whole prompt that also writes

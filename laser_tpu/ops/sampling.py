@@ -153,3 +153,43 @@ def sample_logits_batch(seeds: jax.Array, positions: jax.Array,
 
     return jax.lax.cond(jnp.any(temperature > 0.0), do_sample,
                         lambda _: greedy, None)
+
+
+def speculative_accept(key: jax.Array, p: jax.Array, q: jax.Array,
+                       proposals: jax.Array):
+    """Rejection-sampling acceptance for speculative decoding.
+
+    The exact-distribution rule of arXiv:2211.17192 (Leviathan et al.,
+    thm. 3.5 / app. A): given draft proposals x_i ~ q_i and the target's
+    distributions p_i over the SAME positions, accept the longest prefix
+    where u_i·q_i(x_i) < p_i(x_i) (u ~ U[0,1) i.i.d.), then emit one
+    extra token — from the normalized residual max(p−q, 0) at the first
+    rejection, or from p_gamma after a full accept. Every emitted token
+    is marginally distributed EXACTLY as if sampled from the target
+    alone, for ANY draft (certified statistically in
+    tests/test_speculative.py).
+
+    p (gamma+1, V) target probs, q (gamma, V) draft probs, proposals
+    (gamma,) int32 sampled from q. Returns (n_accepted int32 in
+    [0, gamma], next_token int32) — the emitted tokens are
+    proposals[:n_accepted] + [next_token].
+    """
+    gamma = q.shape[0]
+    ka, kr = jax.random.split(key)
+    rows = jnp.arange(gamma)
+    p_at = p[rows, proposals]
+    q_at = q[rows, proposals]
+    u = jax.random.uniform(ka, (gamma,), jnp.float32)
+    acc = u * q_at < p_at  # u < p/q without the division (q_at may be ~0)
+    n_acc = jnp.argmin(jnp.concatenate(
+        [acc, jnp.array([False])])).astype(jnp.int32)
+
+    safe = jnp.minimum(n_acc, gamma - 1)
+    resid = jnp.maximum(p[safe] - q[safe], 0.0)
+    rsum = jnp.sum(resid)
+    # rsum == 0 can only happen numerically (p <= q everywhere yet a
+    # rejection fired on a rounding edge); fall back to the target row
+    resid = jnp.where(rsum > 0, resid / rsum, p[safe])
+    dist = jnp.where(n_acc == gamma, p[gamma], resid)
+    nxt = jax.random.categorical(kr, jnp.log(dist + 1e-38)).astype(jnp.int32)
+    return n_acc, nxt

@@ -80,3 +80,105 @@ def test_rejects_batch(target, draft):
         speculative_decode_greedy(
             target, draft, jnp.zeros((2, 4), jnp.int32), n_heads=8,
             draft_n_heads=4, max_new_tokens=4)
+
+
+# -- sampled (rejection) speculative decoding ---------------------------------
+
+
+class TestSpeculativeSampled:
+    def test_accept_resample_is_distribution_exact(self):
+        """The theorem of arXiv:2211.17192: for ANY draft q, the first
+        emitted token of one speculative round is marginally ~ p_0 (the
+        target). Certified empirically: 200k vmapped rounds with a
+        deliberately BAD draft, compare the empirical marginal to p_0."""
+        from laser_tpu.ops.sampling import speculative_accept
+
+        V, gamma = 8, 3
+        kk = jax.random.split(jax.random.PRNGKey(7), 2 * (gamma + 1))
+        p = jax.nn.softmax(3.0 * jax.random.normal(kk[0], (gamma + 1, V)))
+        q = jax.nn.softmax(3.0 * jax.random.normal(kk[1], (gamma, V)))
+
+        def one_round(key):
+            kp, ka = jax.random.split(key)
+            prop = jax.vmap(
+                lambda k, row: jax.random.categorical(k, jnp.log(row)))(
+                    jax.random.split(kp, gamma), q).astype(jnp.int32)
+            n_acc, nxt = speculative_accept(ka, p, q, prop)
+            return jnp.where(n_acc >= 1, prop[0], nxt)
+
+        n = 200_000
+        toks = jax.jit(jax.vmap(one_round))(
+            jax.random.split(jax.random.PRNGKey(123), n))
+        emp = np.bincount(np.asarray(toks), minlength=V) / n
+        want = np.asarray(p[0])
+        np.testing.assert_allclose(emp, want, atol=4e-3,
+                                   err_msg=f"emp={emp} want={want}")
+
+    def test_full_accept_bonus_row(self):
+        """q == p and proposals with p(x)>0: every position accepts
+        (u·q < p is u < 1), n_acc == gamma, bonus from p[gamma]."""
+        from laser_tpu.ops.sampling import speculative_accept
+
+        V, gamma = 8, 3
+        p = jnp.full((gamma + 1, V), 1.0 / V)
+        q = jnp.full((gamma, V), 1.0 / V)
+        prop = jnp.array([1, 2, 3], jnp.int32)
+        n_acc, nxt = speculative_accept(jax.random.PRNGKey(0), p, q, prop)
+        assert int(n_acc) == gamma
+        assert 0 <= int(nxt) < V
+
+    def test_certain_rejection_resamples_residual(self):
+        """q puts all mass on token 0, p puts none there: position 0
+        must reject and the resample must come from p's support."""
+        from laser_tpu.ops.sampling import speculative_accept
+
+        V, gamma = 8, 2
+        q = jnp.zeros((gamma, V)).at[:, 0].set(1.0)
+        p = jnp.zeros((gamma + 1, V)).at[:, 1:].set(1.0 / (V - 1))
+        prop = jnp.zeros((gamma,), jnp.int32)
+        n_acc, nxt = speculative_accept(jax.random.PRNGKey(3), p, q, prop)
+        assert int(n_acc) == 0
+        assert int(nxt) != 0
+
+    def test_sharp_temperature_matches_greedy(self, target, draft, rng):
+        """temperature -> 0+: p and q collapse to argmax one-hots, every
+        round reduces to the greedy acceptance rule — the sampled decoder
+        must emit exactly greedy_decode(target)."""
+        from laser_tpu.models.transformer import speculative_decode
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 5)))
+        want = np.asarray(greedy_decode(target, prompt, n_heads=8,
+                                        max_new_tokens=12))
+        got = np.asarray(speculative_decode(
+            target, draft, prompt, jax.random.PRNGKey(9), n_heads=8,
+            draft_n_heads=4, max_new_tokens=12, gamma=3,
+            temperature=0.01))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sampled_deterministic_and_valid(self, target, draft, rng):
+        from laser_tpu.models.transformer import speculative_decode
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 4)))
+        a = np.asarray(speculative_decode(
+            target, draft, prompt, jax.random.PRNGKey(5), n_heads=8,
+            draft_n_heads=4, max_new_tokens=10, gamma=4))
+        b = np.asarray(speculative_decode(
+            target, draft, prompt, jax.random.PRNGKey(5), n_heads=8,
+            draft_n_heads=4, max_new_tokens=10, gamma=4))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (1, 14)
+        np.testing.assert_array_equal(a[:, :4], np.asarray(prompt))
+        assert ((a >= 0) & (a < 61)).all()
+
+    def test_rejects_bad_args(self, target, draft):
+        from laser_tpu.models.transformer import speculative_decode
+
+        with pytest.raises(ValueError, match="temperature"):
+            speculative_decode(target, draft, jnp.zeros((1, 3), jnp.int32),
+                               jax.random.PRNGKey(0), n_heads=8,
+                               draft_n_heads=4, max_new_tokens=4,
+                               temperature=0.0)
+        with pytest.raises(ValueError, match="gamma"):
+            speculative_decode(target, draft, jnp.zeros((1, 3), jnp.int32),
+                               jax.random.PRNGKey(0), n_heads=8,
+                               draft_n_heads=4, max_new_tokens=4, gamma=0)
