@@ -713,6 +713,118 @@ def llama_decode_step(params: Dict, cache: jax.Array, token: jax.Array,
     return logits, cache
 
 
+def llama_window_step(params: Dict, cache: jax.Array, tokens: jax.Array,
+                      pos: jax.Array, *, n_heads: int, n_kv_heads: int,
+                      window=None):
+    """W-query GQA decode step: process a WINDOW of W tokens at positions
+    [pos, pos+W), writing their K/V into the cache and attending each
+    query causally over cache[0 .. pos+i] (optionally sliding-window
+    masked). The verification forward of speculative decoding
+    (W = gamma+1); ``llama_decode_step`` is the W=1 case.
+
+    tokens (B, W) int32 -> (logits (B, W, vocab), cache)."""
+    H, Hkv = n_heads, n_kv_heads
+    grp = H // Hkv
+    B, W = tokens.shape
+    D = params["embed"].shape[1]
+    hd = D // H
+    scale = 1.0 / math.sqrt(hd)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    x = params["embed"][tokens]  # (B, W, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"])
+        q, k, v = _qkv(blk, h, B, W, H, Hkv, hd, cos, sin, pos=pos)
+        kc = jax.lax.dynamic_update_slice(
+            cache[li, 0], k.reshape(B * Hkv, W, hd), (0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            cache[li, 1], v.reshape(B * Hkv, W, hd), (0, pos, 0))
+        cache = cache.at[li, 0].set(kc).at[li, 1].set(vc)
+        qf = q.reshape(B, Hkv, grp, W, hd)  # head h = kvh*grp + g
+        kcf = kc.reshape(B, Hkv, -1, hd)
+        vcf = vc.reshape(B, Hkv, -1, hd)
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kcf,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        kpos = jnp.arange(kcf.shape[2])[None, None, None, None, :]
+        qpos = (pos + jnp.arange(W))[None, None, None, :, None]
+        s = jnp.where(kpos <= qpos, s, -jnp.inf)
+        if window is not None:
+            s = jnp.where(kpos > qpos - window, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhgqk,bhkd->bhgqd", p, vcf,
+                       precision=jax.lax.Precision.HIGHEST)
+        o = o.transpose(0, 3, 1, 2, 4).reshape(B * W, H * hd)
+        x = x + linear(o, blk["wo"], None).reshape(B, W, D)
+        h = rms_norm(x, blk["rms2"])
+        h2 = h.reshape(B * W, D)
+        f = jax.nn.silu(linear(h2, blk["w_gate"], None)) * linear(
+            h2, blk["w_up"], None)
+        x = x + linear(f, blk["w_down"], None).reshape(B, W, D)
+    x = rms_norm(x, params["rms_f"])
+    logits = gemm_ad(x.reshape(B * W, D), params["unembed"], None,
+                     False, False)
+    return logits.reshape(B, W, -1), cache
+
+
+def _llama_spec_adapter(params: Dict, n_heads: int, n_kv_heads: int,
+                        window=None) -> Dict:
+    """models/speculative.py adapter for this family (GQA caches)."""
+    return dict(
+        vocab=params["unembed"].shape[1],
+        init_cache=lambda B, cap: init_llama_cache(
+            params, B, cap, n_heads=n_heads, n_kv_heads=n_kv_heads),
+        prefill=lambda prompt, cache: llama_prefill(
+            params, prompt, cache, n_heads=n_heads, n_kv_heads=n_kv_heads,
+            window=window),
+        decode=lambda cache, tok, pos: llama_decode_step(
+            params, cache, tok, pos, n_heads=n_heads,
+            n_kv_heads=n_kv_heads, window=window),
+        window=lambda cache, toks, pos: llama_window_step(
+            params, cache, toks, pos, n_heads=n_heads,
+            n_kv_heads=n_kv_heads, window=window),
+    )
+
+
+def llama_speculative_decode_greedy(target_params: Dict, draft_params: Dict,
+                                    prompt: jax.Array, *, n_heads: int,
+                                    n_kv_heads: int, draft_n_heads: int,
+                                    draft_n_kv_heads: int,
+                                    max_new_tokens: int, gamma: int = 4,
+                                    window=None) -> jax.Array:
+    """Greedy speculative decoding for the llama family: token-IDENTICAL
+    to ``llama_generate(temperature=0)`` on the target, for any draft.
+    ``window`` applies mistral-style sliding-window attention to BOTH
+    models. Loop: models/speculative.py:speculative_generate."""
+    from .speculative import speculative_generate
+
+    return speculative_generate(
+        _llama_spec_adapter(target_params, n_heads, n_kv_heads, window),
+        _llama_spec_adapter(draft_params, draft_n_heads, draft_n_kv_heads,
+                            window),
+        prompt, max_new_tokens=max_new_tokens, gamma=gamma, greedy=True)
+
+
+def llama_speculative_decode(target_params: Dict, draft_params: Dict,
+                             prompt: jax.Array, key: jax.Array, *,
+                             n_heads: int, n_kv_heads: int,
+                             draft_n_heads: int, draft_n_kv_heads: int,
+                             max_new_tokens: int, gamma: int = 4,
+                             temperature: float = 1.0,
+                             window=None) -> jax.Array:
+    """Sampled (rejection-scheme, arXiv:2211.17192) speculative decoding
+    for the llama family: every emitted token marginally EXACTLY
+    temperature-sampled from the target alone, for any draft. See
+    models/speculative.py + ops/sampling.py:speculative_accept."""
+    from .speculative import speculative_generate
+
+    return speculative_generate(
+        _llama_spec_adapter(target_params, n_heads, n_kv_heads, window),
+        _llama_spec_adapter(draft_params, draft_n_heads, draft_n_kv_heads,
+                            window),
+        prompt, key, max_new_tokens=max_new_tokens, gamma=gamma,
+        temperature=temperature)
+
+
 def llama_generate(params: Dict, prompt: jax.Array, key, *,
                    n_heads: int, n_kv_heads: int, max_new_tokens: int,
                    temperature: float = 0.0, top_k: int = 0,

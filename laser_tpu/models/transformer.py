@@ -301,6 +301,23 @@ def window_step(params: Dict, cache: jax.Array, tokens: jax.Array,
     return logits.reshape(B, W, -1), cache
 
 
+def _spec_adapter(params: Dict, n_heads: int) -> Dict:
+    """models/speculative.py adapter for this family (MHA, tied embed)."""
+    D = params["embed"].shape[1]
+    return dict(
+        vocab=params["embed"].shape[0],
+        init_cache=lambda B, cap: init_decode_cache(
+            len(params["blocks"]), B, n_heads, D // n_heads, cap,
+            params["embed"].dtype),
+        prefill=lambda prompt, cache: prefill(params, prompt, cache,
+                                              n_heads=n_heads),
+        decode=lambda cache, tok, pos: decode_step(params, cache, tok, pos,
+                                                   n_heads=n_heads),
+        window=lambda cache, toks, pos: window_step(params, cache, toks,
+                                                    pos, n_heads=n_heads),
+    )
+
+
 def speculative_decode_greedy(target_params: Dict, draft_params: Dict,
                               prompt: jax.Array, *, n_heads: int,
                               draft_n_heads: int, max_new_tokens: int,
@@ -311,83 +328,14 @@ def speculative_decode_greedy(target_params: Dict, draft_params: Dict,
     prefix matching its own argmax, plus one bonus token from its logits at
     the first disagreement. Token-IDENTICAL to ``greedy_decode`` on the
     target (greedy acceptance is exact), with target-forward count shrunk
-    by the mean accepted length.
+    by the mean accepted length. The loop (incl. the rollback-free cache
+    design) lives in models/speculative.py:speculative_generate."""
+    from .speculative import speculative_generate
 
-    Rejected positions need no cache surgery: both caches' rows past the
-    accepted point are overwritten the next time those positions are
-    (re)filled — the position pointer is the only rollback state.
-
-    prompt (1, S0) — speculative decoding is the per-sequence latency
-    path; batch rows would advance unevenly."""
-    B, S0 = prompt.shape
-    if B != 1:
-        raise ValueError("speculative decoding is single-sequence (B=1)")
-    total = S0 + max_new_tokens
-    cap = total + gamma + 1  # window writes may overshoot before clamping
-    D_t = target_params["embed"].shape[1]
-    D_d = draft_params["embed"].shape[1]
-    tcache = init_decode_cache(len(target_params["blocks"]), B, n_heads,
-                               D_t // n_heads, cap,
-                               target_params["embed"].dtype)
-    dcache = init_decode_cache(len(draft_params["blocks"]), B, draft_n_heads,
-                               D_d // draft_n_heads, cap,
-                               draft_params["embed"].dtype)
-    tokens = jnp.zeros((B, cap), jnp.int32)
-    tokens = tokens.at[:, :S0].set(prompt)
-
-    tlog, tcache = prefill(target_params, prompt, tcache, n_heads=n_heads)
-    _, dcache = prefill(draft_params, prompt, dcache,
-                        n_heads=draft_n_heads)
-    first = jnp.argmax(tlog, -1).astype(jnp.int32)
-    tokens = tokens.at[:, S0].set(first)
-
-    def body(carry):
-        tokens, tcache, dcache, pos = carry
-        # pos = index of the newest ACCEPTED token (its K/V not yet cached)
-
-        # -- draft: propose gamma tokens with cached single steps
-        def dstep(i, c):
-            toks, dcache = c
-            tok = jax.lax.dynamic_index_in_dim(toks, pos + i, 1, False)
-            lg, dcache = decode_step(draft_params, dcache, tok, pos + i,
-                                     n_heads=draft_n_heads)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            toks = jax.lax.dynamic_update_index_in_dim(toks, nxt, pos + i + 1,
-                                                       axis=1)
-            return toks, dcache
-
-        # gamma+1 steps (not gamma): the extra step caches the LAST
-        # proposal's K/V so that after a full accept the draft's history is
-        # complete up to the new position (its surplus proposal is unused
-        # and overwritten by the bonus/next round)
-        tokens, dcache = jax.lax.fori_loop(0, gamma + 1, dstep,
-                                           (tokens, dcache))
-
-        # -- target: verify the whole window in one forward
-        window = jax.lax.dynamic_slice_in_dim(tokens, pos, gamma + 1, 1)
-        tlog, tcache = window_step(target_params, tcache, window, pos,
-                                   n_heads=n_heads)
-        greedy = jnp.argmax(tlog, -1).astype(jnp.int32)  # (1, gamma+1)
-
-        # accepted = longest prefix where the draft's proposal equals the
-        # target's own argmax; position i's proposal is window[i+1]
-        prop = window[0, 1:]                      # (gamma,)
-        match = prop == greedy[0, :gamma]
-        n_acc = jnp.argmin(jnp.concatenate(
-            [match, jnp.array([False])])).astype(jnp.int32)
-        # bonus token: the target's argmax at the first mismatch (or after
-        # a full accept) — always valid, so every round emits >= 1 token
-        bonus = greedy[:, n_acc]
-        tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, bonus, pos + n_acc + 1, axis=1)
-        return tokens, tcache, dcache, pos + n_acc + 1
-
-    def cond(carry):
-        return carry[3] < total - 1
-
-    tokens, _, _, _ = jax.lax.while_loop(
-        cond, body, (tokens, tcache, dcache, jnp.int32(S0)))
-    return tokens[:, :total]
+    return speculative_generate(
+        _spec_adapter(target_params, n_heads),
+        _spec_adapter(draft_params, draft_n_heads), prompt,
+        max_new_tokens=max_new_tokens, gamma=gamma, greedy=True)
 
 
 def speculative_decode(target_params: Dict, draft_params: Dict,
@@ -403,90 +351,16 @@ def speculative_decode(target_params: Dict, draft_params: Dict,
     prefix + one residual/bonus token. Every emitted token is marginally
     distributed EXACTLY as temperature-sampling the target alone — for
     ANY draft; the draft's quality only moves the accept length (the
-    speed), never the distribution.
+    speed), never the distribution. ``temperature`` scales BOTH models'
+    logits; it must be > 0 — at 0 rejection sampling degenerates, use
+    the greedy variant."""
+    from .speculative import speculative_generate
 
-    Same cache-rollback-free design as ``speculative_decode_greedy``
-    (the position pointer is the only rollback state). ``temperature``
-    scales BOTH models' logits; it must be > 0 — at 0 rejection
-    sampling degenerates, use the greedy variant."""
-    B, S0 = prompt.shape
-    if B != 1:
-        raise ValueError("speculative decoding is single-sequence (B=1)")
-    if gamma < 1:
-        raise ValueError("gamma must be >= 1")
-    if temperature <= 0:
-        raise ValueError("temperature must be > 0; use "
-                         "speculative_decode_greedy for greedy decoding")
-    from ..ops.sampling import speculative_accept
-
-    total = S0 + max_new_tokens
-    cap = total + gamma + 1
-    V = target_params["embed"].shape[0]
-    inv_t = 1.0 / temperature
-    D_t = target_params["embed"].shape[1]
-    D_d = draft_params["embed"].shape[1]
-    tcache = init_decode_cache(len(target_params["blocks"]), B, n_heads,
-                               D_t // n_heads, cap,
-                               target_params["embed"].dtype)
-    dcache = init_decode_cache(len(draft_params["blocks"]), B,
-                               draft_n_heads, D_d // draft_n_heads, cap,
-                               draft_params["embed"].dtype)
-    tokens = jnp.zeros((B, cap), jnp.int32)
-    tokens = tokens.at[:, :S0].set(prompt)
-
-    tlog, tcache = prefill(target_params, prompt, tcache, n_heads=n_heads)
-    _, dcache = prefill(draft_params, prompt, dcache,
-                        n_heads=draft_n_heads)
-    key, k0 = jax.random.split(key)
-    first = jax.random.categorical(
-        k0, tlog.astype(jnp.float32) * inv_t, -1).astype(jnp.int32)
-    tokens = tokens.at[:, S0].set(first)
-
-    def body(carry):
-        tokens, tcache, dcache, pos, key = carry
-        key, kd, kv = jax.random.split(key, 3)
-
-        # -- draft: gamma sampled proposals, q_i recorded; the extra
-        # (gamma+1)-th step only fills the draft cache (see the greedy
-        # variant for why)
-        def dstep(i, c):
-            toks, dcache, qbuf = c
-            tok = jax.lax.dynamic_index_in_dim(toks, pos + i, 1, False)
-            lg, dcache = decode_step(draft_params, dcache, tok, pos + i,
-                                     n_heads=draft_n_heads)
-            lg = lg.astype(jnp.float32) * inv_t
-            qbuf = jax.lax.cond(
-                i < gamma,
-                lambda b: jax.lax.dynamic_update_index_in_dim(
-                    b, jax.nn.softmax(lg[0]), jnp.minimum(i, gamma - 1), 0),
-                lambda b: b, qbuf)
-            nxt = jax.random.categorical(
-                jax.random.fold_in(kd, i), lg, -1).astype(jnp.int32)
-            toks = jax.lax.dynamic_update_index_in_dim(toks, nxt,
-                                                       pos + i + 1, axis=1)
-            return toks, dcache, qbuf
-
-        qbuf = jnp.zeros((gamma, V), jnp.float32)
-        tokens, dcache, qbuf = jax.lax.fori_loop(
-            0, gamma + 1, dstep, (tokens, dcache, qbuf))
-
-        # -- target: one window forward, then exact accept/resample
-        window = jax.lax.dynamic_slice_in_dim(tokens, pos, gamma + 1, 1)
-        tlog, tcache = window_step(target_params, tcache, window, pos,
-                                   n_heads=n_heads)
-        pprob = jax.nn.softmax(tlog[0].astype(jnp.float32) * inv_t, -1)
-        prop = window[0, 1:]  # proposal i sits at window position i+1
-        n_acc, nxt = speculative_accept(kv, pprob, qbuf, prop)
-        tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, nxt[None], pos + n_acc + 1, axis=1)
-        return tokens, tcache, dcache, pos + n_acc + 1, key
-
-    def cond(carry):
-        return carry[3] < total - 1
-
-    tokens, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (tokens, tcache, dcache, jnp.int32(S0), key))
-    return tokens[:, :total]
+    return speculative_generate(
+        _spec_adapter(target_params, n_heads),
+        _spec_adapter(draft_params, draft_n_heads), prompt, key,
+        max_new_tokens=max_new_tokens, gamma=gamma,
+        temperature=temperature)
 
 
 def prefill(params: Dict, prompt: jax.Array, cache: jax.Array, *,

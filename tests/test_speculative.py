@@ -182,3 +182,108 @@ class TestSpeculativeSampled:
             speculative_decode(target, draft, jnp.zeros((1, 3), jnp.int32),
                                jax.random.PRNGKey(0), n_heads=8,
                                draft_n_heads=4, max_new_tokens=4, gamma=0)
+
+
+# -- llama family --------------------------------------------------------------
+
+
+class TestLlamaSpeculative:
+    CFG_T = dict(n_layers=2, d_model=128, n_heads=4, n_kv_heads=2,
+                 d_ff=96, vocab=61, max_len=96)
+    CFG_D = dict(n_layers=1, d_model=64, n_heads=2, n_kv_heads=1,
+                 d_ff=64, vocab=61, max_len=96)
+
+    @pytest.fixture(scope="class")
+    def ltarget(self):
+        from laser_tpu.models.llama import init_llama
+        return init_llama(jax.random.PRNGKey(11), **self.CFG_T)
+
+    @pytest.fixture(scope="class")
+    def ldraft(self):
+        from laser_tpu.models.llama import init_llama
+        return init_llama(jax.random.PRNGKey(12), **self.CFG_D)
+
+    def test_window_step_matches_sequential(self, ltarget, rng):
+        from laser_tpu.models.llama import (init_llama_cache,
+                                            llama_decode_step,
+                                            llama_prefill,
+                                            llama_window_step)
+
+        S0, W = 5, 4
+        prompt = jnp.asarray(rng.randint(0, 61, (1, S0)))
+        nxt = jnp.asarray(rng.randint(0, 61, (1, W)))
+
+        c0 = init_llama_cache(ltarget, 1, S0 + W + 2, n_heads=4,
+                              n_kv_heads=2)
+        _, cw = llama_prefill(ltarget, prompt, c0, n_heads=4, n_kv_heads=2)
+        lg_w, cw = llama_window_step(ltarget, cw, nxt, S0, n_heads=4,
+                                     n_kv_heads=2)
+
+        _, cs = llama_prefill(ltarget, prompt, c0, n_heads=4, n_kv_heads=2)
+        for i in range(W):
+            lg_s, cs = llama_decode_step(ltarget, cs, nxt[:, i], S0 + i,
+                                         n_heads=4, n_kv_heads=2)
+            np.testing.assert_allclose(np.asarray(lg_w[:, i]),
+                                       np.asarray(lg_s),
+                                       rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cw), np.asarray(cs),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_greedy_token_identical(self, ltarget, ldraft, rng):
+        from laser_tpu.models.llama import (llama_generate,
+                                            llama_speculative_decode_greedy)
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 5)))
+        want = np.asarray(llama_generate(
+            ltarget, prompt, jax.random.PRNGKey(0), n_heads=4,
+            n_kv_heads=2, max_new_tokens=12, temperature=0.0))
+        got = np.asarray(llama_speculative_decode_greedy(
+            ltarget, ldraft, prompt, n_heads=4, n_kv_heads=2,
+            draft_n_heads=2, draft_n_kv_heads=1, max_new_tokens=12,
+            gamma=3))
+        np.testing.assert_array_equal(got, want)
+
+    def test_greedy_windowed_token_identical(self, ltarget, ldraft, rng):
+        from laser_tpu.models.llama import (llama_generate,
+                                            llama_speculative_decode_greedy)
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 6)))
+        want = np.asarray(llama_generate(
+            ltarget, prompt, jax.random.PRNGKey(0), n_heads=4,
+            n_kv_heads=2, max_new_tokens=10, temperature=0.0, window=4))
+        got = np.asarray(llama_speculative_decode_greedy(
+            ltarget, ldraft, prompt, n_heads=4, n_kv_heads=2,
+            draft_n_heads=2, draft_n_kv_heads=1, max_new_tokens=10,
+            gamma=3, window=4))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sampled_sharp_temperature_matches_greedy(self, ltarget,
+                                                      ldraft, rng):
+        from laser_tpu.models.llama import (llama_generate,
+                                            llama_speculative_decode)
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 5)))
+        want = np.asarray(llama_generate(
+            ltarget, prompt, jax.random.PRNGKey(0), n_heads=4,
+            n_kv_heads=2, max_new_tokens=10, temperature=0.0))
+        got = np.asarray(llama_speculative_decode(
+            ltarget, ldraft, prompt, jax.random.PRNGKey(8), n_heads=4,
+            n_kv_heads=2, draft_n_heads=2, draft_n_kv_heads=1,
+            max_new_tokens=10, gamma=3, temperature=0.01))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sampled_deterministic(self, ltarget, ldraft, rng):
+        from laser_tpu.models.llama import llama_speculative_decode
+
+        prompt = jnp.asarray(rng.randint(0, 61, (1, 4)))
+        a = np.asarray(llama_speculative_decode(
+            ltarget, ldraft, prompt, jax.random.PRNGKey(5), n_heads=4,
+            n_kv_heads=2, draft_n_heads=2, draft_n_kv_heads=1,
+            max_new_tokens=8, gamma=4))
+        b = np.asarray(llama_speculative_decode(
+            ltarget, ldraft, prompt, jax.random.PRNGKey(5), n_heads=4,
+            n_kv_heads=2, draft_n_heads=2, draft_n_kv_heads=1,
+            max_new_tokens=8, gamma=4))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (1, 12)
+        np.testing.assert_array_equal(a[:, :4], np.asarray(prompt))
