@@ -213,3 +213,93 @@ class DataLoader:
 
     def __iter__(self):
         return self.epoch_iter()
+
+
+class PackedTokenDataset:
+    """Variable-length documents packed into fixed-length LM rows.
+
+    The pretraining input pipeline for models/llama.py: item i is ONE row
+    of ``seq_len + 1`` tokens (feed it straight to ``llama_lm_loss`` /
+    ``llama_train_step``, which shift internally). Two packing modes:
+
+    * ``mode="stream"`` (the GPT/llama recipe): every document is
+      terminated with ``eos_id`` and the documents are concatenated into
+      one stream, cut into disjoint rows. Zero padding waste; attention
+      may cross document boundaries (the eos token is what the model
+      learns to reset on).
+    * ``mode="bins"``: first-fit-decreasing bin packing — no document
+      ever spans two rows. Documents longer than a row are chunked
+      first; the tail of each row is padded. Padded positions carry
+      ``pad_id`` in the inputs and ``ignore_index`` in the row (so the
+      shifted targets there contribute zero loss/grad — pass the same
+      ``ignore_index`` to the train step). ``efficiency`` reports the
+      non-pad fraction.
+
+    Packing is deterministic (a pure function of the documents and
+    ``seed`` — ``seed`` only shuffles the stream-mode document order).
+    """
+
+    def __init__(self, docs: Sequence[np.ndarray], seq_len: int,
+                 eos_id: int, *, mode: str = "stream",
+                 pad_id: int = 0, ignore_index: int = -100,
+                 seed: Optional[int] = None, dtype=np.int32):
+        if mode not in ("stream", "bins"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if not docs:
+            raise ValueError("no documents")
+        L = seq_len + 1
+        self.seq_len = seq_len
+        self.mode = mode
+        self.ignore_index = ignore_index
+        docs = [np.asarray(d, dtype).reshape(-1) for d in docs]
+
+        if mode == "stream":
+            order = (np.random.RandomState(seed).permutation(len(docs))
+                     if seed is not None else np.arange(len(docs)))
+            stream = np.concatenate(
+                [np.concatenate([docs[i], [np.asarray(eos_id, dtype)]])
+                 for i in order])
+            n = len(stream) // L
+            self.rows = stream[:n * L].reshape(n, L)
+            self.efficiency = 1.0
+            return
+
+        # bins: chunk long docs, then first-fit-decreasing
+        pieces = []
+        for d in docs:
+            d = np.concatenate([d, [np.asarray(eos_id, dtype)]])
+            for s in range(0, len(d), L):
+                pieces.append(d[s:s + L])
+        pieces.sort(key=len, reverse=True)
+        bins: list = []   # list of lists of pieces
+        space: list = []  # remaining capacity per bin
+        for p in pieces:
+            for b, free in enumerate(space):
+                if len(p) <= free:
+                    bins[b].append(p)
+                    space[b] -= len(p)
+                    break
+            else:
+                bins.append([p])
+                space.append(L - len(p))
+        rows = np.full((len(bins), L), pad_id, dtype)
+        mask = np.zeros((len(bins), L), bool)
+        for b, ps in enumerate(bins):
+            row = np.concatenate(ps)
+            rows[b, :len(row)] = row
+            mask[b, :len(row)] = True
+        # pad positions carry ignore_index so the SHIFTED targets skip
+        # them; inputs at those positions are pad_id (never attended-to
+        # by any loss-bearing position in practice, and loss-masked)
+        self.rows = np.where(mask, rows, np.asarray(ignore_index, dtype))
+        self._inputs = rows
+        self.efficiency = float(mask.mean())
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def gather(self, idx: np.ndarray) -> Tuple[np.ndarray]:
+        """(rows,): (len(idx), seq_len+1) int tokens. In bins mode pad
+        positions hold ``ignore_index``; clamp for embedding lookups with
+        ``np.maximum(rows, 0)`` or feed the train step's ignore_index."""
+        return (np.ascontiguousarray(self.rows[idx]),)

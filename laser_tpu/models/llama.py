@@ -135,15 +135,26 @@ _STATIC_KEYS = ("rope_cos", "rope_sin")  # precomputed tables, not trained
 def llama_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
                   n_kv_heads: int, window=None,
                   label_smoothing: float = 0.0,
+                  ignore_index=None,
                   remat: bool = False) -> jax.Array:
     """Next-token cross entropy. The unembedding projection and the loss
     run as ONE chunked-vocab pass (ops/loss.py:lm_cross_entropy,
     transb=False for the untied (D, vocab) layout): the (B·S, vocab)
-    logits are never materialized, forward or backward."""
+    logits are never materialized, forward or backward.
+
+    ignore_index: positions whose TARGET equals it contribute zero
+    loss/grad (mean over the rest), and such tokens are clamped to 0
+    before the embedding lookup — so rows from
+    data/loader.py:PackedTokenDataset(mode="bins") (pad slots carry
+    ignore_index) feed straight in."""
+    targets = tokens[:, 1:]
+    if ignore_index is not None:
+        tokens = jnp.where(tokens == ignore_index, 0, tokens)
     x = llama_hidden(params, tokens, n_heads=n_heads,
                      n_kv_heads=n_kv_heads, window=window, remat=remat)
-    return lm_cross_entropy(x[:, :-1], params["unembed"], tokens[:, 1:],
-                            transb=False, label_smoothing=label_smoothing)
+    return lm_cross_entropy(x[:, :-1], params["unembed"], targets,
+                            transb=False, label_smoothing=label_smoothing,
+                            ignore_index=ignore_index)
 
 
 def llama_train_init(params: Dict):
@@ -154,14 +165,15 @@ def llama_train_init(params: Dict):
 
 def _llama_loss_grads(params, tokens, *, n_heads, n_kv_heads, window,
                       label_smoothing, accum: int = 1,
-                      remat: bool = False):
+                      remat: bool = False, ignore_index=None):
     static = {k: params[k] for k in _STATIC_KEYS}
     train = {k: v for k, v in params.items() if k not in _STATIC_KEYS}
 
     def loss_fn(tp, toks):
         return llama_lm_loss({**tp, **static}, toks, n_heads=n_heads,
                              n_kv_heads=n_kv_heads, window=window,
-                             label_smoothing=label_smoothing, remat=remat)
+                             label_smoothing=label_smoothing, remat=remat,
+                             ignore_index=ignore_index)
 
     loss, grads = accumulated_value_and_grad(loss_fn, accum)(train, tokens)
     return static, train, loss, grads
@@ -171,7 +183,8 @@ def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
                      step, *, n_heads: int, n_kv_heads: int,
                      lr=1e-3, weight_decay: float = 0.0, window=None,
                      label_smoothing: float = 0.0, clip_norm=None,
-                     accum: int = 1, remat: bool = False):
+                     accum: int = 1, remat: bool = False,
+                     ignore_index=None):
     """One AdamW step; returns (new_params, new_opt_state, loss). Jittable
     (``step`` is the 1-based count; ``lr`` may be a traced schedule value,
     e.g. ops/optim.py:warmup_cosine_lr). The rope tables ride along
@@ -185,7 +198,7 @@ def llama_train_step(params: Dict, opt_state, tokens: jax.Array,
     static, train, loss, grads = _llama_loss_grads(
         params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
         window=window, label_smoothing=label_smoothing, accum=accum,
-        remat=remat)
+        remat=remat, ignore_index=ignore_index)
     if clip_norm is not None:
         grads, _ = clip_by_global_norm(grads, clip_norm)
     m, v = opt_state
@@ -199,7 +212,8 @@ def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
                         n_kv_heads: int, lr=1e-3,
                         weight_decay: float = 0.0, window=None,
                         label_smoothing: float = 0.0, clip_norm=None,
-                        accum: int = 1, remat: bool = False):
+                        accum: int = 1, remat: bool = False,
+                        ignore_index=None):
     """Data-parallel AdamW step over ``mesh[axis]``: the batch is sharded,
     params/optimizer state replicated, and gradients (and the reported
     loss) are pmean'd over ICI. The collective sits OUTSIDE the
@@ -216,7 +230,7 @@ def llama_train_step_dp(params: Dict, opt_state, tokens: jax.Array,
         static, train, loss, grads = _llama_loss_grads(
             p, toks, n_heads=n_heads, n_kv_heads=n_kv_heads,
             window=window, label_smoothing=label_smoothing, accum=accum,
-            remat=remat)
+            remat=remat, ignore_index=ignore_index)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         if clip_norm is not None:
@@ -266,7 +280,8 @@ def llama_train_step_mp(params: Dict, opt_state, tokens: jax.Array,
                         step, *, n_heads: int, n_kv_heads: int,
                         lr=1e-3, weight_decay: float = 0.0, window=None,
                         label_smoothing: float = 0.0, clip_norm=None,
-                        accum: int = 1, remat: bool = False):
+                        accum: int = 1, remat: bool = False,
+                        ignore_index=None):
     """Mixed-precision AdamW step. ``params`` is the COMPUTE tree
     (``llama_cast(params, bf16)``); ``opt_state`` = (m, v, master) from
     ``llama_train_init_mp``. Loss/grads run in the compute dtype, grads
@@ -277,7 +292,7 @@ def llama_train_step_mp(params: Dict, opt_state, tokens: jax.Array,
     static, train, loss, grads = _llama_loss_grads(
         params, tokens, n_heads=n_heads, n_kv_heads=n_kv_heads,
         window=window, label_smoothing=label_smoothing, accum=accum,
-        remat=remat)
+        remat=remat, ignore_index=ignore_index)
     grads = jax.tree_util.tree_map(
         lambda g: g.astype(jnp.float32), grads)
     if clip_norm is not None:
@@ -336,7 +351,8 @@ def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
                            n_kv_heads: int, lr=1e-3,
                            weight_decay: float = 0.0, window=None,
                            label_smoothing: float = 0.0, clip_norm=None,
-                           accum: int = 1, remat: bool = False):
+                           accum: int = 1, remat: bool = False,
+                           ignore_index=None):
     """ZeRO-1 data-parallel AdamW step: batch sharded, params replicated,
     optimizer state SHARDED (``llama_train_init_zero1``). Per leaf:
 
@@ -361,7 +377,7 @@ def llama_train_step_zero1(params: Dict, opt_state, tokens: jax.Array,
         static, train, loss, grads = _llama_loss_grads(
             p, toks, n_heads=n_heads, n_kv_heads=n_kv_heads,
             window=window, label_smoothing=label_smoothing, accum=accum,
-            remat=remat)
+            remat=remat, ignore_index=ignore_index)
         loss = jax.lax.pmean(loss, axis)
 
         def scatter(g):
@@ -554,7 +570,8 @@ def llama_train_step_tp(params: Dict, opt_state, tokens: jax.Array,
                         n_kv_heads: int, lr=1e-3,
                         weight_decay: float = 0.0, window=None,
                         label_smoothing: float = 0.0, clip_norm=None,
-                        accum: int = 1, remat: bool = False):
+                        accum: int = 1, remat: bool = False,
+                        ignore_index=None):
     """2D-sharded AdamW step: batch over ``axes[0]`` (dp), heads/d_ff over
     ``axes[1]`` (tp, megatron split — params from ``llama_tp_params``).
 
@@ -584,12 +601,16 @@ def llama_train_step_tp(params: Dict, opt_state, tokens: jax.Array,
         train = {k: v for k, v in p.items() if k not in _STATIC_KEYS}
 
         def loss_fn(tp_, toks_):
+            targets = toks_[:, 1:]
+            if ignore_index is not None:
+                toks_ = jnp.where(toks_ == ignore_index, 0, toks_)
             x = _llama_tp_hidden({**tp_, **static}, toks_, h_loc=h_loc,
                                  hkv_loc=hkv_loc, head_dim=head_dim,
                                  tp_axis=tp_ax, window=window, remat=remat)
             return lm_cross_entropy(x[:, :-1], tp_["unembed"],
-                                    toks_[:, 1:], transb=False,
-                                    label_smoothing=label_smoothing)
+                                    targets, transb=False,
+                                    label_smoothing=label_smoothing,
+                                    ignore_index=ignore_index)
 
         loss, grads = accumulated_value_and_grad(loss_fn, accum)(train, toks)
         grads = jax.lax.pmean(grads, dp_ax)
@@ -626,6 +647,150 @@ def llama_train_step_tp(params: Dict, opt_state, tokens: jax.Array,
         check_vma=False)  # Pallas calls don't carry vma metadata yet
     return mapped(params, opt_state, tokens,
                   jnp.asarray(step, jnp.int32))
+
+
+# -- pipeline parallel: GPipe training over stage-sharded blocks --------------
+
+
+def llama_pp_params(params: Dict, mesh, *, axis: str = "pp") -> Dict:
+    """Relayout ``init_llama`` params for pipeline parallelism: the blocks
+    are STACKED into one pytree with leading dims (n_stages,
+    layers_per_stage, ...) and sharded over ``mesh[axis]`` on dim 0 — each
+    device owns one contiguous group of layers. Embeddings/final norm/rope
+    stay replicated (they run outside the pipelined region).
+    ``llama_pp_merge`` is the inverse."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    S = mesh.shape[axis]
+    blocks = params["blocks"]
+    if len(blocks) % S:
+        raise ValueError(f"n_layers={len(blocks)} must divide by "
+                         f"pp={S} stages")
+    k = len(blocks) // S
+    stages = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls).reshape((S, k) + ls[0].shape), *blocks)
+    rest = {kk: v for kk, v in params.items() if kk != "blocks"}
+    out = {**rest, "stages": stages}
+    spec = jax.tree_util.tree_map_with_path(
+        lambda path, _: P(axis) if getattr(path[0], "key", None) == "stages"
+        else P(), out)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), out, spec)
+
+
+def llama_pp_merge(params_pp: Dict) -> Dict:
+    """Gather a PP param tree back to the ``init_llama`` layout."""
+    stages = params_pp["stages"]
+    lead = jax.tree_util.tree_leaves(stages)[0].shape[:2]
+    n_layers = lead[0] * lead[1]
+    flat = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(l).reshape((n_layers,) + l.shape[2:]), stages)
+    blocks = [jax.tree_util.tree_map(lambda l: l[i], flat)
+              for i in range(n_layers)]
+    return {**{kk: jnp.asarray(v) for kk, v in params_pp.items()
+               if kk != "stages"}, "blocks": blocks}
+
+
+def llama_train_init_pp(params_pp: Dict):
+    """AdamW (m, v) matching the PP layout (zeros_like keeps shardings)."""
+    train = {k: v for k, v in params_pp.items() if k not in _STATIC_KEYS}
+    return adamw_init(train)
+
+
+def llama_train_step_pp(params: Dict, opt_state, tokens: jax.Array,
+                        step, mesh, *, axis: str = "pp", n_micro: int,
+                        n_heads: int, n_kv_heads: int, lr=1e-3,
+                        weight_decay: float = 0.0, window=None,
+                        label_smoothing: float = 0.0,
+                        ignore_index=None):
+    """GPipe pipeline-parallel AdamW step (params from ``llama_pp_params``).
+
+    The batch splits into ``n_micro`` microbatches; embedded microbatches
+    enter at stage 0, hidden states hop stage-to-stage over ICI
+    (``ppermute``, parallel/pipeline.py:spmd_pipeline), and the last
+    stage's outputs broadcast back (conjugate-psum, so the backward pass
+    through the whole schedule is exact). Embedding/final-norm/loss run
+    replicated outside the pipelined region; their one subtlety is that
+    the EMBEDDING's cotangent only materializes on stage 0 (only stage 0
+    injects), so its gradient is psum'd over the axis after
+    value_and_grad — every other replicated leaf's grad is already full
+    and identical on all stages. Stage-owned block grads stay local.
+    Arithmetically one `llama_train_step` on the full batch (GPipe is an
+    exact schedule, not an approximation); certified in tests and
+    dryrun_multichip."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.pipeline import spmd_pipeline
+
+    S = mesh.shape[axis]
+    head_dim = params["embed"].shape[1] // n_heads
+    H, Hkv = n_heads, n_kv_heads
+
+    def body(p, o, toks, i):
+        static = {k: p[k] for k in _STATIC_KEYS}
+        train = {k: v for k, v in p.items() if k not in _STATIC_KEYS}
+        cos, sin = static["rope_cos"], static["rope_sin"]
+        B, Sq = toks.shape
+        if B % n_micro:
+            raise ValueError(f"batch {B} % n_micro {n_micro} != 0")
+        mb = B // n_micro
+        D = p["embed"].shape[1]
+
+        def block(x, blk):
+            h = rms_norm(x, blk["rms1"])
+            q, k_, v_ = _qkv(blk, h, mb, Sq, H, Hkv, head_dim, cos, sin)
+            oatt = attention_gqa_trainable(q, k_, v_, causal=True,
+                                           window=window)
+            oatt = oatt.transpose(0, 2, 1, 3).reshape(mb * Sq, H * head_dim)
+            x = x + linear(oatt, blk["wo"], None).reshape(mb, Sq, D)
+            h2 = rms_norm(x, blk["rms2"]).reshape(mb * Sq, D)
+            f = jax.nn.silu(linear(h2, blk["w_gate"], None)) * linear(
+                h2, blk["w_up"], None)
+            return x + linear(f, blk["w_down"], None).reshape(mb, Sq, D)
+
+        def stage_fn(sp, x):
+            k = jax.tree_util.tree_leaves(sp)[0].shape[0]
+            for j in range(k):
+                x = block(x, jax.tree_util.tree_map(lambda l: l[j], sp))
+            return x
+
+        pipe = spmd_pipeline(stage_fn, axis)
+
+        def loss_fn(tp, toks_):
+            targets = toks_[:, 1:]
+            if ignore_index is not None:
+                toks_ = jnp.where(toks_ == ignore_index, 0, toks_)
+            x = tp["embed"][toks_]  # replicated; only stage 0's enters
+            micro = x.reshape(n_micro, mb, Sq, D)
+            # local stages leaf is (1, k, ...): drop the sharded dim
+            sp = jax.tree_util.tree_map(lambda q: q[0], tp["stages"])
+            hidden = pipe(sp, micro).reshape(B, Sq, D)
+            hidden = rms_norm(hidden, tp["rms_f"])
+            return lm_cross_entropy(hidden[:, :-1], tp["unembed"],
+                                    targets, transb=False,
+                                    label_smoothing=label_smoothing,
+                                    ignore_index=ignore_index)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train, toks)
+        # only stage 0's injection touches the embedding -> its grad lives
+        # on stage 0 alone; make it whole (and replicated) explicitly
+        grads["embed"] = jax.lax.psum(grads["embed"], axis)
+
+        m, v = o
+        new_train, m2, v2 = adamw_step(train, grads, m, v, i, lr=lr,
+                                       weight_decay=weight_decay)
+        return {**new_train, **static}, (m2, v2), loss
+
+    pspec = jax.tree_util.tree_map_with_path(
+        lambda path, _: P(axis) if getattr(path[0], "key", None) == "stages"
+        else P(), params)
+    tspec = {k: v for k, v in pspec.items() if k not in _STATIC_KEYS}
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, (tspec, tspec), P(), P()),
+        out_specs=(pspec, (tspec, tspec), P()),
+        check_vma=False)  # Pallas calls don't carry vma metadata yet
+    return mapped(params, opt_state, tokens, jnp.asarray(step, jnp.int32))
 
 
 # -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------

@@ -110,17 +110,26 @@ def transformer_forward(params: Dict, tokens: jax.Array, *, n_heads: int,
 
 def transformer_lm_loss(params: Dict, tokens: jax.Array, *, n_heads: int,
                         window=None,
-                        label_smoothing: float = 0.0) -> jax.Array:
+                        label_smoothing: float = 0.0,
+                        ignore_index=None) -> jax.Array:
     """Next-token cross entropy through the tied (vocab, D) embedding.
     The unembedding and the loss run as ONE chunked-vocab pass
     (ops/loss.py:lm_cross_entropy): the (B·S, vocab) logits are never
-    materialized in the training step, forward or backward."""
+    materialized in the training step, forward or backward.
+
+    ignore_index: masked targets contribute zero loss/grad and such
+    tokens are clamped to 0 before the embedding lookup (see
+    data/loader.py:PackedTokenDataset)."""
     from ..ops.loss import lm_cross_entropy
 
+    targets = tokens[:, 1:]
+    if ignore_index is not None:
+        tokens = jnp.where(tokens == ignore_index, 0, tokens)
     x = transformer_hidden(params, tokens, n_heads=n_heads, causal=True,
                            window=window)
-    return lm_cross_entropy(x[:, :-1], params["embed"], tokens[:, 1:],
-                            label_smoothing=label_smoothing)
+    return lm_cross_entropy(x[:, :-1], params["embed"], targets,
+                            label_smoothing=label_smoothing,
+                            ignore_index=ignore_index)
 
 
 def transformer_train_init(params: Dict):
@@ -134,7 +143,7 @@ def transformer_train_step(params: Dict, opt_state, tokens: jax.Array,
                            step, *, n_heads: int, lr=1e-3,
                            weight_decay: float = 0.0, window=None,
                            label_smoothing: float = 0.0, clip_norm=None,
-                           accum: int = 1):
+                           accum: int = 1, ignore_index=None):
     """One fused-AdamW step; returns (new_params, new_opt_state, loss).
     Jittable; ``step`` is the 1-based count, ``lr`` may be traced (e.g.
     ops/optim.py:warmup_cosine_lr). clip_norm: global-L2 gradient
@@ -145,7 +154,8 @@ def transformer_train_step(params: Dict, opt_state, tokens: jax.Array,
 
     def loss_fn(p, toks):
         return transformer_lm_loss(p, toks, n_heads=n_heads, window=window,
-                                   label_smoothing=label_smoothing)
+                                   label_smoothing=label_smoothing,
+                                   ignore_index=ignore_index)
 
     loss, grads = accumulated_value_and_grad(loss_fn, accum)(params, tokens)
     if clip_norm is not None:

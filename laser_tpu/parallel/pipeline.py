@@ -55,9 +55,15 @@ def spmd_pipeline(stage_fn: Callable, axis: str = "pp"):
         buf0 = jnp.zeros(micro.shape[1:], micro.dtype)
         outs0 = jnp.zeros_like(micro)
         _, outs = jax.lax.fori_loop(0, T, step, (buf0, outs0))
-        # broadcast the last stage's outputs to every device on the axis
+        # broadcast the last stage's outputs to every device on the axis.
+        # psum_fwd_copy_bwd (not raw psum): differentiating THROUGH the
+        # pipeline (llama_train_step_pp) must send each device exactly its
+        # own outs cotangent — the local mask then zeroes every stage but
+        # the last, which is the correct adjoint of this broadcast.
+        from .mesh import psum_fwd_copy_bwd
+
         mask = (stage == S - 1).astype(outs.dtype)
-        return jax.lax.psum(outs * mask, axis)
+        return psum_fwd_copy_bwd(axis)(outs * mask)
 
     return body
 

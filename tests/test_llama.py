@@ -475,3 +475,76 @@ class TestLlamaMixedPrecision:
         for leaf in jax.tree_util.tree_leaves(p):
             if jnp.issubdtype(leaf.dtype, jnp.floating):
                 assert leaf.dtype == jnp.bfloat16
+
+
+class TestLlamaPipelineParallel:
+    """GPipe pipeline training (llama_train_step_pp) vs the single-device
+    oracle: blocks stage-sharded over pp, microbatched schedule, exact
+    backward through ppermute + the conjugate broadcast."""
+
+    def test_pp_step_matches_single_device(self, rng):
+        from laser_tpu.models.llama import (llama_pp_merge, llama_pp_params,
+                                            llama_train_init_pp,
+                                            llama_train_step_pp)
+        from laser_tpu.parallel import make_mesh
+
+        cfg = dict(CFG, n_layers=4)
+        mesh = make_mesh({"pp": 4}, devices=jax.devices()[:4])
+        params = init_llama(jax.random.PRNGKey(30), **cfg)
+        toks = jnp.asarray(rng.randint(0, cfg["vocab"], (4, 16)))
+
+        p_ref, _, l_ref = llama_train_step(
+            params, llama_train_init(params), toks, 1, n_heads=H,
+            n_kv_heads=HKV, lr=3e-3, weight_decay=0.01)
+
+        ppp = llama_pp_params(params, mesh)
+        p_pp, _, l_pp = llama_train_step_pp(
+            ppp, llama_train_init_pp(ppp), toks, 1, mesh, n_micro=2,
+            n_heads=H, n_kv_heads=HKV, lr=3e-3, weight_decay=0.01)
+        np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-5)
+        merged = llama_pp_merge(p_pp)
+        # atol 3e-4: the microbatched schedule reorders f32 grad sums and
+        # AdamW's step-1 rsqrt amplifies that on near-zero elements
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_ref)[0]):
+            assert str(ka) == str(kb)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=3e-4,
+                                       err_msg=str(ka))
+
+    def test_pp_two_layers_per_stage(self, rng):
+        from laser_tpu.models.llama import (llama_pp_merge, llama_pp_params,
+                                            llama_train_init_pp,
+                                            llama_train_step_pp)
+        from laser_tpu.parallel import make_mesh
+
+        cfg = dict(CFG, n_layers=4)
+        mesh = make_mesh({"pp": 2}, devices=jax.devices()[:2])
+        params = init_llama(jax.random.PRNGKey(31), **cfg)
+        toks = jnp.asarray(rng.randint(0, cfg["vocab"], (4, 16)))
+
+        p_ref, _, l_ref = llama_train_step(
+            params, llama_train_init(params), toks, 1, n_heads=H,
+            n_kv_heads=HKV, lr=3e-3)
+        ppp = llama_pp_params(params, mesh)
+        p_pp, _, l_pp = llama_train_step_pp(
+            ppp, llama_train_init_pp(ppp), toks, 1, mesh, n_micro=4,
+            n_heads=H, n_kv_heads=HKV, lr=3e-3)
+        np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-5)
+        merged = llama_pp_merge(p_pp)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_ref)[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=3e-4,
+                                       err_msg=str(ka))
+
+    def test_pp_rejects_bad_layer_split(self):
+        from laser_tpu.models.llama import llama_pp_params
+        from laser_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"pp": 3}, devices=jax.devices()[:3])
+        params = init_llama(jax.random.PRNGKey(32), **CFG)  # 2 layers
+        with pytest.raises(ValueError, match="divide"):
+            llama_pp_params(params, mesh)
