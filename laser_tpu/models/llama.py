@@ -793,6 +793,208 @@ def llama_train_step_pp(params: Dict, opt_state, tokens: jax.Array,
     return mapped(params, opt_state, tokens, jnp.asarray(step, jnp.int32))
 
 
+# -- 3D parallel: dp x tp x pp in one training step ---------------------------
+
+
+def llama_3d_params(params: Dict, mesh, *, tp_axis: str = "tp",
+                    pp_axis: str = "pp") -> Dict:
+    """Relayout for 3D parallelism: blocks STACKED (n_stages,
+    layers_per_stage, ...) and sharded over ``pp_axis`` on dim 0, with the
+    megatron column/row split over ``tp_axis`` on the matmul dims (wkv
+    split into wk/wv as in ``llama_tp_params``). Embeddings/final norm
+    replicated. ``llama_3d_merge`` is the inverse."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    S = mesh.shape[pp_axis]
+    blocks = params["blocks"]
+    if len(blocks) % S:
+        raise ValueError(f"n_layers={len(blocks)} must divide by "
+                         f"pp={S} stages")
+    k = len(blocks) // S
+    split = []
+    for blk in blocks:
+        b = dict(blk)
+        wkv = b.pop("wkv")
+        half = wkv.shape[1] // 2
+        b["wk"], b["wv"] = wkv[:, :half], wkv[:, half:]
+        split.append(b)
+    stages = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls).reshape((S, k) + ls[0].shape), *split)
+    out = {**{kk: v for kk, v in params.items() if kk != "blocks"},
+           "stages": stages}
+
+    def spec_of(path, leaf):
+        if getattr(path[0], "key", None) != "stages":
+            return P()
+        name = getattr(path[-1], "key", None)
+        if name in _TP_COL:
+            return P(pp_axis, None, None, tp_axis)
+        if name in _TP_ROW:
+            return P(pp_axis, None, tp_axis, None)
+        return P(pp_axis)
+
+    specs = jax.tree_util.tree_map_with_path(spec_of, out)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), out,
+        specs)
+
+
+def llama_3d_merge(params_3d: Dict) -> Dict:
+    """Gather a 3D param tree back to the ``init_llama`` layout."""
+    stages = params_3d["stages"]
+    lead = jax.tree_util.tree_leaves(stages)[0].shape[:2]
+    n_layers = lead[0] * lead[1]
+    flat = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(l).reshape((n_layers,) + l.shape[2:]), stages)
+    blocks = []
+    for i in range(n_layers):
+        b = jax.tree_util.tree_map(lambda l: l[i], flat)
+        b["wkv"] = jnp.concatenate([b.pop("wk"), b.pop("wv")], axis=1)
+        blocks.append(b)
+    return {**{kk: jnp.asarray(v) for kk, v in params_3d.items()
+               if kk != "stages"}, "blocks": blocks}
+
+
+def llama_train_init_3d(params_3d: Dict):
+    """AdamW (m, v) matching the 3D layout (zeros_like keeps shardings)."""
+    train = {k: v for k, v in params_3d.items() if k not in _STATIC_KEYS}
+    return adamw_init(train)
+
+
+def llama_train_step_3d(params: Dict, opt_state, tokens: jax.Array,
+                        step, mesh, *, axes=("dp", "tp", "pp"),
+                        n_micro: int, n_heads: int, n_kv_heads: int,
+                        lr=1e-3, weight_decay: float = 0.0, window=None,
+                        label_smoothing: float = 0.0, clip_norm=None,
+                        ignore_index=None):
+    """The full 3D-parallel AdamW step (params from ``llama_3d_params``):
+    batch sharded over dp, megatron head/d_ff split over tp INSIDE each
+    pipeline stage, GPipe microbatch schedule over pp. Composes the three
+    certified-exact mechanisms: the conjugate f/g operators pin every tp
+    boundary's backward, the pipeline broadcast's adjoint is pinned in
+    spmd_pipeline, the stage-0-only embedding cotangent is psum'd whole
+    over pp, gradients pmean over dp, and every shard updates its own
+    params with the fused AdamW. Arithmetically one `llama_train_step`
+    on the full batch; certified vs that oracle in tests and
+    dryrun_multichip.
+
+    clip_norm: exact global norm — stage leaves' square-sums psum over
+    (tp, pp) (each element owned by exactly one shard), replicated
+    leaves counted once."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import copy_fwd_psum_bwd, psum_fwd_copy_bwd
+    from ..parallel.pipeline import spmd_pipeline
+
+    dp_ax, tp_ax, pp_ax = axes
+    ntp = mesh.shape[tp_ax]
+    if n_heads % ntp or n_kv_heads % ntp:
+        raise ValueError(f"n_heads={n_heads}/n_kv_heads={n_kv_heads} must "
+                         f"divide by tp={ntp}")
+    H, Hkv = n_heads // ntp, n_kv_heads // ntp
+    hd = params["embed"].shape[1] // n_heads
+    f = copy_fwd_psum_bwd(tp_ax)
+    g = psum_fwd_copy_bwd(tp_ax)
+
+    def body(p, o, toks, i):
+        static = {k: p[k] for k in _STATIC_KEYS}
+        train = {k: v for k, v in p.items() if k not in _STATIC_KEYS}
+        cos, sin = static["rope_cos"], static["rope_sin"]
+        B, Sq = toks.shape  # B = local dp shard
+        if B % n_micro:
+            raise ValueError(f"dp-local batch {B} % n_micro {n_micro} != 0")
+        mb = B // n_micro
+        D = p["embed"].shape[1]
+
+        def block(x, blk):
+            h = f(rms_norm(x, blk["rms1"]))
+            h2 = h.reshape(mb * Sq, D)
+            q = linear(h2, blk["wq"], None).reshape(mb, Sq, H, hd)
+            k_ = linear(h2, blk["wk"], None).reshape(mb, Sq, Hkv, hd)
+            v_ = linear(h2, blk["wv"], None).reshape(mb, Sq, Hkv, hd)
+            q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+            k_ = apply_rope(k_.transpose(0, 2, 1, 3), cos, sin)
+            oatt = attention_gqa_trainable(q, k_, v_.transpose(0, 2, 1, 3),
+                                           causal=True, window=window)
+            oatt = oatt.transpose(0, 2, 1, 3).reshape(mb * Sq, H * hd)
+            x = x + g(linear(oatt, blk["wo"], None)).reshape(mb, Sq, D)
+            h = f(rms_norm(x, blk["rms2"]))
+            h2 = h.reshape(mb * Sq, D)
+            ffn = jax.nn.silu(linear(h2, blk["w_gate"], None)) * linear(
+                h2, blk["w_up"], None)
+            return x + g(linear(ffn, blk["w_down"], None)).reshape(
+                mb, Sq, D)
+
+        def stage_fn(sp, x):
+            k = jax.tree_util.tree_leaves(sp)[0].shape[0]
+            for j in range(k):
+                x = block(x, jax.tree_util.tree_map(lambda l: l[j], sp))
+            return x
+
+        pipe = spmd_pipeline(stage_fn, pp_ax)
+
+        def loss_fn(tp_, toks_):
+            targets = toks_[:, 1:]
+            if ignore_index is not None:
+                toks_ = jnp.where(toks_ == ignore_index, 0, toks_)
+            x = tp_["embed"][toks_]
+            micro = x.reshape(n_micro, mb, Sq, D)
+            sp = jax.tree_util.tree_map(lambda q: q[0], tp_["stages"])
+            hidden = pipe(sp, micro).reshape(B, Sq, D)
+            hidden = rms_norm(hidden, tp_["rms_f"])
+            return lm_cross_entropy(hidden[:, :-1], tp_["unembed"],
+                                    targets, transb=False,
+                                    label_smoothing=label_smoothing,
+                                    ignore_index=ignore_index)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train, toks)
+        grads["embed"] = jax.lax.psum(grads["embed"], pp_ax)
+        grads = jax.lax.pmean(grads, dp_ax)
+        loss = jax.lax.pmean(loss, dp_ax)
+
+        if clip_norm is not None:
+            sq_rep = jnp.float32(0)
+            for kk, gl in grads.items():
+                if kk == "stages":
+                    continue
+                sq_rep += sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                              for l in jax.tree_util.tree_leaves(gl))
+            sq_st = sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in jax.tree_util.tree_leaves(
+                            grads["stages"]))
+            norm = jnp.sqrt(sq_rep + jax.lax.psum(
+                jax.lax.psum(sq_st, tp_ax), pp_ax))
+            scale = jnp.asarray(clip_norm, jnp.float32) / jnp.maximum(
+                norm, clip_norm)
+            grads = jax.tree_util.tree_map(
+                lambda g_: (g_.astype(jnp.float32) * scale).astype(
+                    g_.dtype), grads)
+
+        m, v = o
+        new_train, m2, v2 = adamw_step(train, grads, m, v, i, lr=lr,
+                                       weight_decay=weight_decay)
+        return {**new_train, **static}, (m2, v2), loss
+
+    def spec_of(path, leaf):
+        if getattr(path[0], "key", None) != "stages":
+            return P()
+        name = getattr(path[-1], "key", None)
+        if name in _TP_COL:
+            return P(pp_ax, None, None, tp_ax)
+        if name in _TP_ROW:
+            return P(pp_ax, None, tp_ax, None)
+        return P(pp_ax)
+
+    pspec = jax.tree_util.tree_map_with_path(spec_of, params)
+    tspec = {k: v for k, v in pspec.items() if k not in _STATIC_KEYS}
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, (tspec, tspec), P(dp_ax), P()),
+        out_specs=(pspec, (tspec, tspec), P()),
+        check_vma=False)  # Pallas calls don't carry vma metadata yet
+    return mapped(params, opt_state, tokens, jnp.asarray(step, jnp.int32))
+
+
 # -- serving: flash prefill + KV-cached decode (GQA caches: Hkv heads) --------
 
 def init_llama_cache(params: Dict, B: int, max_len: int, *, n_heads: int,

@@ -548,3 +548,66 @@ class TestLlamaPipelineParallel:
         params = init_llama(jax.random.PRNGKey(32), **CFG)  # 2 layers
         with pytest.raises(ValueError, match="divide"):
             llama_pp_params(params, mesh)
+
+
+class TestLlama3D:
+    """dp x tp x pp in ONE training step vs the single-device oracle."""
+
+    def test_3d_step_matches_single_device(self, rng):
+        from laser_tpu.models.llama import (llama_3d_merge, llama_3d_params,
+                                            llama_train_init_3d,
+                                            llama_train_step_3d)
+        from laser_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"dp": 2, "tp": 2, "pp": 2},
+                         devices=jax.devices()[:8])
+        params = init_llama(jax.random.PRNGKey(50), **CFG)  # 2 layers
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        p_ref, _, l_ref = llama_train_step(
+            params, llama_train_init(params), toks, 1, n_heads=H,
+            n_kv_heads=HKV, lr=3e-3, weight_decay=0.01, clip_norm=1.0)
+
+        p3 = llama_3d_params(params, mesh)
+        p_3d, _, l_3d = llama_train_step_3d(
+            p3, llama_train_init_3d(p3), toks, 1, mesh, n_micro=2,
+            n_heads=H, n_kv_heads=HKV, lr=3e-3, weight_decay=0.01,
+            clip_norm=1.0)
+        np.testing.assert_allclose(float(l_3d), float(l_ref), rtol=1e-5)
+        merged = llama_3d_merge(p_3d)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_ref)[0]):
+            assert str(ka) == str(kb)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=3e-4,
+                                       err_msg=str(ka))
+
+    def test_3d_second_step_threads_state(self, rng):
+        from laser_tpu.models.llama import (llama_3d_merge, llama_3d_params,
+                                            llama_train_init_3d,
+                                            llama_train_step_3d)
+        from laser_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"dp": 2, "tp": 2, "pp": 2},
+                         devices=jax.devices()[:8])
+        params = init_llama(jax.random.PRNGKey(51), **CFG)
+        toks = jnp.asarray(rng.randint(0, CFG["vocab"], (4, 16)))
+
+        p_r, o_r = params, llama_train_init(params)
+        p3 = llama_3d_params(params, mesh)
+        p_t, o_t = p3, llama_train_init_3d(p3)
+        for i in (1, 2):
+            p_r, o_r, l_r = llama_train_step(p_r, o_r, toks, i, n_heads=H,
+                                             n_kv_heads=HKV, lr=3e-3)
+            p_t, o_t, l_t = llama_train_step_3d(
+                p_t, o_t, toks, i, mesh, n_micro=2, n_heads=H,
+                n_kv_heads=HKV, lr=3e-3)
+            np.testing.assert_allclose(float(l_t), float(l_r), rtol=1e-5)
+        merged = llama_3d_merge(p_t)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(merged)[0],
+                jax.tree_util.tree_flatten_with_path(p_r)[0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=5e-4,
+                                       err_msg=str(ka))
