@@ -45,6 +45,39 @@ from ..registry import build_cache
 
 _NEG_INF = -1e30
 
+# perf-probe hook (tools/paged_int8_probe.py): None = shipped path
+# ("bf16k" for quantized f32: k/v as bf16 — exact, int8 values are
+# exactly representable in bf16's 8 mantissa bits — with q/p split into
+# 3 bf16 limbs, halving HIGHEST's 6 MXU passes at the same accuracy
+# class; measured 0.246 -> 0.182 ms at 8x4096). Overrides: "base" =
+# HIGHEST f32 dots, "default" = 1-pass bf16 (the time floor, 0.124 ms,
+# err 3e-5), "bf16k2" = 2 limbs (0.146 ms, err 6e-8 on the bench
+# distribution but ~2^-16 worst-case — not shipped).
+_PROBE_MODE = None
+
+
+def _dot_limbs(a: jax.Array, b_bf16: jax.Array, dims,
+               limbs: int = 3) -> jax.Array:
+    """f32 x bf16-exact dot via 3 bf16 limb passes, f32 accumulation.
+
+    b must hold values exactly representable in bf16 (here: int8 rows).
+    Splitting only `a` into 3 bf16 limbs recovers full f32 accuracy of
+    the product in 3 MXU passes — half of HIGHEST's 6 (which decomposes
+    BOTH operands)."""
+    f32 = jnp.float32
+    parts = []
+    r = a
+    for _ in range(limbs):
+        hi = r.astype(jnp.bfloat16)
+        parts.append(hi)
+        r = r - hi.astype(f32)
+    out = None
+    for hi in reversed(parts):       # smallest limb first: stable sum
+        d = jax.lax.dot_general(hi, b_bf16, dims,
+                                preferred_element_type=f32)
+        out = d if out is None else out + d
+    return out
+
 
 @build_cache
 def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
@@ -54,6 +87,13 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
     dt = jnp.dtype(dtype)
     group = Hq // Hkv
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    mode = None
+    if quantized and dt == jnp.float32:
+        mode = "bf16k" if _PROBE_MODE is None else _PROBE_MODE
+        if mode in ("default", "base"):
+            if mode == "default":
+                prec = None
+            mode = None
 
     def kernel(tables_ref, lens_ref, *refs):
         if quantized:
@@ -87,14 +127,19 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                 # (g, ps) SCORES after the K dot and into the (g, ps)
                 # probabilities before the V dot: hd-times less scale work
                 # (measured: row dequant made int8 slower than f32)
-                k = k_ref[0].astype(dt)
-                v = v_ref[0].astype(dt)
+                cdt = jnp.bfloat16 if mode == "bf16k" else dt
+                k = k_ref[0].astype(cdt)
+                v = v_ref[0].astype(cdt)
             else:
                 k = k_ref[0]                           # (Hkv, ps, hd)
                 v = v_ref[0]
-            s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec)
+            kdims = (((2,), (2,)), ((0,), (0,)))
+            if mode in ("bf16k", "bf16k2"):
+                s = _dot_limbs(q, k, kdims, 2 if mode == "bf16k2" else 3)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, kdims,
+                    preferred_element_type=jnp.float32, precision=prec)
             s = s * scale                              # (Hkv, g, ps)
             if quantized:
                 s = s * ks_ref[0][:, None, :]          # per-token K scale
@@ -121,9 +166,14 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                 jnp.sum(p, axis=-1, keepdims=True), corr.shape)
             if quantized:
                 p = p * vs_ref[0][:, None, :]          # per-token V scale
-            acc_ref[:] = acc_ref[:] * corr[..., :hd] + jax.lax.dot_general(
-                p.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec)
+            vdims = (((2,), (1,)), ((0,), (0,)))
+            if mode in ("bf16k", "bf16k2"):
+                pv = _dot_limbs(p, v, vdims, 2 if mode == "bf16k2" else 3)
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(dt), v, vdims,
+                    preferred_element_type=jnp.float32, precision=prec)
+            acc_ref[:] = acc_ref[:] * corr[..., :hd] + pv
             m_ref[:] = m_new
 
         @pl.when(j == max_pages - 1)

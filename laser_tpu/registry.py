@@ -68,4 +68,5 @@ def build_cache(fn: Callable) -> Callable:
         return out
 
     wrapper.cache_info = cached.cache_info  # type: ignore[attr-defined]
+    wrapper.cache_clear = cached.cache_clear  # type: ignore[attr-defined]
     return wrapper
