@@ -72,6 +72,30 @@ class TestPagedAttention:
         full = paged_attention_reference(q, kp, vp, tables, lengths)
         assert np.abs(np.asarray(got - full)).max() < 0.05
 
+    def test_int8_pools_magnitude_spread(self, rng):
+        # the quantized-f32 path runs 3-limb bf16 dots (exact: int8 rows
+        # fit bf16; q split into 3 bf16 limbs covers f32's 24 mantissa
+        # bits). Adversarial q with a wide exponent spread must still
+        # match the dequantized-f32 oracle at kernel tolerance.
+        from laser_tpu.ops.paged_attention import quantize_kv
+
+        S, H, hd, ps, P, mp = 2, 4, 64, 16, 12, 3
+        mag = 10.0 ** rng.uniform(-3, 2, (S, H, hd))
+        q = jnp.asarray(rng.randn(S, H, hd) * mag * 0.05, jnp.float32)
+        kp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([17, 48], jnp.int32)
+        got = paged_attention(q, kq, vq, tables, lengths,
+                              k_scale=ks, v_scale=vs)
+        kd = kq.astype(jnp.float32) * ks[..., None]
+        vd = vq.astype(jnp.float32) * vs[..., None]
+        want = paged_attention_reference(q, kd, vd, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
     def test_shared_pages_between_sequences(self, rng):
         # two sequences whose tables point at the SAME pages (prefix
         # sharing): outputs must agree where lengths agree
