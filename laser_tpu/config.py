@@ -45,7 +45,10 @@ class LaserConfig:
     # libm — the reference-parity bar) or "fast" (VPU hardware approx).
     vector_math_algorithm: str = "accurate"
     elementwise_grain: int = 8 * 128 * 256
-    reduction_grain: int = 8 * 128 * 512
+    # 8*128*1024 elements = 128 rows at width 8192 (4 MB f32 blocks): the
+    # round-3 grain sweep measured 64 -> 686 GB/s, 128 -> 700, 256 -> VMEM
+    # OOM (the in-kernel pairwise-tree reshape doubles the block footprint)
+    reduction_grain: int = 8 * 128 * 1024
     vmem_budget_frac: float = 0.7
     matmul_precision: str = "highest"
     # Pipeline/autotune defaults for the GEMM tiler; None = derive from device.
