@@ -275,6 +275,233 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     return fn(*args)
 
 
+@build_cache
+def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
+                                 ps: int, hd: int, max_pages: int,
+                                 scale: float, dtype: str, quantized: bool,
+                                 interpret: bool, window=None):
+    """W-query variant of the paged decode kernel (verify kernel).
+
+    Query w of sequence s sits at position lengths[s] - W + w and attends
+    causally over that sequence's pages. The (W, group) query rows are
+    folded OUTSIDE the kernel into one (Hkv, W*group, hd) operand (no
+    in-kernel transposes); causal masking recovers w = row // group from
+    a row iota. Unlike the one-query kernel, a row can be fully masked
+    within a processed page (pages beyond its position, or before its
+    sliding window), so probabilities are explicitly zeroed on masked
+    lanes rather than relying on exp(-inf)."""
+    dt = jnp.dtype(dtype)
+    group = Hq // Hkv
+    G = W * group
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    limb = quantized and dt == jnp.float32
+
+    def kernel(tables_ref, lens_ref, *refs):
+        if quantized:
+            (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+             m_ref, l_ref, acc_ref) = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        s_idx = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        length = lens_ref[s_idx]
+        run = j * ps < length
+        if window is not None:
+            # lowest key any query row needs: (length - W) - window + 1
+            run &= j * ps + ps - 1 >= length - W - window + 1
+
+        @pl.when(run)
+        def _step():
+            q = q_ref[0]                               # (Hkv, G, hd)
+            if quantized:
+                cdt = jnp.bfloat16 if limb else dt
+                k = k_ref[0].astype(cdt)
+                v = v_ref[0].astype(cdt)
+            else:
+                k = k_ref[0]
+                v = v_ref[0]
+            kdims = (((2,), (2,)), ((0,), (0,)))
+            if limb:
+                s = _dot_limbs(q, k, kdims)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, kdims,
+                    preferred_element_type=jnp.float32, precision=prec)
+            s = s * scale                              # (Hkv, G, ps)
+            if quantized:
+                s = s * ks_ref[0][:, None, :]
+            kpos = j * ps + jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, G, ps), 2)
+            w = jax.lax.broadcasted_iota(
+                jnp.int32, (Hkv, G, ps), 1) // group
+            qpos = length - W + w
+            valid = kpos <= qpos                       # causal (=> < length)
+            if window is not None:
+                valid &= kpos >= qpos - window + 1
+            s = jnp.where(valid, s, _NEG_INF)
+
+            m_prev = m_ref[:]                          # (Hkv, G, 128)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            corr = jnp.exp(m_prev - m_new)
+            # fully-masked rows keep m_new == -inf: zero p explicitly
+            p = jnp.where(valid, jnp.exp(s - m_new[..., :1]), 0.0)
+            l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+            if quantized:
+                p = p * vs_ref[0][:, None, :]
+            vdims = (((2,), (1,)), ((0,), (0,)))
+            if limb:
+                pv = _dot_limbs(p, v, vdims)
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(dt), v, vdims,
+                    preferred_element_type=jnp.float32, precision=prec)
+            acc_ref[:] = acc_ref[:] * corr[..., :hd] + pv
+            m_ref[:] = m_new
+
+        @pl.when(j == max_pages - 1)
+        def _fin():
+            lsafe = jnp.where(l_ref[..., :hd] > 0, l_ref[..., :hd], 1.0)
+            o_ref[0] = (acc_ref[:] / lsafe).astype(dt)
+
+    grid = (S, max_pages)
+    stat_lanes = max(hd, 128)
+
+    def q_map(s, j, tbl, lens):
+        return (s, j * 0, j * 0, j * 0)
+
+    def kv_map(s, j, tbl, lens):
+        return (tbl[s, j], j * 0, j * 0, j * 0)
+
+    def sc_map(s, j, tbl, lens):
+        return (tbl[s, j], j * 0, j * 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G, hd), q_map),
+        pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+        pl.BlockSpec((1, Hkv, ps, hd), kv_map),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, Hkv, ps), sc_map)] * 2
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, Hkv, G, hd), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, stat_lanes), jnp.float32),
+                pltpu.VMEM((Hkv, G, stat_lanes), jnp.float32),
+                pltpu.VMEM((Hkv, G, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, Hkv, G, hd), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def paged_window_attention(q: jax.Array, k_pool: jax.Array,
+                           v_pool: jax.Array, tables: jax.Array,
+                           lengths: jax.Array, *,
+                           k_scale: Optional[jax.Array] = None,
+                           v_scale: Optional[jax.Array] = None,
+                           scale: Optional[float] = None,
+                           window: Optional[int] = None,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """Multi-query (window-verify) paged attention.
+
+    q (S, W, Hq, hd): W query tokens per sequence; query w of sequence s
+    sits at position lengths[s] - W + w and attends CAUSALLY to that
+    sequence's paged KV (whose pages already hold the K/V rows for all
+    lengths[s] positions, the W new ones included). Returns
+    (S, W, Hq, hd).
+
+    This is the verify kernel speculative decoding needs on a paged
+    cache: after the draft's W tokens are appended to the pages, ONE
+    call scores every draft position — the paged analog of the dense
+    ``llama_window_step`` (models/llama.py). Slots with lengths[s] == 0
+    return zeros; active slots need lengths[s] >= W. int8 pools +
+    per-token scales and sliding ``window`` compose exactly as in
+    ``paged_attention``."""
+    S, W, Hq, hd = q.shape
+    P, Hkv, ps, hd_k = k_pool.shape
+    if hd_k != hd or v_pool.shape != k_pool.shape:
+        raise ValueError(f"pool shapes {k_pool.shape}/{v_pool.shape} "
+                         f"inconsistent with q {q.shape}")
+    if Hq % Hkv:
+        raise ValueError(f"Hq {Hq} not a multiple of Hkv {Hkv}")
+    quantized = k_pool.dtype == jnp.int8
+    if quantized and (k_scale is None or v_scale is None):
+        raise ValueError("int8 pools need k_scale/v_scale (P, Hkv, ps)")
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    if window is not None and int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    interp = should_interpret() if interpret is None else interpret
+    group = Hq // Hkv
+
+    max_pages = tables.shape[1]
+    fn = build_paged_window_attention(
+        S, P, W, Hq, Hkv, ps, hd, max_pages, float(scale),
+        jnp.dtype(q.dtype).name, quantized, interp,
+        None if window is None else int(window))
+    # fold (W, Hq) -> (Hkv, W*group) outside the kernel: row = w*group + g
+    qf = q.reshape(S, W, Hkv, group, hd).transpose(0, 2, 1, 3, 4)
+    qf = qf.reshape(S, Hkv, W * group, hd)
+    args = [tables.astype(jnp.int32), lengths.astype(jnp.int32),
+            qf, k_pool, v_pool]
+    if quantized:
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    o = fn(*args)
+    o = o.reshape(S, Hkv, W, group, hd).transpose(0, 2, 1, 3, 4)
+    return o.reshape(S, W, Hq, hd)
+
+
+def paged_window_attention_reference(q, k_pool, v_pool, tables, lengths, *,
+                                     scale: Optional[float] = None,
+                                     window: Optional[int] = None
+                                     ) -> jax.Array:
+    """Dense-gather oracle for ``paged_window_attention``."""
+    S, W, Hq, hd = q.shape
+    P, Hkv, ps, _ = k_pool.shape
+    group = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    k = k_pool[tables].transpose(0, 2, 1, 3, 4).reshape(S, Hkv, -1, hd)
+    v = v_pool[tables].transpose(0, 2, 1, 3, 4).reshape(S, Hkv, -1, hd)
+    qg = q.reshape(S, W, Hkv, group, hd)
+    s = jnp.einsum("swhgd,shkd->shgwk", qg.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    kpos = jnp.arange(s.shape[-1])[None, None, None, None, :]
+    qpos = (lengths[:, None] - W + jnp.arange(W)[None, :])[
+        :, None, None, :, None]
+    valid = kpos <= qpos
+    if window is not None:
+        valid &= kpos >= qpos - window + 1
+    s = jnp.where(valid, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("shgwk,shkd->swhgd", p / jnp.maximum(l, 1e-37),
+                   v.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    o = jnp.where(lengths[:, None, None, None, None] > 0, o, 0.0)
+    return o.reshape(S, W, Hq, hd).astype(q.dtype)
+
+
 def quantize_kv(x: jax.Array):
     """Per-token-per-head symmetric int8 quantization for KV rows.
 

@@ -117,6 +117,114 @@ def _make_model(rng):
     return params
 
 
+class TestPagedWindowAttention:
+    """W-query verify kernel over paged KV (speculative verify on pages)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.RandomState(7)
+
+    def _mk(self, rng, S, H, Hkv, hd, ps, P, mp):
+        kp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, Hkv, ps, hd), jnp.float32)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        return kp, vp, tables
+
+    def test_matches_oracle_mha(self, rng):
+        from laser_tpu.ops.paged_attention import (
+            paged_window_attention, paged_window_attention_reference)
+
+        S, H, hd, ps, P, mp, W = 3, 4, 64, 16, 18, 4, 4
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
+        # length == W (pure prefill-verify), mid, full; 0 = inactive
+        lengths = jnp.asarray([4, 37, 64], jnp.int32)
+        got = paged_window_attention(q, kp, vp, tables, lengths)
+        want = paged_window_attention_reference(q, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_inactive_slot_zeros(self, rng):
+        from laser_tpu.ops.paged_attention import paged_window_attention
+
+        S, H, hd, ps, P, mp, W = 2, 4, 64, 16, 12, 3, 4
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
+        lengths = jnp.asarray([20, 0], jnp.int32)
+        got = np.asarray(paged_window_attention(q, kp, vp, tables, lengths))
+        assert np.all(got[1] == 0)
+
+    def test_gqa(self, rng):
+        from laser_tpu.ops.paged_attention import (
+            paged_window_attention, paged_window_attention_reference)
+
+        S, Hq, Hkv, hd, ps, P, mp, W = 2, 8, 2, 64, 16, 12, 3, 3
+        kp, vp, tables = self._mk(rng, S, Hq, Hkv, hd, ps, P, mp)
+        q = jnp.asarray(rng.randn(S, W, Hq, hd), jnp.float32)
+        lengths = jnp.asarray([11, 48], jnp.int32)
+        got = paged_window_attention(q, kp, vp, tables, lengths)
+        want = paged_window_attention_reference(q, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_w_wider_than_page(self, rng):
+        # W > ps: a query's own page span covers several pages; late rows
+        # are fully masked in early pages (the explicit p-zeroing path)
+        from laser_tpu.ops.paged_attention import (
+            paged_window_attention, paged_window_attention_reference)
+
+        S, H, hd, ps, P, mp, W = 2, 4, 64, 8, 14, 6, 12
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
+        lengths = jnp.asarray([12, 45], jnp.int32)
+        got = paged_window_attention(q, kp, vp, tables, lengths)
+        want = paged_window_attention_reference(q, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_sliding_window(self, rng):
+        from laser_tpu.ops.paged_attention import (
+            paged_window_attention, paged_window_attention_reference)
+
+        S, H, hd, ps, P, mp, W = 2, 4, 64, 16, 12, 3, 4
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
+        lengths = jnp.asarray([29, 48], jnp.int32)
+        for win in (5, 17, 40):
+            got = paged_window_attention(q, kp, vp, tables, lengths,
+                                         window=win)
+            want = paged_window_attention_reference(
+                q, kp, vp, tables, lengths, window=win)
+            assert np.abs(np.asarray(got - want)).max() < 1e-5, win
+
+    def test_int8_pools(self, rng):
+        from laser_tpu.ops.paged_attention import (
+            paged_window_attention, paged_window_attention_reference,
+            quantize_kv)
+
+        S, H, hd, ps, P, mp, W = 2, 4, 64, 16, 12, 3, 4
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
+        lengths = jnp.asarray([17, 48], jnp.int32)
+        got = paged_window_attention(q, kq, vq, tables, lengths,
+                                     k_scale=ks, v_scale=vs)
+        kd = kq.astype(jnp.float32) * ks[..., None]
+        vd = vq.astype(jnp.float32) * vs[..., None]
+        want = paged_window_attention_reference(q, kd, vd, tables, lengths)
+        assert np.abs(np.asarray(got - want)).max() < 1e-5
+
+    def test_w1_equals_single_query(self, rng):
+        from laser_tpu.ops.paged_attention import paged_window_attention
+
+        S, H, hd, ps, P, mp = 3, 4, 64, 16, 18, 4
+        kp, vp, tables = self._mk(rng, S, H, H, hd, ps, P, mp)
+        q1 = jnp.asarray(rng.randn(S, H, hd), jnp.float32)
+        lengths = jnp.asarray([5, 33, 64], jnp.int32)
+        got = paged_window_attention(q1[:, None], kp, vp, tables, lengths)
+        want = paged_attention(q1, kp, vp, tables, lengths)
+        assert np.abs(np.asarray(got[:, 0] - want)).max() < 1e-6
+
+
 class TestServingEngine:
     def test_tokens_match_dense_decode(self, rng):
         params = _make_model(rng)
