@@ -278,12 +278,14 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
                combine_fn: Optional[Callable] = None, identity=0.0,
                out_dtype=None, acc_dtype=None,
                interpret: Optional[bool] = None) -> jax.Array:
-    """Fused map + deterministic two-stage tree reduction to a scalar.
+    """Fused map + deterministic reduction to a scalar.
 
     Stage layout mirrors forEachStaged (foreach_staged.nim:318):
       before_loop  -> per-block accumulator init (``identity``)
       in_loop      -> ``map_fn`` over the block + ``reduce_fn`` within block
-      after_loop   -> cross-block ``combine_fn`` (default: ``reduce_fn``)
+      after_loop   -> cross-block ``combine_fn`` (default: ``reduce_fn``),
+                      accumulated in grid order into one VMEM-resident
+                      (8, width) accumulator (zero partial HBM traffic)
 
     Every grid step reduces its block on the VPU with a pairwise tree
     (better-than-reference accuracy: laser uses 4 striped accumulators,
@@ -296,22 +298,33 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
     combine_fn = combine_fn or reduce_fn
     interp = should_interpret() if interpret is None else interpret
 
+    _BINOPS = {jnp.sum: jnp.add, jnp.min: jnp.minimum, jnp.max: jnp.maximum}
+    rbinop = _BINOPS.get(reduce_fn)
+    cbinop = _BINOPS.get(combine_fn)
+
     cfg = get_config()
-    br = max(ROW_ALIGN, min(rows, cfg.reduction_grain // width))
+    # Scratch-accumulator path (known binops): the cross-block combine rides
+    # a SINGLE VMEM-resident (8, width) accumulator — the output BlockSpec is
+    # constant across grid steps so Mosaic flushes it once at the end, and no
+    # per-block partial ever touches HBM. Measured on hardware
+    # (tools/reduce_scratch_probe.py): 733 GB/s vs 709 for the per-block
+    # partial design and 732 for jnp.sum — the 6.25% partial write WAS the
+    # 0.956x gap. Optimum block is half the partial-design grain (the freed
+    # write slot shifts the DMA balance toward smaller, deeper pipelining).
+    grain = cfg.reduction_grain // (2 if rbinop is not None else 1)
+    br = max(ROW_ALIGN, min(rows, grain // width))
     br = round_step_up(br, ROW_ALIGN)
     nblocks = cdiv(rows, br)
     # Padded tail rows beyond `rows` are filled by Pallas with undefined data;
     # mask them to the identity inside the kernel.
     needs_mask = rows % br != 0
 
-    def kernel(*refs):
+    def _block_lanes(refs, i):
         # Each grid step reduces its block only along the sublane axis into an
-        # (8, 128) vreg-shaped partial — the multi-accumulator trick of the
+        # (8, width) vreg-shaped partial — the multi-accumulator trick of the
         # reference (reductions_sse3.nim:31-49: defer the horizontal sum) at
         # VPU scale: no cross-lane shuffles in the hot loop.
-        out_ref = refs[-1]
-        blocks = [r[:] for r in refs[:-1]]
-        i = pl.program_id(0)
+        blocks = [r[:] for r in refs]
         if needs_mask:
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (br, width), 0)
             valid = (i * br + row_ids) < rows
@@ -321,38 +334,64 @@ def map_reduce(map_fn: Callable, *operands, reduce_fn: Callable = jnp.sum,
         m = mapped.reshape(br // 8, 8, width)
         # Pairwise fold along the group axis: a true binary tree (error
         # O(log n) vs O(n) for a running chain), fully vectorized adds.
-        binop = {jnp.sum: jnp.add, jnp.min: jnp.minimum,
-                 jnp.max: jnp.maximum}.get(reduce_fn)
-        if binop is None:
-            lanes = reduce_fn(m, axis=0)
-        else:
-            g = m.shape[0]
-            p = 1 << max(g - 1, 0).bit_length()
-            if p != g:
-                m = jnp.concatenate(
-                    [m, jnp.full((p - g, 8, width), identity, m.dtype)], 0)
-            while m.shape[0] > 1:
-                h = m.shape[0] // 2
-                m = binop(m[:h], m[h:])
-            lanes = m[0]
-        out_ref[0] = lanes
+        if rbinop is None:
+            return reduce_fn(m, axis=0)
+        g = m.shape[0]
+        p = 1 << max(g - 1, 0).bit_length()
+        if p != g:
+            m = jnp.concatenate(
+                [m, jnp.full((p - g, 8, width), identity, m.dtype)], 0)
+        while m.shape[0] > 1:
+            h = m.shape[0] // 2
+            m = rbinop(m[:h], m[h:])
+        return m[0]
 
-    partials = pl.pallas_call(
-        kernel,
-        grid=(nblocks,),
-        in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-                  for _ in mats],
-        out_specs=pl.BlockSpec((1, 8, width), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 8, width), acc_dtype),
-        interpret=interp,
-    )(*mats)
-    # Final cross-block + horizontal combine on the tiny partials array —
-    # also pairwise, so the whole reduction is one deterministic binary tree.
-    binop = {jnp.sum: jnp.add, jnp.min: jnp.minimum,
-             jnp.max: jnp.maximum}.get(combine_fn)
-    if binop is None:
+    if rbinop is not None and cbinop is not None:
+        def kernel(*refs):
+            out_ref = refs[-1]
+            i = pl.program_id(0)
+            lanes = _block_lanes(refs[:-1], i)
+
+            @pl.when(i == 0)
+            def _init():
+                out_ref[...] = lanes
+
+            @pl.when(i > 0)
+            def _accumulate():
+                out_ref[...] = cbinop(out_ref[...], lanes)
+
+        partials = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM) for _ in mats],
+            out_specs=pl.BlockSpec((8, width), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, width), acc_dtype),
+            interpret=interp,
+        )(*mats)
+    else:
+        def kernel(*refs):
+            out_ref = refs[-1]
+            i = pl.program_id(0)
+            out_ref[0] = _block_lanes(refs[:-1], i)
+
+        partials = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((br, width), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM) for _ in mats],
+            out_specs=pl.BlockSpec((1, 8, width), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblocks, 8, width), acc_dtype),
+            interpret=interp,
+        )(*mats)
+    # Final horizontal combine on the tiny (8, width) accumulator (or, on the
+    # generic path, the per-block partials) — pairwise, so the whole
+    # reduction is deterministic: in-block binary trees chained in grid order.
+    if cbinop is None:
         return combine_fn(partials).astype(out_dtype)
+    binop = cbinop
     v = partials.reshape(-1)
     n = v.shape[0]
     p = 1 << max(n - 1, 0).bit_length()

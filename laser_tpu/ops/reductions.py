@@ -4,7 +4,8 @@ TPU-native rebuild of the reference's reduction layer
 (laser/primitives/reductions.nim:17-116 + simd_math/reductions_sse3.nim:11-59):
 OpenMP chunking -> Pallas grid blocks; 4x SSE striped accumulators -> full VPU
 pairwise tree within each block; omp_critical merge -> deterministic
-cross-block tree combine. Unlike the reference (reductions.nim:55-63 documents
+grid-order combine into one VMEM-resident accumulator. Unlike the reference
+(reductions.nim:55-63 documents
 accepted FP non-determinism from thread timing), the reduction order here is
 fixed by construction, so results are reproducible run to run.
 """
