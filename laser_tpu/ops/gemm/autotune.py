@@ -27,6 +27,46 @@ _CACHE: dict = {}
 _CACHE_FILE = os.environ.get("LASER_AUTOTUNE_CACHE",
                              os.path.join(os.path.dirname(__file__), "..", "..", "..",
                                           ".laser_autotune.json"))
+_TOOLCHAIN: "str | None" = None
+
+
+def _toolchain() -> str:
+    """Compiler-stack fingerprint: jax + jaxlib + backend platform version
+    (the libtpu/Mosaic build on TPU). A measured Pallas-vs-XLA verdict is a
+    fact about a *toolchain*, not about the chip — Mosaic's ~82% bf16 matmul
+    ceiling (docs/PERF_NOTES.md "MXU matmul ceiling") could move on any
+    upgrade, so disk records carry this string and records from a different
+    toolchain are treated as absent (re-raced on next autotune_gemm)."""
+    global _TOOLCHAIN
+    if _TOOLCHAIN is None:
+        parts = [jax.__version__]
+        try:
+            import jaxlib
+
+            parts.append(jaxlib.__version__)
+        except Exception:  # pragma: no cover
+            pass
+        try:
+            # `jax.extend` is not re-exported by bare `import jax`; a plain
+            # `import jax.extend` here would shadow the module-level `jax`.
+            from jax.extend import backend as _jx_backend
+
+            pv = _jx_backend.get_backend().platform_version
+            # Compact the whole string: the version-bearing lines (libtpu
+            # build date, compile-cache rev, compat level) are after line 1.
+            parts.append(" ".join(pv.split())[:200])
+        except Exception:
+            pass
+        _TOOLCHAIN = "|".join(parts)
+    return _TOOLCHAIN
+
+
+def _disk_get(disk: dict, key: str) -> "dict | None":
+    """A disk record is only valid for the toolchain that measured it."""
+    rec = disk.get(key)
+    if rec is None or rec.get("toolchain") != _toolchain():
+        return None
+    return {k: v for k, v in rec.items() if k != "toolchain"}
 
 
 def _candidates(M: int, N: int, K: int, dtype) -> List[Tuple[int, int, int]]:
@@ -77,8 +117,9 @@ def autotune_gemm(M: int, N: int, K: int, dtype=jnp.bfloat16, *,
         hit = _CACHE[key]
         return hit[0] if isinstance(hit, tuple) else hit
     disk = _load_disk()
-    if key in disk:
-        rec = dict(disk[key])
+    rec = _disk_get(disk, key)
+    if rec is not None:
+        rec = dict(rec)
         backend = rec.pop("backend", None)
         t = GemmTiles(**rec)
         _CACHE[key] = (t, backend) if backend else t
@@ -136,7 +177,7 @@ def autotune_gemm(M: int, N: int, K: int, dtype=jnp.bfloat16, *,
     if persist:
         disk[key] = {"bm": tiles.bm, "bn": tiles.bn, "bk": tiles.bk,
                      "vmem_limit_bytes": tiles.vmem_limit_bytes,
-                     "backend": backend}
+                     "backend": backend, "toolchain": _toolchain()}
         _save_disk(disk)
     return tiles
 
@@ -152,8 +193,7 @@ def cached_backend(M: int, N: int, K: int, dtype) -> "str | None":
     hit = _CACHE.get(key)
     if hit is not None:
         return hit[1] if isinstance(hit, tuple) else None
-    disk = _load_disk()
-    rec = disk.get(key)
+    rec = _disk_get(_load_disk(), key)
     if rec is not None and "backend" in rec:
         _CACHE[key] = (GemmTiles(**{k: v for k, v in rec.items()
                                     if k != "backend"}), rec["backend"])
