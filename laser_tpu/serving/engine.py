@@ -51,10 +51,15 @@ class ServingConfig:
     prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     kv_quant: bool = False      # int8 KV pages + per-token-head f32 scales:
     # ~4x less HBM per decoded token (decode is HBM-bound)
-    weight_quant: bool = False  # weight-only int8 (per-output-column
-    # scales) on every block linear: decode at small batch is WEIGHT-
-    # HBM-bound, so this is ~4x fewer bytes per step. Embeddings/unembed
+    weight_quant: "bool | str" = False  # weight-only quant on every block
+    # linear: decode at small batch is WEIGHT-HBM-bound, so fewer weight
+    # bytes is more tokens/s. True or "int8" = per-output-column int8
+    # (~4x fewer bytes vs f32); "int4" = group-wise symmetric int4
+    # (ops/gemm/int4_kernel.py) — two values per byte, unpacked on the VPU
+    # inside the Pallas matmul, ~8x fewer weight bytes. Embeddings/unembed
     # stay full precision.
+    weight_quant_group: int = 64  # int4 scale-group length along the
+    # contraction axis (must divide every block linear's input width)
     prefix_cache: bool = False  # automatic prefix caching: FULL prompt
     # pages register in a prompt-hash index; a new request reuses the
     # longest page-aligned cached prefix (refcounted, zero copy) and
@@ -214,7 +219,10 @@ class ServingEngine:
         else:
             self.n_kv_heads = n_heads
         if cfg.weight_quant:
-            params = quantize_block_weights(params, model)
+            params = quantize_block_weights(
+                params, model,
+                mode="int4" if cfg.weight_quant == "int4" else "int8",
+                group=cfg.weight_quant_group)
         self.params = params
         dt = dtype or params["embed"].dtype
         self.cache = PagedKVCache(len(params["blocks"]), self.n_kv_heads,
@@ -855,12 +863,21 @@ def _quantize_weight(w):
     return {"q": q, "s": s.astype(jnp.float32)}
 
 
-def quantize_block_weights(params: Dict, model: str) -> Dict:
-    """int8-quantize every block linear (per-output-column scales); layer
-    norms, biases, embeddings and the unembedding stay full precision."""
+def quantize_block_weights(params: Dict, model: str, mode: str = "int8",
+                           group: int = 64) -> Dict:
+    """Quantize every block linear; layer norms, biases, embeddings and the
+    unembedding stay full precision. mode "int8" = per-output-column scales
+    ({"q","s"} dicts); "int4" = group-wise packed nibbles ({"q4","s4"}
+    dicts, ops/gemm/int4_kernel.py)."""
+    if mode == "int4":
+        from ..ops.gemm.int4_kernel import quantize_int4
+
+        qfn = lambda w: quantize_int4(w, group=group)  # noqa: E731
+    else:
+        qfn = _quantize_weight
     out = dict(params)
     out["blocks"] = [
-        {k: (_quantize_weight(v) if k in _QUANT_KEYS[model] else v)
+        {k: (qfn(v) if k in _QUANT_KEYS[model] else v)
          for k, v in blk.items()}
         for blk in params["blocks"]]
     return out
@@ -870,14 +887,25 @@ _Q_ACTS = {None: lambda x: x, "gelu": jax.nn.gelu}
 
 
 def _w_out_dim(w) -> int:
-    """Output width of a weight that may be int8-quantized (dict) or plain."""
-    return w["q"].shape[1] if isinstance(w, dict) else w.shape[1]
+    """Output width of a weight that may be quantized (dict) or plain."""
+    if isinstance(w, dict):
+        return w["q4"].shape[1] if "q4" in w else w["q"].shape[1]
+    return w.shape[1]
 
 
 def _linear_q(h, w, b=None, act=None):
-    """linear() that also accepts a quantized weight dict: the int8 weight
-    streams from HBM (the decode bound) and dequantizes via one per-column
-    scale multiply after the dot."""
+    """linear() that also accepts a quantized weight dict. int8 ({"q","s"}):
+    the weight streams from HBM (the decode bound) and dequantizes via one
+    per-column scale multiply after the dot. int4 ({"q4","s4"}): the packed
+    nibbles stream at half the bytes and unpack on the VPU inside the
+    Pallas matmul (ops/gemm/int4_kernel.py)."""
+    if isinstance(w, dict) and "q4" in w:
+        from ..ops.gemm.int4_kernel import gemm_w4
+
+        y = gemm_w4(h, w)
+        if b is not None:
+            y = y + b
+        return _Q_ACTS[act](y)
     if isinstance(w, dict):
         y = jnp.dot(h, w["q"].astype(h.dtype),
                     precision=jax.lax.Precision.HIGHEST
@@ -900,12 +928,17 @@ def _llama_tp_specs(params, kv_state):
     int8-quantized weights are {"q", "s"} dicts: the per-output-column
     scales shard WITH the output columns — column-parallel weights carry
     P("tp") scales, row-parallel (contraction-sharded) weights keep full
-    outputs so their scales replicate."""
+    outputs so their scales replicate. int4 {"q4", "s4"} dicts shard the
+    same way: q4's packed rows are contraction/2 so they follow the weight's
+    row spec; s4 (groups, out) follows (row, column) like the weight."""
     from jax.sharding import PartitionSpec as P
 
     col, rowp, rep = P(None, "tp"), P("tp", None), P()
 
     def wspec(w, spec, s_spec):
+        if isinstance(w, dict) and "q4" in w:
+            # s4 is (K/group, N): split its rows iff the weight's rows split
+            return {"q4": spec, "s4": spec}
         return {"q": spec, "s": s_spec} if isinstance(w, dict) else spec
 
     blocks = [
@@ -942,7 +975,17 @@ def _shard_llama_params(params, mesh, n_heads: int):
     for blk in params["blocks"]:
         b = dict(blk)
         w = blk["wkv"]
-        if isinstance(w, dict):  # int8 weight: reorder columns of q AND s
+        if isinstance(w, dict) and "q4" in w:  # int4: reorder columns of
+            # the packed bytes (rows stay D/2-packed) and of every scale row
+            Hkv = w["q4"].shape[1] // (2 * hd)
+            G = w["s4"].shape[0]
+            b["wkv"] = {
+                "q4": (w["q4"].reshape(D // 2, 2, tp, Hkv // tp, hd)
+                       .transpose(0, 2, 1, 3, 4).reshape(w["q4"].shape)),
+                "s4": (w["s4"].reshape(G, 2, tp, Hkv // tp, hd)
+                       .transpose(0, 2, 1, 3, 4).reshape(w["s4"].shape)),
+            }
+        elif isinstance(w, dict):  # int8: reorder columns of q AND s
             Hkv = w["q"].shape[1] // (2 * hd)
             b["wkv"] = {
                 "q": (w["q"].reshape(D, 2, tp, Hkv // tp, hd)
