@@ -79,11 +79,20 @@ def _candidates(M: int, N: int, K: int, dtype) -> List[Tuple[int, int, int]]:
         (512, 1024, 512), (1024, 1024, 512), (2048, 1024, 512),
         (512, 1024, min(4096, kr)), (1024, 512, min(4096, kr)),
         (512, 512, 1024),
-        # small-problem candidates: keep the grid >= ~8 steps so the block
-        # pipeline has something to overlap (a 1024^3 with 512x1024 tiles is
-        # a 2-step grid — mostly prologue/epilogue)
         (256, 512, 512), (256, 256, 1024), (128, 512, 512),
     ]
+    # small-problem full-residency candidates: when A+B+C fit the VMEM
+    # budget, full-K single-j blocks WIN — measured 81.5% vs XLA's 75.9% at
+    # f32 1024^3 (tools/gemm_f32_resident_probe.py, /tmp/f32probe_1024.log
+    # committed to docs/PERF_NOTES.md). The old heuristic ("keep the grid
+    # >= 8 steps for pipeline overlap") is refuted by that probe: at tiny
+    # problems the grid is all prologue anyway and deeper per-dot K beats
+    # overlap.
+    itemsize = jnp.dtype(dtype).itemsize
+    if M * K * itemsize + K * N * itemsize <= 24 * 1024 * 1024:
+        raw += [(min(512, _rnd(M)), _rnd(N), kr),
+                (min(256, _rnd(M)), _rnd(N), kr),
+                (_rnd(M), _rnd(N), kr)]
     if M != N:
         # rectangle-aware: follow the long output axis with the big tile
         raw += [(256, 1024, 512), (1024, 256, 512),
