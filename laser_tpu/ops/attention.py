@@ -61,7 +61,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                  causal: bool, scale: float, dtype: str, interpret: bool,
                  return_stats: bool = False, use_offsets: bool = False,
                  kv_heads: Optional[tuple] = None,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None, chunk: Optional[int] = None):
     """``use_offsets``: the kernel takes two SMEM scalars (q_off, k_off) —
     global sequence positions of the local q/k chunks — and evaluates the
     causal mask in GLOBAL coordinates. One kernel then covers every ring
@@ -75,7 +75,21 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     whose every key is already out of window)."""
     nq = SP // bq
     nk = SP // bk
+    # In-body sub-chunking (chunk < bk): the k/v BLOCK still arrives as one
+    # (bk, D) fetch, but the online softmax runs over unrolled (bq, chunk)
+    # sub-chunks INSIDE the kernel body. Chunk c's VPU work (exp, rescale)
+    # has no data dependency on chunk c+1's MXU s-dot, so Mosaic interleaves
+    # them — measured 136.7 vs 121.8 TFLOP/s at the benched full-mask shape
+    # (tools/attention_interleave_probe.py). Cross-grid-step chunking cannot
+    # deliver this (each grid step's exp serializes against its own dots:
+    # bk=512 with nk=4 grid steps measured 97 TF at the same shape).
+    ck = chunk if chunk else bk
+    if bk % ck:
+        raise ValueError(f"chunk {ck} must divide block_k {bk}")
+    nc = bk // ck
     dt = jnp.dtype(dtype)
+    stat_lanes = max(D, 128)
+    single = nk == 1 and not use_offsets  # value-only fast path, see kernel
     # f32 inputs: force the exact 6-pass path in both MXU contractions (the
     # TPU default silently runs 1-pass bf16, ~1e-3 error); bf16 runs native.
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
@@ -87,61 +101,118 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         else:
             q_ref, k_ref, v_ref, *outs_and_scratch = refs
             q_off = k_off = 0
-        if return_stats:
+        if single:
+            m_ref = l_ref = acc_ref = None  # value-only path, no scratch
+            if return_stats:
+                o_ref, mo_ref, lo_ref = outs_and_scratch
+            else:
+                o_ref, = outs_and_scratch
+        elif return_stats:
             o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref = outs_and_scratch
         else:
             o_ref, m_ref, l_ref, acc_ref = outs_and_scratch
         iq = pl.program_id(1)
         ik = pl.program_id(2)
 
-        @pl.when(ik == 0)
-        def _init():
-            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-            l_ref[:] = jnp.zeros_like(l_ref)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+        if not single:
+            @pl.when(ik == 0)
+            def _init():
+                m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+                l_ref[:] = jnp.zeros_like(l_ref)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
         # Causal: blocks entirely above the (global) diagonal are skipped.
         q_start = iq * bq
         k_start = ik * bk
 
-        def _step():
-            # native-dtype MXU dot with f32 accumulation (bf16 stays 1-pass;
-            # upcasting the operands would silently force the 6-pass path)
-            s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)
-            s = s * scale
-            kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            valid = kpos < S  # sequence-padding mask (local coordinates)
-            if causal:
-                qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-                valid = valid & (kpos + k_off <= qpos + q_off)
-                if window is not None:
-                    valid = valid & (qpos + q_off - (kpos + k_off) < window)
-            s = jnp.where(valid, s, _NEG_INF)
+        def _sweep(m_run, l_run, acc):
+            # Unrolled sub-chunk online softmax over carried VALUES (the
+            # scheduler keeps them in registers where it can).
+            def chunk_body(c, carry):
+                m_run, l_run, acc = carry
+                kc = k_ref[0, c * ck:(c + 1) * ck, :]
+                vc = v_ref[0, c * ck:(c + 1) * ck, :]
+                # native-dtype MXU dot with f32 accumulation (bf16 stays
+                # 1-pass; upcasting would silently force the 6-pass path)
+                s = jax.lax.dot_general(q_ref[0], kc,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+                s = s * scale
+                kpos = (k_start + c * ck
+                        + jax.lax.broadcasted_iota(jnp.int32, (bq, ck), 1))
+                valid = kpos < S  # sequence-padding mask (local coordinates)
+                if causal:
+                    qpos = q_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, ck), 0)
+                    valid = valid & (kpos + k_off <= qpos + q_off)
+                    if window is not None:
+                        valid = valid & (qpos + q_off - (kpos + k_off)
+                                         < window)
+                s = jnp.where(valid, s, _NEG_INF)
 
-            m_prev = m_ref[:]                      # (bq, 128) lane-uniform
-            m_cur = jnp.max(s, axis=-1, keepdims=True)       # (bq, 1)
-            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-            corr = jnp.exp(m_prev - m_new)          # (bq, 128)
-            p = jnp.exp(s - m_new[:, :1])           # (bq, bk)
-            # No explicit p-mask is needed WITHOUT a window: key block 0 is
-            # always processed first and holds >= 1 valid key for every real
-            # query row (k_valid >= 1 is enforced; causal rows always see
-            # key 0; a ring diagonal chunk's rows see key k_off <= their
-            # global position; fully-future ring chunks skip every block,
-            # leaving l == 0 for the epilogue guard). So masked entries
-            # always have a REAL m_new and exp(-1e30 - m_new) == 0 exactly.
-            # WITH a window, the first processed block can have rows whose
-            # keys are all out of window (m_new stays -1e30, p would be 1):
-            if window is not None:
-                p = jnp.where(valid, p, 0.0)
-            l_ref[:] = l_ref[:] * corr + jnp.broadcast_to(
-                jnp.sum(p, axis=-1, keepdims=True), corr.shape)
-            acc_ref[:] = acc_ref[:] * corr[:, :D] + jax.lax.dot_general(
-                p.astype(dt), v_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            m_ref[:] = m_new
+                m_cur = jnp.max(s, axis=-1, keepdims=True)       # (bq, 1)
+                m_new = jnp.maximum(m_run,
+                                    jnp.broadcast_to(m_cur, m_run.shape))
+                corr = jnp.exp(m_run - m_new)       # (bq, 128)
+                p = jnp.exp(s - m_new[:, :1])       # (bq, ck)
+                # No explicit p-mask is needed WITHOUT a window: key chunk 0
+                # is always processed first and holds >= 1 valid key for
+                # every real query row (k_valid >= 1 is enforced; causal
+                # rows always see key 0; a ring diagonal chunk's rows see
+                # key k_off <= their global position; fully-future ring
+                # chunks skip every block, leaving l == 0 for the epilogue
+                # guard). So masked entries always have a REAL m_new and
+                # exp(-1e30 - m_new) == 0 exactly. WITH a window, the first
+                # processed chunk can have rows whose keys are all out of
+                # window (m_new stays -1e30, p would be 1):
+                if window is not None:
+                    p = jnp.where(valid, p, 0.0)
+                l_run = l_run * corr + jnp.broadcast_to(
+                    jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+                acc = acc * corr[:, :D] + jax.lax.dot_general(
+                    p.astype(dt), vc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                return m_new, l_run, acc
+
+            # Chunks run UNCONDITIONALLY, even fully-masked causal ones.
+            # Chunk-granular diagonal skipping via lax.cond over the carry
+            # was raced and LOSES badly: the cond regions serialize the
+            # interleave (causal bq1024/bk2048/ck512: 0.183 ms with conds
+            # vs 0.117 without — the 25% flop saving costs 56% wall).
+            # Block-granular skipping at the GRID level (pl.when around
+            # _step) stays, and is free.
+            carry = (m_run, l_run, acc)
+            for c in range(nc):
+                carry = chunk_body(c, carry)
+            return carry
+
+        if single:
+            # Single k block, no ring offsets: every query row sees >= 1
+            # valid key (causal rows always see key 0), so the whole online
+            # softmax lives in values — no scratch init/read/write and no
+            # separate _fin region. This is where the full-mask wide-panel
+            # default lands (bk = S = 2048), and deleting the scratch
+            # round-trips is worth ~7 TFLOP/s on top of the interleave
+            # (tools/attention_interleave_probe.py vs the ref-carried
+            # variant measured at the same geometry).
+            m_run, l_run, acc = _sweep(
+                jnp.full((bq, stat_lanes), _NEG_INF, jnp.float32),
+                jnp.zeros((bq, stat_lanes), jnp.float32),
+                jnp.zeros((bq, D), jnp.float32))
+            lsafe = jnp.where(l_run[:, :D] > 0, l_run[:, :D], 1.0)
+            o_ref[0] = (acc / lsafe).astype(dt)
+            if return_stats:
+                mo_ref[0] = m_run[:, :128]
+                lo_ref[0] = l_run[:, :128]
+            return
+
+        def _step():
+            # one scratch read/write per grid step, hoisted around _sweep
+            m_run, l_run, acc = _sweep(m_ref[:], l_ref[:], acc_ref[:])
+            m_ref[:] = m_run
+            l_ref[:] = l_run
+            acc_ref[:] = acc
 
         if causal:
             # blocks strictly above the (global) diagonal are skipped
@@ -163,7 +234,6 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                 lo_ref[0] = l_ref[:, :128]
 
     grid = (BH, nq, nk)
-    stat_lanes = max(D, 128)
     offset_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                     if use_offsets else [])
     if kv_heads is not None:
@@ -194,7 +264,7 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         out_shape=[jax.ShapeDtypeStruct((BH, SP, D), dt)] + (
             [jax.ShapeDtypeStruct((BH, SP, 128), jnp.float32)] * 2
             if return_stats else []),
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running max
             pltpu.VMEM((bq, stat_lanes), jnp.float32),  # running denom
             pltpu.VMEM((bq, D), jnp.float32),           # output accumulator
@@ -220,6 +290,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False, scale: Optional[float] = None,
               window: Optional[int] = None,
               block_q: int = 1024, block_k: Optional[int] = None,
+              chunk: Optional[int] = None,
               interpret: Optional[bool] = None) -> jax.Array:
     """Fused blockwise attention over (..., S, D) tensors.
 
@@ -245,19 +316,34 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     BH = int(np.prod(lead)) if lead else 1
     DP = round_step_up(D, 128)
     if block_k is None:
-        # Full-mask wants the widest K panel VMEM affords (fewer online-
-        # softmax rescale passes, longer MXU chains): bk = min(S, 2048)
-        # measured 121 vs 113 GFLOP/s at B8 S2048 D128 bf16. Causal/
-        # windowed keep 1024 — block-granular skipping needs sub-S K
-        # blocks (bk = S disables the skip entirely: 105 vs 138 GFLOP/s).
-        # Wider rows (f32, or head dims padding past 128 lanes) halve the
-        # panel to stay inside the 16 MB scoped-VMEM budget.
+        # Both masks want the widest K panel VMEM affords (fewer online-
+        # softmax rescale passes, longer MXU chains, and at bk = S the
+        # scratch-free `single` kernel path). Round 3's "causal keeps 1024
+        # for block skipping" rule is REFUTED by the round-4 interleave
+        # kernel: causal bk=2048/ck=512 runs 0.117 ms vs 0.124 at bk=1024
+        # (B8 S2048 D128 bf16) — the single-path + interleave savings beat
+        # the skipped diagonal block. Grid-level skipping still applies
+        # whenever S > bk. Windowed attention keeps sub-S blocks (its
+        # O(S*window) cost NEEDS block-granular skipping); wider rows (f32,
+        # or head dims padding past 128 lanes) halve the panel to stay
+        # inside the 16 MB scoped-VMEM budget.
         row_bytes = DP * jnp.dtype(q.dtype).itemsize
-        block_k = 1024 if (causal or window is not None
-                           or row_bytes > 256) else 2048
+        block_k = 1024 if (window is not None or row_bytes > 256) else 2048
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     SP = round_step_up(S, max(bq, bk))
+    # Sub-chunk the K panel in-body (see _build_flash): the unrolled chunked
+    # online softmax lets Mosaic overlap each chunk's exp with the next
+    # chunk's s-dot. Measured at B8 S2048 D128 bf16 (tools/
+    # attention_interleave_probe.py + PERF_NOTES round-4 attention section):
+    # full-mask 2048-panel with 1024-chunks 0.122 ms (was 0.141 unchunked);
+    # causal 2048-panel with 512-chunks 0.117 ms (512 wins over 1024's
+    # 0.124 — the finer unroll exposes more exp/dot overlap against the
+    # mask's VPU work). f32 keeps nc=1 (the 6-pass dots already keep the
+    # MXU busy; interleave unmeasured).
+    if chunk is None:
+        chunk = _default_chunk(bk, q.dtype, causal)
+    chunk = min(chunk, bk)
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
@@ -266,7 +352,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
 
     call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
-                        jnp.dtype(q.dtype).name, interp, window=window)
+                        jnp.dtype(q.dtype).name, interp, window=window,
+                        chunk=chunk)
     out = call(q3, k3, v3)[0]
     return out[:, :S, :D].reshape(*lead, S, D)
 
@@ -281,6 +368,17 @@ def _check_window(window, causal):
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     return window
+
+
+def _default_chunk(bk: int, dtype, causal: bool) -> int:
+    """In-body sub-chunk width (see _build_flash). Measured at B8 S2048
+    D128 bf16: 1024-chunks lift full-mask 0.141 -> 0.122 ms; 512-chunks
+    win for causal (0.117 vs 0.124 at 1024). f32 keeps chunk = bk — the
+    6-pass dots already fill the MXU, so there is no idle VPU slot for
+    the interleave to reclaim."""
+    if jnp.dtype(dtype).itemsize == 4:
+        return bk
+    return min(bk, 512 if causal else 1024)
 
 
 def attention_with_stats(q, k, v, *, causal: bool = False,
@@ -338,7 +436,8 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
     use_off = q_offset is not None or k_offset is not None
     call = _build_flash(BH, int(kv), SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp, return_stats=True,
-                        use_offsets=use_off, window=window)
+                        use_offsets=use_off, window=window,
+                        chunk=_default_chunk(bk, q.dtype, causal))
     if use_off:
         out, m, l = call(q3, k3, v3,
                          q_offset if q_offset is not None else 0,
@@ -373,7 +472,8 @@ def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
     call = _build_flash(BH, S, SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interpret, return_stats=True,
-                        window=window)
+                        window=window,
+                        chunk=_default_chunk(bk, q.dtype, causal))
     o3, m3, l3 = call(q3, k3, v3)
     out = o3[:, :S, :D].reshape(*lead, S, D)
     return out, (q3, k3, v3, o3, m3, l3), (BH, S, SP, DP, bq, bk)
@@ -455,7 +555,8 @@ def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
         q3, k3, v3 = (jnp.pad(t, pad) for t in (q3, k3, v3))
     call = _build_flash(B * Hq, S, SP, DP, bq, bk, causal, float(scale),
                         jnp.dtype(q.dtype).name, interp,
-                        kv_heads=(Hq, Hkv), window=window)
+                        kv_heads=(Hq, Hkv), window=window,
+                        chunk=_default_chunk(bk, q.dtype, causal))
     out = call(q3, k3, v3)[0]
     return out[:, :S, :D].reshape(B, Hq, S, D)
 
