@@ -155,28 +155,44 @@ def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
     """Stride-1 direct conv: grid over N, NHWC in-kernel.
 
     With ``patch_scratch`` (the in-kernel im2col): all kH*kW shifted windows
-    are stacked into a (taps, oH*oW, C) VMEM scratch and contracted against
-    the (taps, C, c_out) weights in ONE dot_general over both tap and
-    channel dims — effective K = taps*C keeps the MXU fed (a lone C=64 tap
-    leaves half the contraction lanes idle; measured ~2x on ResNet mid-C
-    shapes). Without it (scratch too large): one dot per tap, accumulated.
+    are stacked into an (oH*oW, taps*C) VMEM patch and contracted against
+    the (c_out, taps*C) weights with TRANSPOSED dimension numbers —
+    output (c_out, oH*oW), which IS the NCHW plane (the host-side
+    (N, c_out, oH, oW) reshape is free), with oH*oW on the 128 MXU lanes
+    instead of c_out (c_out=64 left half the lanes idle: the transposed
+    dot measures 25.2 vs 13.3 TFLOP/s resident at the ResNet mid-C shape,
+    tools/conv_ceiling_probe.py). The grid runs one PIPELINE step per
+    image plus one drain step: step n builds image n's patch into
+    buf[n%2] while dotting buf[(n-1)%2] — independent buffers, so Mosaic
+    interleaves the VPU window copies with the MXU dot (the flash-
+    attention interleave trick; 12.3 vs 10.7 TFLOP/s zero-DMA). The
+    residual ceiling is the patch build itself: C=64 rides the minor
+    (lane) dim at half occupancy, an intrinsic layout fact for C<128.
+    Without patch_scratch (scratch too large): one dot per tap, accumulated.
     """
     dt = jnp.dtype(dtype)
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     taps = kh * kw
 
-    def kernel_patch(x_ref, w_ref, o_ref, p_ref):
-        # p_ref: (oH*oW, taps*C) flat patch matrix (tap-major columns,
-        # matching w's (taps*C, c_out) row order). Mosaic's matmul wants
-        # single contracting dims, so the tap axis is flattened into K.
-        for t in range(taps):
-            i, j = divmod(t, kw)
-            p_ref[:, t * C:(t + 1) * C] = x_ref[0, i:i + oh, j:j + ow,
-                                                :].reshape(oh * ow, C)
-        acc = jax.lax.dot_general(
-            p_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        o_ref[0] = acc.reshape(oh, ow, c_out).astype(dt)
+    def kernel_patch(x_ref, w_ref, o_ref, p0, p1):
+        # p0/p1: (oH*oW, taps*C) flat patch matrices (tap-major columns,
+        # matching w's (c_out, taps*C) column order). Mosaic's matmul
+        # wants single contracting dims, so the tap axis flattens into K.
+        n = pl.program_id(0)
+        for par, p_ref in enumerate((p0, p1)):
+            @pl.when((n % 2 == par) & (n < N))
+            def _build():
+                for t in range(taps):
+                    i, j = divmod(t, kw)
+                    p_ref[:, t * C:(t + 1) * C] = x_ref[
+                        0, i:i + oh, j:j + ow, :].reshape(oh * ow, C)
+
+            @pl.when((n % 2 != par) & (n > 0))
+            def _dot():
+                o_ref[0] = jax.lax.dot_general(
+                    w_ref[...], p_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(dt)
 
     def kernel_taps(x_ref, w_ref, o_ref):
         acc = jnp.zeros((oh, ow, c_out), jnp.float32)
@@ -189,24 +205,42 @@ def _build_direct_conv(N: int, C: int, HP: int, WP: int, c_out: int,
                     preferred_element_type=jnp.float32, precision=prec)
         o_ref[0] = acc.astype(dt)
 
-    kernel = kernel_patch if patch_scratch else kernel_taps
-
+    if patch_scratch:
+        # N+1 pipeline steps; output for image n lands at step n+1, the
+        # input fetch for the drain step clamps to the last image.
+        return pl.pallas_call(
+            kernel_patch,
+            grid=(N + 1,),
+            in_specs=[
+                pl.BlockSpec((1, HP, WP, C),
+                             lambda n: (jnp.minimum(n, N - 1), 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_out, taps * C), lambda n: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c_out, oh * ow),
+                                   lambda n: (jnp.maximum(n - 1, 0), 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, c_out, oh * ow), dt),
+            scratch_shapes=[pltpu.VMEM((oh * ow, taps * C), dt),
+                            pltpu.VMEM((oh * ow, taps * C), dt)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
     return pl.pallas_call(
-        kernel,
+        kernel_taps,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, HP, WP, C), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((taps * C, c_out), lambda n: (0, 0),
-                          memory_space=pltpu.VMEM) if patch_scratch else
-             pl.BlockSpec((taps, C, c_out), lambda n: (0, 0, 0),
-                          memory_space=pltpu.VMEM)),
+            pl.BlockSpec((taps, C, c_out), lambda n: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, oh, ow, c_out), lambda n: (n, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, oh, ow, c_out), dt),
-        scratch_shapes=([pltpu.VMEM((oh * ow, taps * C), dt)]
-                        if patch_scratch else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -287,7 +321,8 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
     itemsize = jnp.dtype(x.dtype).itemsize
     base = itemsize * 2 * (HP * WP * _rup(C, lane) + oh * ow * _rup(c_out, lane)) \
         + 4 * kh * kw * _rup(C, 8) * _rup(c_out, lane)
-    patch_bytes = itemsize * kh * kw * _rup(oh * ow, 8) * _rup(C, lane)
+    # two patch buffers (the build/dot pipeline double-buffers them)
+    patch_bytes = 2 * itemsize * kh * kw * _rup(oh * ow, 8) * _rup(C, lane)
     # the in-kernel (oH,oW,C)->(oH*oW,C) reshape is only a free bitcast when
     # ow is sublane-aligned; unaligned shapes crash/relayout — use per-tap
     patch_ok = base + patch_bytes <= budget and ow % 8 == 0
@@ -295,13 +330,16 @@ def conv2d_direct(x: jax.Array, w: jax.Array, padding=(0, 0), strides=(1, 1),
         return conv2d_im2col(x, w, padding, strides)
 
     x_nhwc = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw))).transpose(0, 2, 3, 1)
-    # weights flat (taps*C, c_out) for the patch path, (taps, C, c_out) else
+    # weights flat (c_out, taps*C) for the patch path (the transposed-dot
+    # orientation: tap-major columns match the patch), (taps, C, c_out) else
     w_t = w.transpose(2, 3, 1, 0).reshape(kh * kw, C, c_out)
-    if patch_ok:
-        w_t = w_t.reshape(kh * kw * C, c_out)
     call = _build_direct_conv(N, C, HP, WP, c_out, kh, kw,
                               oh, ow, jnp.dtype(x.dtype).name, interp,
                               patch_scratch=patch_ok)
+    if patch_ok:
+        w_t = w_t.reshape(kh * kw * C, c_out).T
+        out = call(x_nhwc, w_t)  # (N, c_out, oH*oW) == flat NCHW
+        return out.reshape(N, c_out, oh, ow)
     out = call(x_nhwc, w_t)  # (N, oH, oW, c_out)
     return out.transpose(0, 3, 1, 2)
 

@@ -132,47 +132,234 @@ def main():
     _time(drift(call), w_nchw, p_nchw, label="dot_nchw_64x576x3136",
           flops=dot_fl)
 
-    # --- arm 3: patch build alone (NCHW orientation: rows are tap*C)
-    x = jnp.asarray(rng.randn(C, HP, WP) * 0.1, jnp.float32)
+    # NOTE: a patch built directly in (taps*C, oHW) orientation is NOT
+    # lane-legal — the (C, OH, OW) -> (C, OHW) window reshape merges a
+    # 56-lane minor dim and Mosaic rejects the shape cast
+    # ("infer-vector-layout: unsupported shape cast", measured). So the
+    # shippable route keeps the production (oHW, taps*C) patch build
+    # (free bitcast: OH,OW merge on the SUBLANE side, ow % 8 == 0) and
+    # moves the transposition INTO the dot's dimension numbers.
 
-    def k_patch(x_ref, o_ref, p_ref):
-        for t in range(KH * KW):
-            i, j = divmod(t, KW)
-            # (C, OH, OW) window -> rows t*C:(t+1)*C of the patch matrix
-            p_ref[t * C:(t + 1) * C, :] = x_ref[:, i:i + OH, j:j + OW
-                                                ].reshape(C, OHW)
-        o_ref[:] = p_ref[:CO, :]
+    # --- arm 3: resident dot with transposed dimension numbers:
+    # (CO, TC) @ (OHW, TC) contracting ((1,),(1,)) -> (CO, OHW). Same
+    # operand layouts the production kernel can actually build; tests
+    # whether Mosaic's rhs-transposed matmul keeps arm 2's rate.
+    def k_dimnum(w_ref, p_ref, o_ref, acc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            w_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PREC)
+
+        @pl.when(t == ITERS - 1)
+        def _():
+            o_ref[:] = acc_ref[:]
 
     call = pl.pallas_call(
-        k_patch,
+        k_dimnum, grid=(ITERS,),
+        in_specs=[pl.BlockSpec((CO, TC), lambda t: (0, 0)),
+                  pl.BlockSpec((OHW, TC), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((CO, OHW), lambda t: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((CO, OHW), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TC, OHW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CO, OHW), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024))
-    _time(drift(call), x, label="patch_build_576x3136_per_image",
-          flops=dot_fl // ITERS)  # nominal: report vs one image's dot flops
+    _time(drift(call), w_nchw, p_nhwc, label="dot_rhsT_64x576x3136",
+          flops=dot_fl)
 
-    # --- arm 4: fused build + transposed dot, per image
+    # --- arm 4: fused production-legal patch build + transposed-dimnum
+    # dot, per image: the shippable variant's zero-DMA time. x arrives
+    # NHWC (as production), patch lands (OHW, TC), output (CO, OHW) is
+    # the NCHW plane — the host-side reshape to (CO, OH, OW) is free.
+    x_nhwc = jnp.asarray(rng.randn(HP, WP, C) * 0.1, jnp.float32)
+
     def k_fused(x_ref, w_ref, o_ref, p_ref):
         for t in range(KH * KW):
             i, j = divmod(t, KW)
-            p_ref[t * C:(t + 1) * C, :] = x_ref[:, i:i + OH, j:j + OW
-                                                ].reshape(C, OHW)
+            p_ref[:, t * C:(t + 1) * C] = x_ref[i:i + OH, j:j + OW,
+                                                :].reshape(OHW, C)
         o_ref[:] = jax.lax.dot_general(
-            w_ref[:], p_ref[:], (((1,), (0,)), ((), ())),
+            w_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=PREC)
 
     call = pl.pallas_call(
         k_fused,
-        in_specs=[pl.BlockSpec((C, HP, WP), lambda: (0, 0, 0)),
+        in_specs=[pl.BlockSpec((HP, WP, C), lambda: (0, 0, 0)),
                   pl.BlockSpec((CO, TC), lambda: (0, 0))],
         out_specs=pl.BlockSpec((CO, OHW), lambda: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((CO, OHW), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TC, OHW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((OHW, TC), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
-    _time(drift(call), x, w_nchw, label="fused_patch_dot_per_image",
+    _time(drift(call), x_nhwc, w_nchw, label="fused_patch_dotT_per_image",
           flops=dot_fl // ITERS)
+
+    # --- arm 5: same fused shape but the production orientation dot
+    # ((OHW, TC) @ (TC, CO) -> (OHW, CO)) for a like-for-like per-image
+    # baseline of what ships today.
+    def k_fused_prod(x_ref, w_ref, o_ref, p_ref):
+        for t in range(KH * KW):
+            i, j = divmod(t, KW)
+            p_ref[:, t * C:(t + 1) * C] = x_ref[i:i + OH, j:j + OW,
+                                                :].reshape(OHW, C)
+        o_ref[:] = jax.lax.dot_general(
+            p_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PREC)
+
+    call = pl.pallas_call(
+        k_fused_prod,
+        in_specs=[pl.BlockSpec((HP, WP, C), lambda: (0, 0, 0)),
+                  pl.BlockSpec((TC, CO), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((OHW, CO), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((OHW, CO), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((OHW, TC), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    _time(drift(call), x_nhwc, w_nhwc, label="fused_patch_dot_prod_per_image",
+          flops=dot_fl // ITERS)
+
+    # --- arm 6: NO patch — per-tap rhs-transposed dots, accumulated in
+    # values. K drops to C=64 per dot (half-width contraction) but the
+    # 2x ~6.4 MB patch scratch round-trip disappears, and each window
+    # reshape is the free sublane merge.
+    w_taps = jnp.asarray(rng.randn(KH * KW, CO, C) * 0.1, jnp.float32)
+
+    def k_pertap(x_ref, w_ref, o_ref):
+        acc = jnp.zeros((CO, OHW), jnp.float32)
+        for t in range(KH * KW):
+            i, j = divmod(t, KW)
+            win = x_ref[i:i + OH, j:j + OW, :].reshape(OHW, C)
+            acc = acc + jax.lax.dot_general(
+                w_ref[t], win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=PREC)
+        o_ref[:] = acc
+
+    call = pl.pallas_call(
+        k_pertap,
+        in_specs=[pl.BlockSpec((HP, WP, C), lambda: (0, 0, 0)),
+                  pl.BlockSpec((KH * KW, CO, C), lambda: (0, 0, 0))],
+        out_specs=pl.BlockSpec((CO, OHW), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((CO, OHW), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    _time(drift(call), x_nhwc, w_taps, label="pertap_dotT_per_image",
+          flops=dot_fl // ITERS)
+
+    # --- arm 7: patch build with PAIRED tap writes — concat two (OHW, C)
+    # windows on lanes and store one 128-aligned column block (tap
+    # columns at t*64 are half-unaligned; this tests whether the build
+    # cost is the lane rotation).
+    def k_fused_pair(x_ref, w_ref, o_ref, p_ref):
+        for t2 in range((KH * KW + 1) // 2):
+            ta, tb = 2 * t2, 2 * t2 + 1
+            ia, ja = divmod(ta, KW)
+            wa = x_ref[ia:ia + OH, ja:ja + OW, :].reshape(OHW, C)
+            if tb < KH * KW:
+                ib, jb = divmod(tb, KW)
+                wb = x_ref[ib:ib + OH, jb:jb + OW, :].reshape(OHW, C)
+                p_ref[:, ta * C:(tb + 1) * C] = jnp.concatenate(
+                    [wa, wb], axis=1)
+            else:
+                p_ref[:, ta * C:(ta + 1) * C] = wa
+        o_ref[:] = jax.lax.dot_general(
+            w_ref[:], p_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PREC)
+
+    call = pl.pallas_call(
+        k_fused_pair,
+        in_specs=[pl.BlockSpec((HP, WP, C), lambda: (0, 0, 0)),
+                  pl.BlockSpec((CO, TC), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((CO, OHW), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((CO, OHW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((OHW, TC), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    _time(drift(call), x_nhwc, w_nchw, label="fused_pairpatch_dotT_per_image",
+          flops=dot_fl // ITERS)
+
+    # --- arm 8: DMA patch build — local async copies instead of vector
+    # load/store (no lane-layout cost; the DMA engine handles the strided
+    # window<->patch-column moves).
+    def k_dma(x_ref, w_ref, o_ref, p_ref, sems):
+        # p_ref is the (OH, OW, TC) 3D view of the patch: each tap's DMA
+        # is shape-matched (OH, OW, C) -> (OH, OW, C); the dot reads the
+        # free (OH,OW)->OHW sublane merge.
+        for t in range(KH * KW):
+            i, j = divmod(t, KW)
+            pltpu.make_async_copy(
+                x_ref.at[i:i + OH, j:j + OW, :],
+                p_ref.at[:, :, t * C:(t + 1) * C], sems.at[t]).start()
+        for t in range(KH * KW):
+            i, j = divmod(t, KW)
+            pltpu.make_async_copy(
+                x_ref.at[i:i + OH, j:j + OW, :],
+                p_ref.at[:, :, t * C:(t + 1) * C], sems.at[t]).wait()
+        o_ref[:] = jax.lax.dot_general(
+            w_ref[:], p_ref[...].reshape(OHW, TC), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PREC)
+
+    try:
+        call = pl.pallas_call(
+            k_dma,
+            in_specs=[pl.BlockSpec((HP, WP, C), lambda: (0, 0, 0)),
+                      pl.BlockSpec((CO, TC), lambda: (0, 0))],
+            out_specs=pl.BlockSpec((CO, OHW), lambda: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((CO, OHW), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((OH, OW, TC), jnp.float32),
+                            pltpu.SemaphoreType.DMA((KH * KW,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024))
+        _time(drift(call), x_nhwc, w_nchw, label="fused_dmapatch_dotT_per_image",
+              flops=dot_fl // ITERS)
+    except Exception as e:
+        print(json.dumps({"probe": "fused_dmapatch_dotT_per_image",
+                          "error": str(e)[:200]}), flush=True)
+
+    # --- arm 9: software-pipelined build/dot interleave over a grid of
+    # images (the flash-attention interleave trick): step n builds image
+    # n's patch into buf[n%2] while dotting buf[(n-1)%2] — the VPU window
+    # copies have no dependency on the MXU dot, so Mosaic can overlap.
+    xs = jnp.asarray(rng.randn(ITERS, HP, WP, C) * 0.1, jnp.float32)
+
+    def k_pipe(x_ref, w_ref, o_ref, p0, p1):
+        n = pl.program_id(0)
+        bufs = (p0, p1)
+        for par in range(2):
+            p = bufs[par]
+
+            @pl.when((n % 2 == par) & (n < ITERS))
+            def _build():
+                for t in range(KH * KW):
+                    i, j = divmod(t, KW)
+                    p[:, t * C:(t + 1) * C] = x_ref[0, i:i + OH, j:j + OW,
+                                                    :].reshape(OHW, C)
+
+            @pl.when((n % 2 != par) & (n > 0))
+            def _dot():
+                o_ref[0] = jax.lax.dot_general(
+                    w_ref[:], p[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=PREC)
+
+    call = pl.pallas_call(
+        k_pipe, grid=(ITERS + 1,),
+        in_specs=[pl.BlockSpec((1, HP, WP, C),
+                               lambda n: (jnp.minimum(n, ITERS - 1), 0, 0, 0)),
+                  pl.BlockSpec((CO, TC), lambda n: (0, 0))],
+        out_specs=pl.BlockSpec((1, CO, OHW),
+                               lambda n: (jnp.maximum(n - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((ITERS, CO, OHW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((OHW, TC), jnp.float32),
+                        pltpu.VMEM((OHW, TC), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024))
+    _time(drift(call), xs, w_nchw, label="pipelined_builddot_16img",
+          flops=dot_fl)
 
 
 if __name__ == "__main__":
