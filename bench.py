@@ -663,7 +663,7 @@ def bench_serving_engine():
     out = {}
     BURST = 64
 
-    def run_engine(quant, ps, wq=False):
+    def run_engine(quant, ps, wq=False, pipeline=True):
         # same USABLE pool bytes and per-seq capacity at every page size:
         # the race varies kernel granularity, not memory budget. The +1
         # funds the trash page (engine reserves page n_pages-1); without
@@ -676,7 +676,12 @@ def bench_serving_engine():
                             max_seqs=8,
                             max_pages_per_seq=16 * 64 // ps,
                             prefill_buckets=(512,), kv_quant=quant,
-                            weight_quant=wq, decode_burst=BURST)
+                            weight_quant=wq, decode_burst=BURST,
+                            # burst n+1 dispatches before burst n's harvest:
+                            # the ~30 ms tunnel RTT overlaps device compute
+                            # (wall -> max(RTT, compute), measured row
+                            # `pipelining` in the record)
+                            pipeline_bursts=pipeline)
         eng = ServingEngine(params, n_heads=4, cfg=cfg)
         for _ in range(8):
             eng.add_request(rng.randint(0, 1024, 512).astype(np.int32), 480)
@@ -717,6 +722,14 @@ def bench_serving_engine():
                                              for p in race},
                     "note": "end-to-end through the tunnel: one round trip "
                     f"per {BURST}-step burst; winner of the ps race"}
+        if tag == "serving_engine_b8":
+            # strategy race: speculative burst pipelining (dispatch n+1
+            # before harvesting n) vs serial dispatch-harvest
+            toks_np, _ = run_engine(quant, best_ps, wq, pipeline=False)
+            out[tag]["pipelining_race_tok_s"] = {
+                "pipelined": toks, "serial": round(toks_np, 1)}
+            log(f"{tag} pipelining off: {toks_np:.0f} tok/s "
+                f"({toks / toks_np:.2f}x from pipelining)")
 
     # prefix caching: DEVICE prefill time, cold vs cache hit (a 448-token
     # cached prefix + 30-token suffix: the hit runs one 64-bucket suffix

@@ -72,6 +72,17 @@ class ServingConfig:
     # (20-40 ms through a network-attached TPU) stops bounding decode
     # throughput. Token-identical to burst=1; admission/preemption/window
     # page recycling happen at burst boundaries. 1 = sync every token.
+    pipeline_bursts: bool = False  # speculative burst pipelining: dispatch
+    # burst n+1 BEFORE harvesting burst n's (toks, lives), so the host
+    # round trip of the harvest overlaps the next burst's device compute
+    # (wall per burst -> max(RTT, compute) instead of RTT + compute). The
+    # scan's in-loop stop detection makes speculation correctness-safe: a
+    # slot that finished in burst n is dead on device for burst n+1
+    # (remaining==0 -> trash-page writes, lives=False), and the pending
+    # burst is flushed before any structural change (admission, single-
+    # step fallback, preemption). Token-identical to unpipelined; tokens
+    # surface one step() later. Ignored when window is set (window page
+    # recycling rewrites tables every burst).
 
 
 class PagedKVCache:
@@ -261,6 +272,9 @@ class ServingEngine:
         # device-resident burst operands (tables/lengths/tokens/remaining/
         # eos/sampling params); None = host state changed, re-upload
         self._dev = None
+        # speculative-pipelining state: the dispatched-but-unharvested
+        # burst's (toks, lives) device futures + its active set and k
+        self._pending = None
         if mesh is None:
             self._decode_raw = partial(decode_fn, n_heads=n_heads,
                                        page_size=cfg.page_size, window=window)
@@ -351,6 +365,10 @@ class ServingEngine:
 
     # -- engine loop -------------------------------------------------------
     def step(self):
+        if self._pending is not None and self.queue:
+            # admission reuses slots the pending burst may still be
+            # attributing tokens to — land it first
+            self._flush_pending()
         self._admit()
         active = [s for s, r in enumerate(self.running) if r is not None]
         if not active:
@@ -358,6 +376,7 @@ class ServingEngine:
         if self.cfg.decode_burst > 1 and self._step_burst(active):
             return
         # the single-step path mutates lengths/tokens host-side per token
+        self._flush_pending()
         self._dev = None
         ps = self.cfg.page_size
         # a decode step writes K/V at position lengths[s]: make sure the
@@ -461,23 +480,52 @@ class ServingEngine:
         needs host intervention mid-burst), then mirrors the device's
         in-loop stop bookkeeping from the returned (toks, lives) record.
         Returns False — caller falls back to the single-step path, which
-        can preempt — when the pool can't cover the whole burst."""
+        can preempt — when the pool can't cover the whole burst.
+
+        With ``cfg.pipeline_bursts`` the harvest of burst n is deferred
+        until burst n+1 is dispatched, overlapping the host round trip
+        with device compute; any path that needs a coherent host view
+        (device-state re-upload, allocation failure, admission,
+        preemption) flushes the pending burst first."""
         k = self.cfg.decode_burst
         ps = self.cfg.page_size
+        if self._dev is None:
+            # a structural change invalidated the device carries: the next
+            # dispatch re-uploads host mirrors, which must include every
+            # dispatched token — land the pending burst first
+            self._flush_pending()
+        pend_active = (set(self._pending["active"])
+                       if self._pending is not None else set())
+        pend_k = self._pending["k"] if self._pending is not None else 0
         alloc_happened = False
+        any_work = False
         for s in active:
             r = self.running[s]
-            kk = min(k, r.max_new_tokens - len(r.out))
-            need = (int(self.cache.lengths[s]) + kk - 1) // ps + 1
+            if r is None:
+                continue  # finished during the flush above
+            # tokens already dispatched for s but not harvested: the device
+            # may be up to `ahead` tokens past the host's length mirror
+            ahead = (min(pend_k, r.max_new_tokens - len(r.out))
+                     if s in pend_active else 0)
+            kk = min(k, r.max_new_tokens - len(r.out) - ahead)
+            if kk <= 0:
+                continue
+            any_work = True
+            need = (int(self.cache.lengths[s]) + ahead + kk - 1) // ps + 1
             short = need - len(self.cache.pages_of[s])
             if short > 0:
                 while (self.cache.n_free() < short
                        and self._evict_one_prefix()):
                     pass
                 if short > self.cache.n_free():
+                    self._flush_pending()
                     return False
                 self.cache.alloc(s, short)
                 alloc_happened = True
+        if not any_work:
+            # every remaining token is already covered by the pending burst
+            self._flush_pending()
+            return True
         S = self.cfg.max_seqs
         # Device-resident burst state: every operand the burst fn needs
         # besides params/KV lives in self._dev between bursts (the scan
@@ -494,6 +542,8 @@ class ServingEngine:
             eos = np.full((S,), -1, np.int32)
             for s in active:
                 r = self.running[s]
+                if r is None:
+                    continue  # finished during a pending-burst flush
                 remaining[s] = r.max_new_tokens - len(r.out)
                 if r.eos_id is not None:
                     eos[s] = r.eos_id
@@ -515,14 +565,33 @@ class ServingEngine:
             d["top_k"], d["top_p"])
         d["tokens"], d["lengths"], d["remaining"] = tok_f, len_f, rem_f
         self._dev = d
-        toks, lives = jax.device_get((toks, lives))
-        toks = np.asarray(toks)
-        lives = np.asarray(lives)
         self.stats["decode_steps"] += k
         self.stats["decode_bursts"] = self.stats.get("decode_bursts", 0) + 1
         self.stats["peak_pages_in_use"] = max(
             self.stats["peak_pages_in_use"],
             self.cfg.n_pages - 1 - self.cache.n_free())
+        pend = {"toks": toks, "lives": lives, "active": list(active), "k": k}
+        if self.cfg.pipeline_bursts and self.window is None:
+            # defer this burst's harvest; land the previous one (its RTT
+            # now overlaps the burst just dispatched)
+            prev, self._pending = self._pending, pend
+            if prev is not None:
+                self._harvest_burst(prev)
+            return True
+        self._harvest_burst(pend)
+        return True
+
+    def _flush_pending(self):
+        if self._pending is not None:
+            pend, self._pending = self._pending, None
+            self._harvest_burst(pend)
+
+    def _harvest_burst(self, pend):
+        """Apply a burst's (toks, lives) record to host bookkeeping."""
+        toks, lives = jax.device_get((pend["toks"], pend["lives"]))
+        toks = np.asarray(toks)
+        lives = np.asarray(lives)
+        k, active = pend["k"], pend["active"]
         for t in range(k):
             for s in active:
                 if not lives[t, s] or self.running[s] is None:
@@ -547,7 +616,6 @@ class ServingEngine:
                 if self.running[s] is not None:
                     self._free_out_of_window_pages(s)
             self._dev = None  # window recycling rewrites table entries
-        return True
 
     def _prefix_keys(self, prompt: np.ndarray) -> List[bytes]:
         """Registry key for every full-page prefix of ``prompt``.

@@ -1128,6 +1128,94 @@ class TestDecodeBurst:
             assert out[rid] == list(want[0, len(p):])
 
 
+class TestPipelinedBursts:
+    """pipeline_bursts=True dispatches burst n+1 before harvesting burst n
+    (the harvest RTT overlaps device compute). Must stay token-identical:
+    the scan's device-side stop detection makes the speculative burst
+    safe, and the engine flushes the pending burst before any structural
+    change (admission, fallback, preemption)."""
+
+    def _mk(self, params, burst, pipeline, **kw):
+        cfg = ServingConfig(page_size=16, n_pages=64, max_seqs=3,
+                            max_pages_per_seq=8,
+                            prefill_buckets=(16, 32, 64),
+                            decode_burst=burst, pipeline_bursts=pipeline,
+                            **kw)
+        return ServingEngine(params, n_heads=8, cfg=cfg)
+
+    def test_pipelined_matches_single_step(self, rng):
+        params = _make_model(rng)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 26, 40)]
+        outs = {}
+        for tag, (burst, pipe) in {"single": (1, False),
+                                   "burst": (4, False),
+                                   "pipelined": (4, True)}.items():
+            eng = self._mk(params, burst, pipe)
+            ids = [eng.add_request(p, m)
+                   for p, m in zip(prompts, (7, 5, 9))]
+            got = eng.run()
+            outs[tag] = [got[i] for i in ids]
+        assert outs["pipelined"] == outs["single"] == outs["burst"]
+
+    def test_pipelined_eos_mid_burst(self, rng):
+        params = _make_model(rng)
+        p = rng.randint(0, 97, 20).astype(np.int32)
+        probe = self._mk(params, 1, False)
+        rid = probe.add_request(p, 8)
+        full = probe.run()[rid]
+        eos = full[2]  # mid-burst for k=4 (cut earlier if it repeats)
+        want = full[:full.index(eos) + 1]
+        for pipe in (False, True):
+            eng = self._mk(params, 4, pipe)
+            rid2 = eng.add_request(p, 8, eos_id=int(eos))
+            assert eng.run()[rid2] == want
+
+    def test_pipelined_with_sampling(self, rng):
+        params = _make_model(rng)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (9, 17)]
+        outs = []
+        for pipe in (False, True):
+            eng = self._mk(params, 4, pipe)
+            ids = [eng.add_request(p, 6, temperature=0.9, top_k=11,
+                                   top_p=0.9, seed=7) for p in prompts]
+            got = eng.run()
+            outs.append([got[i] for i in ids])
+        assert outs[0] == outs[1]
+
+    def test_pipelined_staggered_admission(self, rng):
+        # a request queued while a speculative burst is in flight: the
+        # engine must flush the pending burst before reusing/attributing
+        # slots (step()'s flush-before-admit path)
+        params = _make_model(rng)
+        prompts = [rng.randint(0, 97, n).astype(np.int32)
+                   for n in (9, 26, 40, 13)]
+        outs = []
+        for pipe in (False, True):
+            eng = self._mk(params, 4, pipe)
+            ids = [eng.add_request(p, 9) for p in prompts[:3]]
+            eng.step()   # admit + first burst
+            eng.step()   # speculative burst in flight (pipelined)
+            ids.append(eng.add_request(prompts[3], 9))
+            got = eng.run()
+            outs.append([got[i] for i in ids])
+        assert outs[0] == outs[1]
+
+    def test_pipelined_pool_pressure_falls_back(self, rng):
+        params = _make_model(rng)
+        cfg = ServingConfig(page_size=16, n_pages=5, max_seqs=2,
+                            max_pages_per_seq=4, prefill_buckets=(16, 32),
+                            decode_burst=4, pipeline_bursts=True)
+        eng = ServingEngine(params, n_heads=8, cfg=cfg)
+        prompts = [rng.randint(0, 97, n).astype(np.int32) for n in (20, 25)]
+        ids = [eng.add_request(p, 30) for p in prompts]
+        out = eng.run()
+        for p, rid in zip(prompts, ids):
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(p[None]), n_heads=8, max_new_tokens=30))
+            assert out[rid] == list(want[0, len(p):])
+
+
 class TestTransformerWindow:
     """Sliding-window serving for the transformer family (round 3: was
     llama-only). Oracle: greedy_decode(window=W) — the dense forward with
