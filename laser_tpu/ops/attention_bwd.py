@@ -60,12 +60,27 @@ def _block_p_ds(q, k, v, do, m, l, dvec, *, scale, S, q_start, k_start,
     return p, ds
 
 
+def _chunks(total: int, chunk) -> int:
+    """Number of in-body sub-chunks for a streamed panel (1 = unchunked)."""
+    ck = chunk if chunk else total
+    if total % ck:
+        raise ValueError(f"chunk {ck} must divide panel {total}")
+    return total // ck
+
+
 @build_cache
 def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                   causal: bool, scale: float, dtype: str, interpret: bool,
-                  use_offsets: bool = False, window=None):
+                  use_offsets: bool = False, window=None, chunk=None):
+    """``chunk``: in-body sub-chunk width over the streamed K panel — the
+    same interleave lever as the forward's (ops/attention.py _sweep):
+    chunk c's VPU work (exp, ds) has no dependency on chunk c+1's s/dp
+    dots, so Mosaic overlaps them. None = unchunked (one block pair per
+    grid step)."""
     dt = jnp.dtype(dtype)
     nk = SP // bk
+    nc = _chunks(bk, chunk)
+    ck = bk // nc
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
     def kernel(*refs):
@@ -88,16 +103,28 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         k_start = j * bk
 
         def _step():
-            _, ds = _block_p_ds(
-                q_ref[0].astype(jnp.float32), k_ref[0].astype(jnp.float32),
-                v_ref[0].astype(jnp.float32), do_ref[0].astype(jnp.float32),
-                m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
-                scale=scale, S=S, q_start=q_start, k_start=k_start,
-                causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
-                k_off=k_off, window=window)
-            acc_ref[:] += jax.lax.dot_general(
-                ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            qf = q_ref[0].astype(jnp.float32)
+            dof = do_ref[0].astype(jnp.float32)
+            m = m_ref[0, :, :1]
+            l = l_ref[0, :, :1]
+            d = d_ref[0, :, :1]
+            acc = acc_ref[:]
+            # in-body sub-chunks run UNCONDITIONALLY (chunk-granular causal
+            # skipping via cond serializes the interleave — measured loss,
+            # see the forward); block-granular skipping stays at the grid.
+            for c in range(nc):
+                kc = k_ref[0, c * ck:(c + 1) * ck, :].astype(jnp.float32)
+                vc = v_ref[0, c * ck:(c + 1) * ck, :].astype(jnp.float32)
+                _, ds = _block_p_ds(
+                    qf, kc, vc, dof, m, l, d,
+                    scale=scale, S=S, q_start=q_start,
+                    k_start=k_start + c * ck,
+                    causal=causal, bq=bq, bk=ck, prec=prec, q_off=q_off,
+                    k_off=k_off, window=window)
+                acc = acc + jax.lax.dot_general(
+                    ds, kc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+            acc_ref[:] = acc
 
         if causal:
             cond = k_start + k_off <= q_start + q_off + bq - 1
@@ -142,9 +169,13 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 @build_cache
 def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
                    causal: bool, scale: float, dtype: str, interpret: bool,
-                   use_offsets: bool = False, window=None):
+                   use_offsets: bool = False, window=None, chunk=None):
+    """``chunk``: in-body sub-chunk width over the streamed Q panel (the
+    dq kernel's interleave, mirrored — see _build_bwd_dq)."""
     dt = jnp.dtype(dtype)
     nq = SP // bq
+    nc = _chunks(bq, chunk)
+    cq = bq // nc
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
     def kernel(*refs):
@@ -168,21 +199,29 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         k_start = j * bk
 
         def _step():
-            q = q_ref[0].astype(jnp.float32)
-            do = do_ref[0].astype(jnp.float32)
-            p, ds = _block_p_ds(
-                q, k_ref[0].astype(jnp.float32),
-                v_ref[0].astype(jnp.float32), do,
-                m_ref[0, :, :1], l_ref[0, :, :1], d_ref[0, :, :1],
-                scale=scale, S=S, q_start=q_start, k_start=k_start,
-                causal=causal, bq=bq, bk=bk, prec=prec, q_off=q_off,
-                k_off=k_off, window=window)
-            accv_ref[:] += jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            acck_ref[:] += jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            kf = k_ref[0].astype(jnp.float32)
+            vf = v_ref[0].astype(jnp.float32)
+            acck = acck_ref[:]
+            accv = accv_ref[:]
+            for c in range(nc):
+                qc = q_ref[0, c * cq:(c + 1) * cq, :].astype(jnp.float32)
+                doc = do_ref[0, c * cq:(c + 1) * cq, :].astype(jnp.float32)
+                p, ds = _block_p_ds(
+                    qc, kf, vf, doc,
+                    m_ref[0, c * cq:(c + 1) * cq, :1],
+                    l_ref[0, c * cq:(c + 1) * cq, :1],
+                    d_ref[0, c * cq:(c + 1) * cq, :1],
+                    scale=scale, S=S, q_start=q_start + c * cq,
+                    k_start=k_start, causal=causal, bq=cq, bk=bk, prec=prec,
+                    q_off=q_off, k_off=k_off, window=window)
+                accv = accv + jax.lax.dot_general(
+                    p, doc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                acck = acck + jax.lax.dot_general(
+                    ds, qc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+            acck_ref[:] = acck
+            accv_ref[:] = accv
 
         if causal:
             cond = q_start + q_off + bq - 1 >= k_start + k_off
@@ -230,18 +269,39 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
     )
 
 
+def _default_bwd_chunk(panel: int, dtype, causal: bool) -> "int | None":
+    """In-body sub-chunk width for the backward's streamed panels. Measured
+    at B8 S2048 D128, bq=1024 bk=512 (tools/attention_bwd_race.py, both
+    kernels chunked together): bf16 full-mask 256 wins (100.3 TF vs 91.1
+    unchunked, +10%); bf16 causal 128 wins (56.5 vs 50.0, +13%) — the
+    interleave hides the VPU exp/ds under the next chunk's independent
+    dots. f32 is flat across all chunks (+-0.5%): its 6-pass dots already
+    dominate the step, so the panel stays whole."""
+    if jnp.dtype(dtype).itemsize == 4:
+        return None
+    c = 128 if causal else 256
+    return c if (panel > c and panel % c == 0) else None
+
+
 def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
                         D: int, bq: int, bk: int, causal: bool, scale: float,
                         interpret: bool, q_off=None, k_off=None, dvec=None,
-                        window=None):
+                        window=None, chunk="auto"):
     """All inputs padded to (BH, SP, D) / stats (BH, SP, 128).
     Returns (dq, dk, dv) padded — caller slices to S.
 
     q_off/k_off (traced int32 scalars) place the chunks at global sequence
     positions for the ring backward; ``dvec`` overrides the locally-computed
-    rowsum(dO*O) when the caller holds the GLOBAL softmax statistics."""
+    rowsum(dO*O) when the caller holds the GLOBAL softmax statistics.
+    ``chunk``: in-body interleave sub-chunk for both kernels' streamed
+    panels ("auto" = measured default, None = unchunked)."""
     BH = q3.shape[0]
     dt = jnp.dtype(q3.dtype).name
+    if chunk == "auto":
+        ck_k = _default_bwd_chunk(bk, q3.dtype, causal)
+        ck_q = _default_bwd_chunk(bq, q3.dtype, causal)
+    else:
+        ck_k = ck_q = chunk
     if dvec is None:
         dvec = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32),
                        axis=-1)
@@ -253,15 +313,17 @@ def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,
         ko = jnp.asarray(k_off if k_off is not None else 0,
                          jnp.int32).reshape(1)
         dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt,
-                           interpret, use_offsets=True, window=window)(
+                           interpret, use_offsets=True, window=window,
+                           chunk=ck_k)(
             qo, ko, q3, k3, v3, g3, m3, l3, d3)
         dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
-                                interpret, use_offsets=True, window=window)(
+                                interpret, use_offsets=True, window=window,
+                                chunk=ck_q)(
             qo, ko, q3, k3, v3, g3, m3, l3, d3)
         return dq, dk, dv
     dq = _build_bwd_dq(BH, S, SP, D, bq, bk, causal, scale, dt, interpret,
-                       window=window)(q3, k3, v3, g3, m3, l3, d3)
+                       window=window, chunk=ck_k)(q3, k3, v3, g3, m3, l3, d3)
     dk, dv = _build_bwd_dkv(BH, S, SP, D, bq, bk, causal, scale, dt,
-                            interpret, window=window)(
+                            interpret, window=window, chunk=ck_q)(
         q3, k3, v3, g3, m3, l3, d3)
     return dq, dk, dv

@@ -21,6 +21,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "devices(n): skip unless at least n jax devices are visible "
+        "(multi-device tests run on the 8-device virtual CPU mesh in CI; "
+        "on single-chip hardware they skip)")
+
+
+def pytest_runtest_setup(item):
+    for mark in item.iter_markers("devices"):
+        if jax.device_count() < mark.args[0]:
+            pytest.skip(f"needs {mark.args[0]} devices, "
+                        f"have {jax.device_count()}")
+
+
 @pytest.fixture
 def rng():
     # Seed mirrors the reference's randomize(0xDEADBEEF)

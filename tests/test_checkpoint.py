@@ -9,11 +9,13 @@ state's shardings — certified bit-exact for the production config
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 
 
 class TestDistributedResume:
+    @pytest.mark.devices(4)
     def test_zero1_mp_exact_resume(self, tmp_path, rng):
         """The production config (bf16 params, ZeRO-1 f32 masters sharded
         over dp) checkpoints and resumes EXACTLY: step-2 losses and

@@ -97,6 +97,8 @@ def test_prefetch_matches_host_path(rng):
 def test_sharded_placement(rng):
     from laser_tpu.parallel.mesh import make_mesh, sharding
 
+    if len(jax.devices()) < 4:  # single real chip: CI runs this on the
+        pytest.skip("needs 4 devices")  # 8-device virtual CPU mesh
     mesh = make_mesh({"dp": 4}, devices=jax.devices()[:4])
     ds = ArrayDataset(rng.randn(64, 8).astype(np.float32))
     dl = DataLoader(ds, 16, prefetch=2, sharding=sharding(mesh, "dp"))

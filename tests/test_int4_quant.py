@@ -104,6 +104,7 @@ class TestInt4Engine:
             total += len(want)
         assert agree / total > 0.7, f"only {agree}/{total} tokens agree"
 
+    @pytest.mark.devices(4)
     def test_int4_llama_tp_matches_single_device(self, rng):
         from laser_tpu.models.llama import init_llama
         from laser_tpu.parallel.mesh import make_mesh

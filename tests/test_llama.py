@@ -93,6 +93,7 @@ class TestLlama:
         # grads flowed into every trainable leaf class
         assert not np.allclose(np.asarray(params["unembed"]).mean(), 0.02)
 
+    @pytest.mark.devices(8)
     def test_train_step_dp_matches_single_device(self, rng):
         """dp=8 sharded-batch AdamW step == one full-batch step: same loss
         AND same updated params (grad pmean of equal shards is exact up to
@@ -218,6 +219,7 @@ class TestTrainStepVariants:
                 if a.shape == b.shape)
         assert 0 < d < 1e-2
 
+    @pytest.mark.devices(4)
     def test_zero1_matches_single_device(self, rng):
         """ZeRO-1 (sharded optimizer state, reduce_scatter + all_gather)
         == the plain full-batch AdamW step: same loss, same params. The
@@ -247,6 +249,7 @@ class TestTrainStepVariants:
         for leaf in jax.tree_util.tree_leaves(oz2[0]):
             assert leaf.ndim == 1 and leaf.shape[0] % 4 == 0
 
+    @pytest.mark.devices(4)
     def test_zero1_second_step_and_clip(self, rng):
         """Two chained ZeRO-1 steps (state threading) with clipping stay
         equal to the single-device trajectory."""
@@ -274,6 +277,7 @@ class TestTrainStepVariants:
                                        rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.devices(4)
 class TestLlamaTensorParallel:
     """Megatron dp x tp training (llama_train_step_tp) vs the single-device
     oracle. The TP layout splits wkv into wk/wv (contiguous head shards);
@@ -451,6 +455,7 @@ class TestLlamaMixedPrecision:
         for leaf in jax.tree_util.tree_leaves(oz2[2]):
             assert leaf.dtype == jnp.float32 and leaf.ndim == 1
 
+    @pytest.mark.devices(4)
     def test_zero1_mp_trains_dp4(self, rng):
         """4-way ZeRO-1 mixed precision: bf16 params replicated, f32
         master/moment shards 1/4 per device; loss decreases and the
@@ -477,6 +482,7 @@ class TestLlamaMixedPrecision:
                 assert leaf.dtype == jnp.bfloat16
 
 
+@pytest.mark.devices(4)
 class TestLlamaPipelineParallel:
     """GPipe pipeline training (llama_train_step_pp) vs the single-device
     oracle: blocks stage-sharded over pp, microbatched schedule, exact
@@ -550,6 +556,7 @@ class TestLlamaPipelineParallel:
             llama_pp_params(params, mesh)
 
 
+@pytest.mark.devices(8)
 class TestLlama3D:
     """dp x tp x pp in ONE training step vs the single-device oracle."""
 

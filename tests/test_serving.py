@@ -350,6 +350,7 @@ class TestServingEngine:
             assert out[rid] == list(want[0, len(p):]), (
                 f"req {rid}: {out[rid]} != {list(want[0, len(p):])}")
 
+    @pytest.mark.devices(4)
     def test_tensor_parallel_llama_serving(self, rng):
         # megatron-split llama decode over a tp mesh: token-identical to
         # the single-device engine (and thus to dense llama_generate)
@@ -901,6 +902,7 @@ class TestServingWindow:
 
 
 class TestTPWeightQuant:
+    @pytest.mark.devices(4)
     def test_tp_weight_quant_matches_single_device(self, rng):
         # int8 weights shard with their per-output-column scales: the
         # column-parallel dequant multiply commutes with the row-parallel
@@ -929,6 +931,7 @@ class TestTPWeightQuant:
         tp = serve(mesh)
         assert tp == single, f"{tp} != {single}"
 
+    @pytest.mark.devices(4)
     def test_tp_prefix_cache_matches_single_device(self, rng):
         # the prefix gather runs on each shard's LOCAL Hkv heads inside
         # shard_map, so prefix caching composes with tensor parallelism;
@@ -1105,6 +1108,7 @@ class TestDecodeBurst:
             n_kv_heads=4, max_new_tokens=10, temperature=0.0, window=24))
         assert out1[ids1[0]] == list(want[0, len(p):])
 
+    @pytest.mark.devices(4)
     def test_burst_tensor_parallel(self, rng):
         from laser_tpu.models.llama import init_llama, llama_generate
         from laser_tpu.parallel.mesh import make_mesh
