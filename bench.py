@@ -75,6 +75,7 @@ def bench_gemm(M, dtype, autotune=True):
         "pct_peak": _roof(ours, dtype),
         "pallas_gflops": round(fl / t_pallas / 1e6, 1),
         "pallas_pct_peak": _roof(fl / t_pallas / 1e6, dtype),
+        "pallas_vs_xla": round((fl / t_pallas / 1e6) / xla, 3),
         "ms": round(t_ours, 4),
         "tiles": [tiles.bm, tiles.bn, tiles.bk] if tiles else None,
     }
@@ -507,7 +508,8 @@ def bench_stencil_sampling():
         out["sampling_host_fenwick"] = {
             "msamples_per_s": round(host_rate, 2),
             "msamples_per_s_without_replacement": round(host_rate_wo, 2),
-            "reference_cpu": 9.48}
+            "reference_cpu": 9.48,
+            "reference_cpu_without_replacement": 9.37}
         log(f"host F+tree sampling: {host_rate:.1f} M/s "
             f"({host_rate_wo:.1f} M/s w/o replacement; reference 9.48)")
     except Exception as e:  # toolchain-less environments
@@ -836,6 +838,8 @@ def bench_conv():
         precision=jax.lax.Precision.HIGHEST)
     t = chain_rate(drift(xla_conv), x, w)
     out["conv_xla"] = {"gflops": round(fl / t / 1e6, 1), "ms": round(t, 4)}
+    for name in ("conv_im2col", "conv_direct"):
+        out[name]["vs_xla"] = round(out[name]["gflops"] / out["conv_xla"]["gflops"], 3)
     log(f"conv_xla: {out['conv_xla']['gflops']} GFLOP/s")
 
     # ResNet mid-C shape: in-kernel-im2col direct vs XLA at matched precision
