@@ -270,7 +270,13 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
             pltpu.VMEM((bq, D), jnp.float32),           # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The default 16 MB scoped-VMEM budget is both too small for
+            # the widest profitable panels (f32 stats-forward at bk=1024 =
+            # 16.8 MB) and NONDETERMINISTIC at the edge: the identical
+            # f32 bwd MLIR compiled in one session and scoped-OOMed in the
+            # next. Every other kernel family here pins 96-100 MB.
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * SP * SP * D, transcendentals=BH * SP * SP,
             bytes_accessed=4 * BH * SP * D * dt.itemsize),
@@ -316,22 +322,16 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     BH = int(np.prod(lead)) if lead else 1
     DP = round_step_up(D, 128)
     if block_k is None:
-        # Both masks want the widest K panel VMEM affords (fewer online-
-        # softmax rescale passes, longer MXU chains, and at bk = S the
-        # scratch-free `single` kernel path). Round 3's "causal keeps 1024
-        # for block skipping" rule is REFUTED by the round-4 interleave
-        # kernel: causal bk=2048/ck=512 runs 0.117 ms vs 0.124 at bk=1024
-        # (B8 S2048 D128 bf16) — the single-path + interleave savings beat
-        # the skipped diagonal block. Grid-level skipping still applies
-        # whenever S > bk. Windowed attention keeps sub-S blocks (its
-        # O(S*window) cost NEEDS block-granular skipping); wider rows (f32,
-        # or head dims padding past 128 lanes) halve the panel to stay
-        # inside the 16 MB scoped-VMEM budget.
-        row_bytes = DP * jnp.dtype(q.dtype).itemsize
-        block_k = 1024 if (window is not None or row_bytes > 256) else 2048
+        block_k = _default_block_k(DP, q.dtype, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
-    SP = round_step_up(S, max(bq, bk))
+    # SP must let the grid COVER every row on both axes: (SP//bq)*bq >= S
+    # and (SP//bk)*bk >= S. round_step_up(S, max(bq, bk)) violates this
+    # when the smaller block doesn't divide the larger (bf16 S=1500 ->
+    # bq=1024, bk=1536: SP=1536 leaves rows >= 1024 unvisited); the max of
+    # per-axis roundings is a multiple of bq OR >= the bq-rounding, which
+    # floor-covers S on each axis.
+    SP = max(round_step_up(S, bq), round_step_up(S, bk))
     # Sub-chunk the K panel in-body (see _build_flash): the unrolled chunked
     # online softmax lets Mosaic overlap each chunk's exp with the next
     # chunk's s-dot. Measured at B8 S2048 D128 bf16 (tools/
@@ -370,6 +370,22 @@ def _check_window(window, causal):
     return window
 
 
+def _default_block_k(DP: int, dtype, window) -> int:
+    """Forward K-panel default: the widest panel VMEM affords (fewer
+    online-softmax rescale passes, longer MXU chains, and at bk = S the
+    scratch-free `single` kernel path). Round 3's "causal keeps 1024 for
+    block skipping" rule is REFUTED by the round-4 interleave kernel:
+    causal bk=2048/ck=512 runs 0.117 ms vs 0.124 at bk=1024 (B8 S2048
+    D128 bf16) — the single-path + interleave savings beat the skipped
+    diagonal block. Grid-level skipping still applies whenever S > bk.
+    Windowed attention keeps sub-S blocks (its O(S*window) cost NEEDS
+    block-granular skipping); wider rows (f32, or head dims padding past
+    128 lanes) halve the panel to stay inside the 16 MB scoped-VMEM
+    budget."""
+    row_bytes = DP * jnp.dtype(dtype).itemsize
+    return 1024 if (window is not None or row_bytes > 256) else 2048
+
+
 def _default_chunk(bk: int, dtype, causal: bool) -> int:
     """In-body sub-chunk width (see _build_flash). Measured at B8 S2048
     D128 bf16: 1024-chunks lift full-mask 0.141 -> 0.122 ms; 512-chunks
@@ -378,7 +394,10 @@ def _default_chunk(bk: int, dtype, causal: bool) -> int:
     the interleave to reclaim."""
     if jnp.dtype(dtype).itemsize == 4:
         return bk
-    return min(bk, 512 if causal else 1024)
+    c = min(bk, 512 if causal else 1024)
+    while bk % c:  # bk from round_step_up(S,128) may be e.g. 1536
+        c //= 2
+    return c
 
 
 def attention_with_stats(q, k, v, *, causal: bool = False,
@@ -457,13 +476,26 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
 def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
                           interpret, window=None):
     """Run the stats-returning forward once, keeping the PADDED tensors as
-    residuals for the backward kernels."""
+    residuals for the backward kernels. ``block_k=None`` takes the
+    forward's measured panel default — the saved stats are per-row, so
+    the backward is free to run a DIFFERENT geometry over them. One
+    carve-out: f32 halves the panel to 512. The stats variant carries the
+    extra (m, l) row outputs on top of the inference forward's buffers,
+    and at bk=1024 its f32 scoped-VMEM footprint is 16.8 MB vs the 16 MB
+    limit (measured compile-fail, B8 S2048 D128); bk=512 fits and the
+    backward — where f32's 6-pass dots put the time — is geometry-tuned
+    independently anyway."""
     *lead, S, D = q.shape
     BH = int(np.prod(lead)) if lead else 1
     DP = round_step_up(D, 128)
+    if block_k is None:
+        if jnp.dtype(q.dtype).itemsize == 4:
+            block_k = 512
+        else:
+            block_k = _default_block_k(DP, q.dtype, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
-    SP = round_step_up(S, max(bq, bk))
+    SP = max(round_step_up(S, bq), round_step_up(S, bk))  # see attention()
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
@@ -498,6 +530,18 @@ def _att_bwd(causal, scale, block_q, block_k, window, res, g):
     q3, k3, v3, o3, m3, l3 = res
     BH, SP, DP = q3.shape
     *lead, S, D = g.shape
+    if block_k is None:
+        # BACKWARD K-panel default, measured separately from the forward's
+        # (tools/attention_bwd_race.py geometry sweep, B8 S2048 D128 bf16,
+        # chunk 256): (bq, bk) = (1024, 1024) wins both masks — full 111.9
+        # TF vs 102.4 at bk=512; causal 64.9 vs 57.3; 2048-wide panels
+        # fail to compile (the two (bk, D) f32 accumulators + four panels
+        # exceed VMEM). The forward prefers 2048 (one online-softmax pass);
+        # the backward's dkv accumulators make 1024 the widest bf16 fit —
+        # and f32's double-width panels push even 1024 past scoped VMEM
+        # (measured compile-fail at B8 S2048 D128), so f32 keeps 512
+        # (22.0 TF full / 14.1 causal, the round-3 geometry).
+        block_k = 512 if jnp.dtype(q3.dtype).itemsize == 4 else 1024
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     g3 = g.reshape(BH, S, D)
@@ -519,7 +563,7 @@ _attention_ad.defvjp(_att_fwd, _att_bwd)
 def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
                   causal: bool = False, scale: Optional[float] = None,
                   window: Optional[int] = None,
-                  block_q: int = 1024, block_k: int = 1024,
+                  block_q: int = 1024, block_k: Optional[int] = None,
                   interpret: Optional[bool] = None) -> jax.Array:
     """Grouped-query attention: q (B, Hq, S, D), k/v (B, Hkv, S, D) with
     Hq a multiple of Hkv (MQA is Hkv=1). The kernel reads each K/V head
@@ -544,9 +588,11 @@ def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     interp = should_interpret() if interpret is None else interpret
     DP = round_step_up(D, 128)
+    if block_k is None:
+        block_k = _default_block_k(DP, q.dtype, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
-    SP = round_step_up(S, max(bq, bk))
+    SP = max(round_step_up(S, bq), round_step_up(S, bk))  # see attention()
     q3 = q.reshape(B * Hq, S, D)
     k3 = k.reshape(B * Hkv, S, D)
     v3 = v.reshape(B * Hkv, S, D)
@@ -600,7 +646,7 @@ def attention_gqa_trainable(q, k, v, *, causal: bool = False,
                             scale: Optional[float] = None,
                             window: Optional[int] = None,
                             block_q: int = 1024,
-                            block_k: int = 1024) -> jax.Array:
+                            block_k: Optional[int] = None) -> jax.Array:
     """Differentiable GQA: native grouped flash forward; backward expands
     K/V across the group and group-sums dk/dv."""
     *_, D = q.shape
@@ -612,7 +658,8 @@ def attention_gqa_trainable(q, k, v, *, causal: bool = False,
 def attention_trainable(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
                         window: Optional[int] = None,
-                        block_q: int = 1024, block_k: int = 1024) -> jax.Array:
+                        block_q: int = 1024,
+                        block_k: Optional[int] = None) -> jax.Array:
     """Differentiable attention: flash kernel forward AND fused flash
     backward kernels (O(S) memory in both directions; the S x S matrix is
     recomputed blockwise on the MXU in the backward). ``window`` gives

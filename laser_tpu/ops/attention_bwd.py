@@ -161,7 +161,10 @@ def _build_bwd_dq(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         out_shape=jax.ShapeDtypeStruct((BH, SP, D), dt),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # see _build_flash: the 16 MB default is nondeterministic at
+            # the edge and bars the measured-winning wide geometries
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -264,23 +267,27 @@ def _build_bwd_dkv(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
         scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
                         pltpu.VMEM((bk, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # see _build_flash: the 16 MB default is nondeterministic at
+            # the edge and bars the measured-winning wide geometries
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
 
 def _default_bwd_chunk(panel: int, dtype, causal: bool) -> "int | None":
     """In-body sub-chunk width for the backward's streamed panels. Measured
-    at B8 S2048 D128, bq=1024 bk=512 (tools/attention_bwd_race.py, both
-    kernels chunked together): bf16 full-mask 256 wins (100.3 TF vs 91.1
-    unchunked, +10%); bf16 causal 128 wins (56.5 vs 50.0, +13%) — the
-    interleave hides the VPU exp/ds under the next chunk's independent
-    dots. f32 is flat across all chunks (+-0.5%): its 6-pass dots already
-    dominate the step, so the panel stays whole."""
+    at B8 S2048 D128 at the winning geometry bq=bk=1024 (tools/
+    attention_bwd_race.py geometry x chunk sweep, both kernels chunked
+    together): bf16 chunk 256 wins BOTH masks — full 111.9 TF (vs 108.2 at
+    512, 106.6 at 128, 105.7 unchunked), causal 64.9 (vs 63.7 at 128,
+    61.3 at 512, 60.3 unchunked) — the interleave hides the VPU exp/ds
+    under the next chunk's independent dots. f32 is flat across chunks
+    (+-0.5%): its 6-pass dots already dominate the step, so the panel
+    stays whole."""
     if jnp.dtype(dtype).itemsize == 4:
         return None
-    c = 128 if causal else 256
-    return c if (panel > c and panel % c == 0) else None
+    return 256 if (panel > 256 and panel % 256 == 0) else None
 
 
 def flash_attention_bwd(q3, k3, v3, o3, m3, l3, g3, *, S: int, SP: int,

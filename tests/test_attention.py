@@ -301,3 +301,46 @@ class TestSlidingWindow:
             attention(q, k, v, causal=False, window=16)
         with pytest.raises(ValueError, match=">= 1"):
             attention(q, k, v, causal=True, window=0)
+
+
+class TestUnalignedPanelCoverage:
+    """bf16 S in (1280, 1536): round_step_up(S, 128) lands between the
+    1024 q-block and the 2048 default K panel (e.g. S=1500 -> bq=1024,
+    bk=1536). Two shipped bugs lived here: the default 1024-chunk did not
+    divide bk (build-time crash), and SP = round_step_up(S, max(bq, bk))
+    = 1536 is not a multiple of bq, so the grid never visited query rows
+    >= 1024 (silent garbage). SP is now the max of PER-AXIS roundings and
+    the default chunk is forced to a divisor of bk."""
+
+    @pytest.mark.parametrize("S", [1300, 1500])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_covers_all_rows(self, rng, S, causal):
+        q, k, v = (jnp.asarray(rng.randn(1, S, 64) * 0.3, jnp.bfloat16)
+                   for _ in range(3))
+        got = np.asarray(attention(q, k, v, causal=causal), np.float32)
+        want = np.asarray(attention_reference(q, k, v, causal=causal),
+                          np.float32)
+        assert np.abs(got - want).max() < 2e-2
+        # the original failure mode: rows >= 1024 specifically
+        assert np.abs(got[:, 1024:] - want[:, 1024:]).max() < 2e-2
+
+    def test_grads_cover_all_rows(self, rng):
+        S = 1500
+        q, k, v = (jnp.asarray(rng.randn(1, S, 64) * 0.3, jnp.bfloat16)
+                   for _ in range(3))
+
+        from laser_tpu.ops.attention import attention_trainable
+
+        def f(q, k, v):
+            return jnp.sum(attention_trainable(q, k, v, causal=True) ** 2)
+
+        def ref(q, k, v):
+            o = attention_reference(q, k, v, causal=True)
+            return jnp.sum(o.astype(jnp.bfloat16).astype(jnp.float32) ** 2)
+
+        got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for g, w in zip(got, want):
+            g = np.asarray(g, np.float32)
+            w = np.asarray(w, np.float32)
+            assert np.abs(g - w).max() / max(np.abs(w).max(), 1e-9) < 4e-2
