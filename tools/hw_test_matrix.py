@@ -100,10 +100,14 @@ def main():
 def write_md(results):
     tot = {k: sum(r.get(k, 0) for r in results)
            for k in ("passed", "failed", "skipped", "errors")}
+    n_all = len(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    scope = ("Every test file" if len(results) >= n_all else
+             f"{len(results)} of {n_all} test files (run resumable "
+             "via --resume; compile time bounds each session)")
     lines = [
         "# Full-suite hardware run (`LASER_TEST_BACKEND=tpu`)",
         "",
-        "Every test file executed COMPILED on the real chip (one process "
+        f"{scope} executed COMPILED on the real chip (one process "
         "per file, tools/hw_test_matrix.py); the same suite runs in "
         "interpret mode in CI. Totals: "
         f"**{tot['passed']} passed, {tot['failed']} failed, "
