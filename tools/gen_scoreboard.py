@@ -1,0 +1,253 @@
+"""Generate the PERF_NOTES scoreboard FROM the committed bench record.
+
+Round-4 VERDICT #8: three straight rounds shipped a stale hand-written
+scoreboard against the repo's own rule that prose quotes only numbers in
+the authoritative `docs/BENCH_ROUND*.json`. This kills the drift class
+structurally: the scoreboard table is *emitted* from the newest record by
+this tool and carries a "generated" stamp; hand-written text keeps only the
+analysis sections below the table. `tools/check_record_drift.py` then has
+nothing left to catch in the scoreboard scope.
+
+The table spec below is declarative: (record key, label, formatters). A
+row whose key is absent from the record is silently skipped, so the spec
+can stay a superset across rounds.
+
+Usage:
+  python tools/gen_scoreboard.py            # rewrite the scoreboard in place
+  python tools/gen_scoreboard.py --check    # exit 1 if PERF_NOTES is stale
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NOTES = os.path.join(REPO, "docs", "PERF_NOTES.md")
+BEGIN = "<!-- scoreboard:begin (generated, do not hand-edit) -->"
+END = "<!-- scoreboard:end -->"
+
+
+def newest_record() -> str:
+    cands = sorted(
+        f for f in os.listdir(os.path.join(REPO, "docs"))
+        if re.fullmatch(r"BENCH_ROUND\d+\.json", f))
+    return os.path.join(REPO, "docs", cands[-1])
+
+
+def _tf(g):
+    return f"{g / 1000:.1f}"
+
+
+def _pk(r):
+    return f"{r['pct_peak']:.1f}% peak"
+
+
+def _hbm(r):
+    return f"{r['pct_hbm']:.1f}% HBM"
+
+
+def _vs(r, key="vs_xla"):
+    v = r.get(key)
+    return f"{v:.2f}×" if v is not None else "—"
+
+
+# (record key, label, rate cell, vs-XLA cell, note cell) — every number
+# printed comes from the record row passed in.
+SPEC = [
+    ("gemm_bfloat16_4096", "GEMM bf16 4096³ (product path)",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
+     lambda r: "auto dispatch: plain float → XLA emitter; pure-Pallas "
+               f"{_tf(r['pallas_gflops'])} TF = {r['pallas_pct_peak']:.1f}% "
+               "(Mosaic codegen ceiling)"),
+    ("gemm_float32_4096", "GEMM f32 4096³ (full precision)",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
+     lambda r: "≥90% north-star size: met"),
+    ("gemm_float32_2048", "GEMM f32 2048³",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
+     lambda r: (f"run spread {r['run_spread_pct']}%"
+                if "run_spread_pct" in r else "")),
+    ("gemm_float32_1024", "GEMM f32 1024³",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
+     lambda r: ""),
+    ("gemm_int8_4096", "GEMM int8 4096³ (Pallas)",
+     lambda r: f"{_tf(r['gintops'])} TOP/s ({_pk(r)}, 5-run spread "
+               f"{r['run_spread_pct']}%)",
+     lambda r: f"{r['vs_xla']:.2f}× XLA int8 dot "
+               f"({r['xla_pct_peak']:.1f}% peak)",
+     lambda r: "full-K blocks; in-record comparator"),
+    ("gemm_int32_2048", "GEMM int32 2048³ (limb MXU kernel)",
+     lambda r: f"{_tf(r['gintops'])} TINTOP/s",
+     lambda r: f"{r['vs_xla']:.2f}× XLA int32",
+     lambda r: "exact mod 2³²; reference CPU "
+               f"{r['reference_cpu_gintops']} GINTOP/s"),
+    ("gemm_int64_2048", "GEMM int64 2048³ (8 limbs)",
+     lambda r: f"{_tf(r['device_gintops'])} TINTOP/s",
+     lambda r: "—",
+     lambda r: f"exact mod 2⁶⁴; {r['vs_reference']:.0f}× the "
+               f"reference CPU's {r['reference_cpu_gintops']} GINTOP/s"),
+    ("gemm_f64_2048_accurate", "GEMM f64 2048³ (Ozaki)",
+     lambda r: f"{_tf(r['device_gflops_equiv'])} TFLOP/s-equiv device rate",
+     lambda r: "—",
+     lambda r: f"{r['vs_reference']:.1f}× the reference CPU's "
+               f"{r['reference_cpu_gflops']} GFLOP/s; end-to-end "
+               f"{r['end_to_end_gflops']} GFLOP/s is tunnel-bound (breakdown "
+               "below)"),
+    ("gemm_f64_2048_fast", "GEMM f64 2048³ (fast tier)",
+     lambda r: f"{_tf(r['device_gflops_equiv'])} TFLOP/s-equiv",
+     lambda r: "—", lambda r: f"{r['slices']} slices"),
+    ("exp_f32_64M_fast", "exp fast (256 MB stream)",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs, lambda r: ""),
+    ("exp_f32_64M_accurate", "exp accurate (≤1e-6)",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
+     lambda r: "compute-bound: core experiments below"),
+    ("log_f32_64M_fast", "log fast",
+     lambda r: f"{r['gbps']} GB/s", _vs, lambda r: ""),
+    ("tanh_f32_64M_fast", "tanh fast",
+     lambda r: f"{r['gbps']} GB/s", _vs, lambda r: ""),
+    ("sigmoid_f32_64M_fast", "sigmoid fast",
+     lambda r: f"{r['gbps']} GB/s", _vs, lambda r: ""),
+    ("foreach_fused_16M", "foreach fused 3-tensor",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
+     lambda r: "fair (barrier) comparator — see traps below"),
+    ("foreach_strided_every2row", "foreach strided every-2nd-row",
+     lambda r: f"{r['gbps']} GB/s", _vs,
+     lambda r: "one fused kernel (merged basic-index XLA form); strategies: "
+               f"Pallas in-kernel {r['strategies_GBps']['pallas_inkernel']}, "
+               f"materialize {r['strategies_GBps']['materialize_gather']}"),
+    ("softmax_8192x4096", "softmax 8192×4096",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
+     lambda r: "fused one-pass; online kernel covers huge rows"),
+    ("cross_entropy_grad_2048x32768", "cross-entropy grad 2048×32k",
+     lambda r: f"{r['gbps']} GB/s", _vs,
+     lambda r: "strategy race + memory economics below"),
+    ("lm_cross_entropy_2048x32768", "LM cross-entropy train fusion",
+     lambda r: f"{r['gbps']} GB/s", _vs,
+     lambda r: "chunked-vocab value+grad — the kernel llama training "
+               "rides"),
+    ("transpose_8192", "transpose 8192² in-place",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
+     lambda r: "pipelined paired-swap; strategies: serialized "
+               f"{r['strategies_GBps']['inplace_serialized']}, out-of-place "
+               f"Mosaic {r['strategies_GBps']['outofplace_mosaic']}"),
+    ("reduce_sum_64M", "reduce_sum 256 MB (isolated)",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
+     lambda r: "deterministic; VMEM-resident accumulator"),
+    ("attention_bf16_full", "flash attention bf16 fwd (full mask)",
+     lambda r: f"{_tf(r['gflops'])} TF", _vs,
+     lambda r: "O(S) memory; in-body sub-chunk interleave"),
+    ("attention_bf16_causal", "flash attention bf16 fwd (causal)",
+     lambda r: f"{_tf(r['gflops'])} TF", _vs, lambda r: ""),
+    ("attention_train_causal", "flash attention fwd+bwd (training)",
+     lambda r: f"{r['ms']:.3f} ms B8 S2048 D128 causal", _vs,
+     lambda r: "fused bwd kernels"),
+    ("conv_direct", "planewise conv C3→20 224²",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s", _vs,
+     lambda r: "vs XLA's own conv"),
+    ("conv_direct_midC", "conv direct mid-C",
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s", _vs,
+     lambda r: "rhs-transposed dot + double-buffered patch build; matched "
+               "HIGHEST precision"),
+    ("conv_im2col", "conv im2col",
+     lambda r: f"{r['gflops']} GFLOP/s", _vs, lambda r: ""),
+    ("stencil_redblack_1024", "stencil 1024² red-black",
+     lambda r: f"{r['sweeps_per_s'] / 1000:.1f}k sweeps/s "
+               f"({r['effective_gbps']} GB/s eff.)",
+     lambda r: f"{r['vs_xla']:.2f}× HBM round-trip",
+     lambda r: "VMEM-resident"),
+    ("decode_s512", "KV-cached decode B4 S0=512 +64",
+     lambda r: f"{r['ms_total']} ms ({r['tokens_per_s']:,.0f} tok/s)",
+     lambda r: "—", lambda r: "flash prefill + incremental steps"),
+    ("serving_engine_b8", "serving engine b8 paged KV",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s",
+     lambda r: "—",
+     lambda r: "pipelined bursts; serial engine "
+               f"{r['pipelining_race_tok_s']['serial']:,.0f}"),
+    ("serving_engine_b8_int8kv", "serving engine b8 (int8 KV)",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
+     lambda r: ""),
+    ("serving_engine_b8_w4", "serving engine b8 (int4 weights)",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
+     lambda r: ""),
+    ("serving_engine_b8_spec", "serving engine b8 (speculative)",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
+     lambda r: f"draft k={r.get('draft_k', '?')}; acceptance "
+               f"{r.get('acceptance_rate', '?')}"),
+    ("serving_prefix_cache", "prefix-cache hit "
+     "(per-record cached/total below)",
+     lambda r: f"{r['speedup']}× faster prefill", lambda r: "—",
+     lambda r: f"{r['prefill_flops_eliminated_pct']}% of prefill FLOPs "
+               "eliminated"),
+    ("paged_attention_f32_8x4096", "paged decode attention 8×4096",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", lambda r: "—",
+     lambda r: ""),
+    ("paged_attention_int8_8x4096", "paged decode attention int8 KV",
+     lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", lambda r: "—",
+     lambda r: f"{r['speedup_vs_f32']}× faster than the f32 path"),
+    ("sampling_host_fenwick", "host F+tree sampling",
+     lambda r: f"{r['msamples_per_s']} M/s "
+               f"({r['msamples_per_s_without_replacement']} w/o repl.)",
+     lambda r: "—",
+     lambda r: f"reference 18-core CPU: {r['reference_cpu']} / "
+               f"{r['reference_cpu_without_replacement']}; single host core"),
+]
+
+
+def render(record_path: str) -> str:
+    rec = json.load(open(record_path))
+    name = os.path.basename(record_path)
+    lines = [
+        BEGIN,
+        f"## Scoreboard — generated from docs/{name} by",
+        "## tools/gen_scoreboard.py (the committed record of ONE idle-host",
+        "## `bench.py --full` run). Regenerate, never hand-edit:",
+        "##   python tools/gen_scoreboard.py",
+        "",
+        "| kernel | rate | vs XLA twin | notes |",
+        "|---|---|---|---|",
+    ]
+    for key, label, rate, vs, note in SPEC:
+        if key not in rec:
+            continue
+        r = rec[key]
+        lines.append(f"| {label} | {rate(r)} | {vs(r)} | {note(r)} |")
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    record = newest_record()
+    table = render(record)
+    text = open(NOTES).read()
+    if BEGIN in text:
+        pre, rest = text.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        new = pre + table + post
+    else:
+        # first run: replace the legacy hand-written scoreboard (everything
+        # from the first '##' heading through the end of the first table)
+        m = re.search(r"^## .*?\n(?:.*?\n)*?(?:\|.*\n)+", text, re.M)
+        if not m:
+            print("no scoreboard found to replace", file=sys.stderr)
+            return 2
+        new = text[: m.start()] + table + "\n" + text[m.end():]
+    if check:
+        if new != text:
+            print(f"STALE: scoreboard does not match {record}; run "
+                  "python tools/gen_scoreboard.py")
+            return 1
+        print(f"scoreboard up to date with {os.path.basename(record)}")
+        return 0
+    if new != text:
+        open(NOTES, "w").write(new)
+        print(f"scoreboard regenerated from {os.path.basename(record)}")
+    else:
+        print("scoreboard already current")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
