@@ -161,6 +161,14 @@ def _build_ce_bwd(T: int, V: int, bt: int, bv: int, dtype: str,
         out_specs=pl.BlockSpec((bt, bv), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, V), dt),
+        # dx aliases the logits buffer: the backward is a same-shape
+        # read->write stream, and the aliased (donated) regime runs
+        # ~590 GB/s where out-of-place serializes at ~310 (PERF_NOTES
+        # "HBM streaming"). Safe under jit for ANY caller: XLA inserts a
+        # copy iff the logits value is still live after this call, which
+        # just restores the out-of-place cost. In jax.grad(loss)(x) the
+        # residual dies here, so training steps get the fast path.
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),

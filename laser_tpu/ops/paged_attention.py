@@ -33,6 +33,7 @@ non-contiguous memory without materializing a contiguous copy.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import jax
@@ -45,15 +46,33 @@ from ..registry import build_cache
 
 _NEG_INF = -1e30
 
-# perf-probe hook (tools/paged_int8_probe.py): None = shipped path
-# ("bf16k" for quantized f32: k/v as bf16 — exact, int8 values are
-# exactly representable in bf16's 8 mantissa bits — with q/p split into
-# 3 bf16 limbs, halving HIGHEST's 6 MXU passes at the same accuracy
-# class; measured 0.246 -> 0.182 ms at 8x4096). Overrides: "base" =
-# HIGHEST f32 dots, "default" = 1-pass bf16 (the time floor, 0.124 ms,
-# err 3e-5), "bf16k2" = 2 limbs (0.146 ms, err 6e-8 on the bench
-# distribution but ~2^-16 worst-case — not shipped).
+# perf-probe hook (tools/paged_int8_probe.py): None = the shipped
+# _QUANT_F32_DEFAULT for quantized f32. k/v convert to bf16 (exact: int8
+# fits bf16's 8 mantissa bits); q and p split into bf16 LIMBS, with the
+# counts chosen PER DOT: "kXvY" = X limb passes for the q·k score dot, Y
+# for the p·v dot. The kernel is MXU-PASS-bound once int8 shrinks the DMA
+# ~3.7x (round-4 probe: 3.7x fewer bytes but only 2.1x faster), so fewer
+# passes = proportionally faster; asymmetry is principled because softmax
+# is exponentially sensitive to SCORE error while the V dot is linear in
+# p. The probe also measures the int8 STORAGE error (dequantized oracle
+# vs true-f32 attention) — the quality class any compute mode must stay
+# well inside. Overrides: "base" = HIGHEST f32 dots (6 passes each),
+# "default" = 1-pass bf16 both dots, "bf16k"/"bf16k2" = legacy 3/2 limbs
+# both dots, any "kXvY" with X,Y in 1..3.
 _PROBE_MODE = None
+_QUANT_F32_DEFAULT = "bf16k"  # = k3v3; round-5 probe decides on-chip
+
+
+def _parse_mode(mode: str):
+    """-> (limbs_k, limbs_v) for a quantized-f32 limb mode string."""
+    if mode == "bf16k":
+        return 3, 3
+    if mode == "bf16k2":
+        return 2, 2
+    m = re.fullmatch(r"k([123])v([123])", mode)
+    if not m:
+        raise ValueError(f"unknown paged-attention probe mode {mode!r}")
+    return int(m.group(1)), int(m.group(2))
 
 
 def _dot_limbs(a: jax.Array, b_bf16: jax.Array, dims,
@@ -88,12 +107,15 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
     group = Hq // Hkv
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     mode = None
+    limbs = None
     if quantized and dt == jnp.float32:
-        mode = "bf16k" if _PROBE_MODE is None else _PROBE_MODE
+        mode = _QUANT_F32_DEFAULT if _PROBE_MODE is None else _PROBE_MODE
         if mode in ("default", "base"):
             if mode == "default":
                 prec = None
             mode = None
+        else:
+            limbs = _parse_mode(mode)
 
     def kernel(tables_ref, lens_ref, *refs):
         if quantized:
@@ -127,15 +149,15 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                 # (g, ps) SCORES after the K dot and into the (g, ps)
                 # probabilities before the V dot: hd-times less scale work
                 # (measured: row dequant made int8 slower than f32)
-                cdt = jnp.bfloat16 if mode == "bf16k" else dt
+                cdt = jnp.bfloat16 if limbs else dt
                 k = k_ref[0].astype(cdt)
                 v = v_ref[0].astype(cdt)
             else:
                 k = k_ref[0]                           # (Hkv, ps, hd)
                 v = v_ref[0]
             kdims = (((2,), (2,)), ((0,), (0,)))
-            if mode in ("bf16k", "bf16k2"):
-                s = _dot_limbs(q, k, kdims, 2 if mode == "bf16k2" else 3)
+            if limbs:
+                s = _dot_limbs(q, k, kdims, limbs[0])
             else:
                 s = jax.lax.dot_general(
                     q, k, kdims,
@@ -167,8 +189,8 @@ def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
             if quantized:
                 p = p * vs_ref[0][:, None, :]          # per-token V scale
             vdims = (((2,), (1,)), ((0,), (0,)))
-            if mode in ("bf16k", "bf16k2"):
-                pv = _dot_limbs(p, v, vdims, 2 if mode == "bf16k2" else 3)
+            if limbs:
+                pv = _dot_limbs(p, v, vdims, limbs[1])
             else:
                 pv = jax.lax.dot_general(
                     p.astype(dt), v, vdims,
@@ -294,7 +316,12 @@ def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
     group = Hq // Hkv
     G = W * group
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-    limb = quantized and dt == jnp.float32
+    limbs = (_parse_mode(_QUANT_F32_DEFAULT if _PROBE_MODE is None
+                         else _PROBE_MODE)
+             if quantized and dt == jnp.float32
+             and _PROBE_MODE not in ("default", "base") else None)
+    if quantized and dt == jnp.float32 and _PROBE_MODE == "default":
+        prec = None
 
     def kernel(tables_ref, lens_ref, *refs):
         if quantized:
@@ -321,15 +348,15 @@ def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
         def _step():
             q = q_ref[0]                               # (Hkv, G, hd)
             if quantized:
-                cdt = jnp.bfloat16 if limb else dt
+                cdt = jnp.bfloat16 if limbs else dt
                 k = k_ref[0].astype(cdt)
                 v = v_ref[0].astype(cdt)
             else:
                 k = k_ref[0]
                 v = v_ref[0]
             kdims = (((2,), (2,)), ((0,), (0,)))
-            if limb:
-                s = _dot_limbs(q, k, kdims)
+            if limbs:
+                s = _dot_limbs(q, k, kdims, limbs[0])
             else:
                 s = jax.lax.dot_general(
                     q, k, kdims,
@@ -358,8 +385,8 @@ def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
             if quantized:
                 p = p * vs_ref[0][:, None, :]
             vdims = (((2,), (1,)), ((0,), (0,)))
-            if limb:
-                pv = _dot_limbs(p, v, vdims)
+            if limbs:
+                pv = _dot_limbs(p, v, vdims, limbs[1])
             else:
                 pv = jax.lax.dot_general(
                     p.astype(dt), v, vdims,

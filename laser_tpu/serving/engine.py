@@ -72,6 +72,21 @@ class ServingConfig:
     # (20-40 ms through a network-attached TPU) stops bounding decode
     # throughput. Token-identical to burst=1; admission/preemption/window
     # page recycling happen at burst boundaries. 1 = sync every token.
+    spec_gamma: int = 0         # speculative decoding (0 = off): a DRAFT
+    # model (ServingEngine(..., draft_params=...)) proposes `spec_gamma`
+    # tokens per round with cheap cached decode steps; the target scores
+    # the whole window in ONE paged W-query forward
+    # (ops/paged_attention.py:paged_window_attention) and accepts a
+    # prefix — greedy slots keep the longest argmax-matching prefix
+    # (token-identical to non-speculative greedy), sampled slots use the
+    # rejection scheme (ops/sampling.py:speculative_accept — every
+    # emitted token marginally EXACTLY target-distributed). Rounds run
+    # inside the decode-burst scan (~decode_burst/(gamma+1) rounds per
+    # dispatch). Unsupported with window/mesh/top_k/top_p.
+    draft_weight_quant: "bool | str" = False  # weight-only quant for the
+    # DRAFT's block linears (False | "int8" | "int4"): the standard cheap
+    # draft on a weight-HBM-bound target is the QUANTIZED SELF-DRAFT —
+    # pass draft_params=params and let the draft stream 4-8x fewer bytes.
     pipeline_bursts: bool = False  # speculative burst pipelining: dispatch
     # burst n+1 BEFORE harvesting burst n's (toks, lives), so the host
     # round trip of the harvest overlaps the next burst's device compute
@@ -191,7 +206,9 @@ class ServingEngine:
     def __init__(self, params: Dict, *, n_heads: int,
                  cfg: ServingConfig = ServingConfig(), dtype=None,
                  model: str = "transformer", mesh=None,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None,
+                 draft_params: Optional[Dict] = None,
+                 draft_n_heads: Optional[int] = None):
         """``window``: sliding-window attention (both families) — decode
         attends only the last ``window`` keys (O(window) per step via page
         skipping) and prefill applies the same mask; generations match
@@ -309,6 +326,72 @@ class ServingEngine:
                 donate_argnums=(1,))
         self._prefills = {}
 
+        # -- speculative decoding: draft model + its own KV pools ----------
+        self.spec = draft_params is not None and cfg.spec_gamma >= 1
+        if draft_params is not None and cfg.spec_gamma < 1:
+            raise ValueError("draft_params given but cfg.spec_gamma < 1")
+        if self.spec:
+            if mesh is not None:
+                raise ValueError("speculative serving: tp mesh unsupported")
+            if window is not None:
+                raise ValueError("speculative serving: sliding window "
+                                 "unsupported")
+            tv = (params["embed"].shape[0] if model == "transformer"
+                  else params["unembed"].shape[1])
+            dv = (draft_params["embed"].shape[0] if model == "transformer"
+                  else draft_params["unembed"].shape[1])
+            if tv != dv:
+                raise ValueError(f"draft vocab {dv} != target vocab {tv}")
+            dD = draft_params["embed"].shape[1]
+            dH = draft_n_heads if draft_n_heads is not None else n_heads
+            if dD % dH:
+                raise ValueError(f"draft d_model {dD} not divisible by "
+                                 f"draft_n_heads {dH}")
+            d_hd = dD // dH
+            if model == "llama":
+                d_nkv = draft_params["blocks"][0]["wkv"].shape[1] // (
+                    2 * d_hd)
+                capacity = cfg.max_pages_per_seq * cfg.page_size
+                if draft_params["rope_cos"].shape[0] < capacity:
+                    raise ValueError(
+                        "draft rope table shorter than per-sequence "
+                        "capacity; re-init the draft with a larger max_len")
+            else:
+                d_nkv = dH
+            if cfg.draft_weight_quant:
+                draft_params = quantize_block_weights(
+                    draft_params, model,
+                    mode="int4" if cfg.draft_weight_quant == "int4"
+                    else "int8", group=cfg.weight_quant_group)
+            self.draft_params = draft_params
+            self.draft_n_heads = dH
+            self._vocab = tv
+            # the draft's pools mirror the target's PAGE STRUCTURE — same
+            # page ids, same tables/lengths mirrors, one allocator — so a
+            # slot's draft KV lives at the same (page, row) as its target
+            # KV and every allocation/eviction/prefix-share covers both
+            pool_dt = jnp.int8 if cfg.kv_quant else dt
+            self.draft_state = {"pools": jnp.zeros(
+                (len(draft_params["blocks"]), 2, cfg.n_pages, d_nkv,
+                 cfg.page_size, d_hd), pool_dt)}
+            if cfg.kv_quant:
+                self.draft_state["scales"] = jnp.zeros(
+                    (len(draft_params["blocks"]), 2, cfg.n_pages, d_nkv,
+                     cfg.page_size), jnp.float32)
+            self._ddecode_raw = partial(decode_fn, n_heads=dH,
+                                        page_size=cfg.page_size, window=None)
+            self._ddecode = jax.jit(self._ddecode_raw, donate_argnums=(1,))
+            self._window_raw = partial(
+                _window_step if model == "transformer"
+                else _llama_window_step,
+                n_heads=n_heads, page_size=cfg.page_size)
+            self._dprefills = {}
+            self._spec_burst_fn = None
+            # per-dispatch round count: keep the emitted-token budget per
+            # burst comparable to the plain path's decode_burst
+            self.spec_rounds = max(1, cfg.decode_burst // (cfg.spec_gamma
+                                                           + 1))
+
     # -- request API -------------------------------------------------------
     def add_request(self, prompt, max_new_tokens: int,
                     eos_id: Optional[int] = None, *,
@@ -323,6 +406,13 @@ class ServingEngine:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
+        if self.spec and (top_k > 0 or top_p < 1.0):
+            # the rejection scheme is exact for plain temperature
+            # sampling; filtered distributions would need the filters
+            # applied to BOTH p and q per position — not implemented
+            raise ValueError("speculative serving supports greedy and "
+                             "plain temperature sampling only "
+                             "(top_k/top_p off)")
         # prompts longer than the largest bucket prefill in CHUNKS (each
         # chunk a suffix prefill against the pages written so far) — the
         # only hard limits are the page-capacity ones below
@@ -373,7 +463,10 @@ class ServingEngine:
         active = [s for s, r in enumerate(self.running) if r is not None]
         if not active:
             return
-        if self.cfg.decode_burst > 1 and self._step_burst(active):
+        if self.spec:
+            if self._step_burst_spec(active):
+                return
+        elif self.cfg.decode_burst > 1 and self._step_burst(active):
             return
         # the single-step path mutates lengths/tokens host-side per token
         self._flush_pending()
@@ -420,6 +513,15 @@ class ServingEngine:
         logits, self.cache.state = self._decode(
             self.params, self.cache.state, jnp.asarray(self.cache.tables),
             lengths, jnp.asarray(write_page), jnp.asarray(self._tokens))
+        if self.spec:
+            # keep the draft's pools position-synced: its K/V row for this
+            # step's input token, written at the same (page, row) — so a
+            # later speculative burst resumes with a fully-populated draft
+            # history (acceptance quality; correctness never depends on it)
+            _, self.draft_state = self._ddecode(
+                self.draft_params, self.draft_state,
+                jnp.asarray(self.cache.tables), lengths,
+                jnp.asarray(write_page), jnp.asarray(self._tokens))
         # absolute index of the token each slot emits this step (keys fold
         # on it, so sampling is position-deterministic)
         pos = np.zeros((self.cfg.max_seqs,), np.int32)
@@ -488,40 +590,9 @@ class ServingEngine:
         (device-state re-upload, allocation failure, admission,
         preemption) flushes the pending burst first."""
         k = self.cfg.decode_burst
-        ps = self.cfg.page_size
-        if self._dev is None:
-            # a structural change invalidated the device carries: the next
-            # dispatch re-uploads host mirrors, which must include every
-            # dispatched token — land the pending burst first
-            self._flush_pending()
-        pend_active = (set(self._pending["active"])
-                       if self._pending is not None else set())
-        pend_k = self._pending["k"] if self._pending is not None else 0
-        alloc_happened = False
-        any_work = False
-        for s in active:
-            r = self.running[s]
-            if r is None:
-                continue  # finished during the flush above
-            # tokens already dispatched for s but not harvested: the device
-            # may be up to `ahead` tokens past the host's length mirror
-            ahead = (min(pend_k, r.max_new_tokens - len(r.out))
-                     if s in pend_active else 0)
-            kk = min(k, r.max_new_tokens - len(r.out) - ahead)
-            if kk <= 0:
-                continue
-            any_work = True
-            need = (int(self.cache.lengths[s]) + ahead + kk - 1) // ps + 1
-            short = need - len(self.cache.pages_of[s])
-            if short > 0:
-                while (self.cache.n_free() < short
-                       and self._evict_one_prefix()):
-                    pass
-                if short > self.cache.n_free():
-                    self._flush_pending()
-                    return False
-                self.cache.alloc(s, short)
-                alloc_happened = True
+        ok, any_work, alloc_happened = self._burst_prealloc(active, k)
+        if not ok:
+            return False
         if not any_work:
             # every remaining token is already covered by the pending burst
             self._flush_pending()
@@ -581,6 +652,121 @@ class ServingEngine:
         self._harvest_burst(pend)
         return True
 
+    def _burst_prealloc(self, active, k):
+        """Pre-allocate every page a ``k``-token-per-slot burst can write
+        (shared by the plain and speculative burst paths). Returns
+        (ok, any_work, alloc_happened); ok=False (pool short even after
+        shedding prefix entries) flushes the pending burst so the caller
+        can fall back to the single-step path, which can preempt."""
+        ps = self.cfg.page_size
+        if self._dev is None:
+            # a structural change invalidated the device carries: the next
+            # dispatch re-uploads host mirrors, which must include every
+            # dispatched token — land the pending burst first
+            self._flush_pending()
+        pend_active = (set(self._pending["active"])
+                       if self._pending is not None else set())
+        pend_k = self._pending["k"] if self._pending is not None else 0
+        alloc_happened = False
+        any_work = False
+        for s in active:
+            r = self.running[s]
+            if r is None:
+                continue  # finished during the flush above
+            # tokens already dispatched for s but not harvested: the device
+            # may be up to `ahead` tokens past the host's length mirror
+            ahead = (min(pend_k, r.max_new_tokens - len(r.out))
+                     if s in pend_active else 0)
+            kk = min(k, r.max_new_tokens - len(r.out) - ahead)
+            if kk <= 0:
+                continue
+            any_work = True
+            need = (int(self.cache.lengths[s]) + ahead + kk - 1) // ps + 1
+            short = need - len(self.cache.pages_of[s])
+            if short > 0:
+                while (self.cache.n_free() < short
+                       and self._evict_one_prefix()):
+                    pass
+                if short > self.cache.n_free():
+                    self._flush_pending()
+                    return False, any_work, alloc_happened
+                self.cache.alloc(s, short)
+                alloc_happened = True
+        return True, any_work, alloc_happened
+
+    def _get_spec_burst_fn(self):
+        if self._spec_burst_fn is None:
+            body = partial(_spec_burst_scan,
+                           ddecode_fn=self._ddecode_raw,
+                           window_fn=self._window_raw,
+                           gamma=self.cfg.spec_gamma,
+                           rounds=self.spec_rounds,
+                           page_size=self.cfg.page_size,
+                           trash_page=self.cache.trash_page,
+                           vocab=self._vocab)
+            self._spec_burst_fn = jax.jit(body, donate_argnums=(2, 3))
+        return self._spec_burst_fn
+
+    def _step_burst_spec(self, active) -> bool:
+        """Speculative decode: ``spec_rounds`` draft-propose/target-verify
+        rounds in ONE dispatch. Each round emits 1..gamma+1 tokens per live
+        slot, so the worst-case advance is rounds*(gamma+1) — pages are
+        pre-allocated for it like a plain burst of that depth (the scan's
+        remaining-mask keeps every write inside the emission budget, so no
+        overshoot page is ever needed). Harvest/pipelining reuse the plain
+        burst machinery: the scan's per-round (W, S) emissions flatten to
+        the (k, S) record ``_harvest_burst`` already consumes."""
+        W = self.cfg.spec_gamma + 1
+        R = self.spec_rounds
+        ok, any_work, alloc_happened = self._burst_prealloc(active, R * W)
+        if not ok:
+            return False
+        if not any_work:
+            self._flush_pending()
+            return True
+        S = self.cfg.max_seqs
+        d = self._dev
+        if d is None:
+            remaining = np.zeros((S,), np.int32)
+            eos = np.full((S,), -1, np.int32)
+            for s in active:
+                r = self.running[s]
+                if r is None:
+                    continue
+                remaining[s] = r.max_new_tokens - len(r.out)
+                if r.eos_id is not None:
+                    eos[s] = r.eos_id
+            d = {"tables": jnp.asarray(self.cache.tables),
+                 "lengths": jnp.asarray(self.cache.lengths),
+                 "tokens": jnp.asarray(self._tokens),
+                 "remaining": jnp.asarray(remaining),
+                 "eos": jnp.asarray(eos),
+                 "seed": jnp.asarray(self._samp["seed"]),
+                 "temp": jnp.asarray(self._samp["temp"])}
+        elif alloc_happened:
+            d["tables"] = jnp.asarray(self.cache.tables)
+        (self.cache.state, self.draft_state, toks, lives, tok_f, len_f,
+         rem_f) = self._get_spec_burst_fn()(
+            self.params, self.draft_params, self.cache.state,
+            self.draft_state, d["tables"], d["lengths"], d["tokens"],
+            d["remaining"], d["eos"], d["seed"], d["temp"])
+        d["tokens"], d["lengths"], d["remaining"] = tok_f, len_f, rem_f
+        self._dev = d
+        self.stats["spec_bursts"] = self.stats.get("spec_bursts", 0) + 1
+        self.stats["decode_steps"] += R * W
+        self.stats["peak_pages_in_use"] = max(
+            self.stats["peak_pages_in_use"],
+            self.cfg.n_pages - 1 - self.cache.n_free())
+        pend = {"toks": toks, "lives": lives, "active": list(active),
+                "k": R * W, "spec_W": W}
+        if self.cfg.pipeline_bursts:
+            prev, self._pending = self._pending, pend
+            if prev is not None:
+                self._harvest_burst(prev)
+            return True
+        self._harvest_burst(pend)
+        return True
+
     def _flush_pending(self):
         if self._pending is not None:
             pend, self._pending = self._pending, None
@@ -592,6 +778,16 @@ class ServingEngine:
         toks = np.asarray(toks)
         lives = np.asarray(lives)
         k, active = pend["k"], pend["active"]
+        if "spec_W" in pend:
+            # measured acceptance: a live round always emits >= 1 token
+            # (its row-0 emission), so live rounds = sum of row-0 lives and
+            # alpha-hat = (tokens/round - 1) / gamma
+            W = pend["spec_W"]
+            self.stats["spec_live_rounds"] = (
+                self.stats.get("spec_live_rounds", 0)
+                + int(lives[::W, :].sum()))
+            self.stats["spec_tokens"] = (self.stats.get("spec_tokens", 0)
+                                         + int(lives.sum()))
         for t in range(k):
             for s in active:
                 if not lives[t, s] or self.running[s] is None:
@@ -901,6 +1097,20 @@ class ServingEngine:
             self.params, self.cache.state, jnp.asarray(pad),
             jnp.asarray(lens), jnp.asarray(page_vecs),
             jnp.asarray(prefix_vecs))
+        if self.spec:
+            # the draft prefills the SAME pages of its own pools (its
+            # logits are discarded); prefix-cached pages therefore carry
+            # draft KV too, so sharing covers both models
+            if key not in self._dprefills:
+                self._dprefills[key] = jax.jit(
+                    partial(self._prefill_fn, n_heads=self.draft_n_heads,
+                            page_size=ps, bucket=bucket,
+                            n_prefix=n_prefix, window=None),
+                    donate_argnums=(1,))
+            _, self.draft_state = self._dprefills[key](
+                self.draft_params, self.draft_state, jnp.asarray(pad),
+                jnp.asarray(lens), jnp.asarray(page_vecs),
+                jnp.asarray(prefix_vecs))
         self.stats["prefills"] += 1
         if not emit:
             return None
@@ -1121,6 +1331,229 @@ def _decode_burst_scan(params, kv, tables, lengths, tokens, remaining, eos,
     # for the next burst: in steady state (no admission/finish/preemption)
     # nothing is uploaded between bursts — see ServingEngine._step_burst
     return kv, toks, lives, tokens, lengths, remaining
+
+def _spec_burst_scan(params, dparams, kv, dkv, tables, lengths, tokens,
+                     remaining, eos, seeds, temps, *, ddecode_fn, window_fn,
+                     gamma: int, rounds: int, page_size: int,
+                     trash_page: int, vocab: int):
+    """``rounds`` speculative propose/verify rounds in ONE dispatch.
+
+    Per round and live slot: the draft runs ``gamma`` cached decode steps
+    proposing tokens at positions l+1..l+gamma (plus one KV-completing
+    step for the last proposal), the target scores the whole (gamma+1)
+    window in one ``window_fn`` forward over the paged cache, and the
+    acceptance rule emits 1..gamma+1 tokens — greedy slots keep the
+    longest argmax-matching prefix (token-identical to plain greedy
+    decode), sampled slots the rejection scheme
+    (ops/sampling.py:speculative_accept; marginally EXACT for plain
+    temperature sampling).
+
+    Rollback is free on a paged cache (models/speculative.py's invariant):
+    rejected positions' K/V rows — in BOTH pools — are overwritten the
+    next time those positions are refilled, so the per-slot length is the
+    only rollback state. Writes are REMAINING-MASKED: position l+i goes
+    to its table page only while i < remaining (emittable), else to the
+    trash page — queries at emitted indices never attend an unwritten
+    row, and the burst never needs a page past the emission budget, so
+    the plain burst's page-preallocation formula carries over unchanged.
+
+    Returns (kv, dkv, toks (rounds*(gamma+1), S), lives (same), and the
+    final token/length/remaining carries for device residency) — the toks/
+    lives record is exactly what ``_harvest_burst`` consumes.
+    """
+    from ..ops.sampling import speculative_accept
+
+    S = tokens.shape[0]
+    W = gamma + 1
+    rows = jnp.arange(S)
+    inv_t = jnp.where(temps > 0, 1.0 / jnp.maximum(temps, 1e-8), 1.0)
+
+    def round_body(carry, _):
+        kv, dkv, tokens, lengths, remaining = carry
+        live = (lengths > 0) & (remaining > 0)
+        l_arg = jnp.where(live, lengths, 0)
+
+        def page_at(i):
+            return jnp.where(live & (i < remaining),
+                             tables[rows, (l_arg + i) // page_size],
+                             trash_page)
+
+        # -- draft: gamma cached proposal steps --------------------------
+        def dstep(i, c):
+            dkv, tok, wtok, qbuf = c
+            pos = l_arg + i
+            dlog, dkv = ddecode_fn(dparams, dkv, tables,
+                                   jnp.where(live, pos, 0), page_at(i),
+                                   tok)
+            lg32 = dlog.astype(jnp.float32) * inv_t[:, None]
+            keys = jax.vmap(lambda sd, p: jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(sd), p), 7))(
+                seeds, pos + 1)
+            samp = jax.vmap(jax.random.categorical)(keys, lg32)
+            nxt = jnp.where(temps > 0, samp.astype(jnp.int32),
+                            jnp.argmax(dlog, -1).astype(jnp.int32))
+            qbuf = jax.lax.dynamic_update_index_in_dim(
+                qbuf, jax.nn.softmax(lg32, -1), i, 1)
+            wtok = jax.lax.dynamic_update_index_in_dim(wtok, nxt, i + 1, 1)
+            return dkv, nxt, wtok, qbuf
+
+        wtok0 = jnp.zeros((S, W), jnp.int32).at[:, 0].set(tokens)
+        qbuf0 = jnp.zeros((S, gamma, vocab), jnp.float32)
+        dkv, lastp, wtok, qbuf = jax.lax.fori_loop(
+            0, gamma, dstep, (dkv, tokens, wtok0, qbuf0))
+        # one more draft step writes the LAST proposal's K/V, so after a
+        # full accept the draft's history is complete up to the new length
+        _, dkv = ddecode_fn(dparams, dkv, tables,
+                            jnp.where(live, l_arg + gamma, 0),
+                            page_at(gamma), lastp)
+
+        # -- target: one W-query verify forward --------------------------
+        wp = jnp.stack([page_at(i) for i in range(W)], 1)       # (S, W)
+        wrow = jnp.stack([(l_arg + i) % page_size
+                          for i in range(W)], 1)                # (S, W)
+        tlog, kv = window_fn(params, kv, tables, l_arg, live, wp, wrow,
+                             wtok)                              # (S, W, V)
+
+        # -- acceptance ---------------------------------------------------
+        prop = wtok[:, 1:]                                      # (S, gamma)
+        gre = jnp.argmax(tlog, -1).astype(jnp.int32)            # (S, W)
+        match = prop == gre[:, :gamma]
+        n_acc_g = jnp.argmin(jnp.concatenate(
+            [match, jnp.zeros((S, 1), bool)], 1), 1).astype(jnp.int32)
+        p = jax.nn.softmax(tlog.astype(jnp.float32)
+                           * inv_t[:, None, None], -1)
+        akeys = jax.vmap(lambda sd, p0: jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(sd), p0), 11))(
+            seeds, l_arg)
+        n_acc_s, nxt_s = jax.vmap(speculative_accept)(akeys, p, qbuf, prop)
+        samp_on = temps > 0
+        n_acc = jnp.where(samp_on, n_acc_s, n_acc_g)
+        nxt = jnp.where(samp_on, nxt_s, gre[rows, n_acc_g])
+
+        # -- emission: accepted prefix + bonus, truncated by eos/budget ---
+        idx = jnp.arange(W)[None, :]
+        emit = jnp.where(idx == n_acc[:, None], nxt[:, None],
+                         jnp.concatenate(
+                             [prop, jnp.zeros((S, 1), jnp.int32)], 1))
+        n_em = n_acc + 1
+        is_eos = (emit == eos[:, None]) & (idx < n_em[:, None])
+        first_eos = jnp.min(jnp.where(is_eos, idx, W), 1)
+        n_em = jnp.minimum(n_em, first_eos + 1)
+        n_em = jnp.minimum(n_em, remaining)
+        n_em = jnp.where(live, n_em, 0)
+        mask = idx < n_em[:, None]
+        eos_hit = jnp.any(is_eos & mask, 1)
+        lengths = lengths + n_em
+        remaining = jnp.where(live, remaining - n_em, remaining)
+        remaining = jnp.where(eos_hit, 0, remaining)
+        last = emit[rows, jnp.maximum(n_em - 1, 0)]
+        tokens = jnp.where(n_em > 0, last, tokens)
+        return (kv, dkv, tokens, lengths, remaining), (emit, mask)
+
+    (kv, dkv, tokens, lengths, remaining), (emits, masks) = jax.lax.scan(
+        round_body, (kv, dkv, tokens, lengths, remaining), None,
+        length=rounds)
+    # (rounds, S, W) -> time-major (rounds*W, S): the _harvest_burst record
+    toks = emits.transpose(0, 2, 1).reshape(rounds * W, S)
+    lives = masks.transpose(0, 2, 1).reshape(rounds * W, S)
+    return kv, dkv, toks, lives, tokens, lengths, remaining
+
+
+def _kv_window_attend(kv, li, q, tables, att_len):
+    """W-query paged attention over layer ``li``'s pools (verify kernel)."""
+    from ..ops.paged_attention import paged_window_attention
+
+    if "scales" in kv:
+        return paged_window_attention(
+            q, kv["pools"][li, 0], kv["pools"][li, 1], tables, att_len,
+            k_scale=kv["scales"][li, 0], v_scale=kv["scales"][li, 1])
+    return paged_window_attention(q, kv["pools"][li, 0], kv["pools"][li, 1],
+                                  tables, att_len)
+
+
+def _window_step(params, kv, tables, base, live, wp, wrow, wtok, *,
+                 n_heads: int, page_size: int):
+    """Speculative verify step, transformer family: score W window tokens
+    per slot in one forward. wtok (S, W) holds the tokens at positions
+    base..base+W-1; their K/V rows scatter to (wp, wrow) per position (the
+    trash page beyond the emission budget), then ONE W-query paged
+    attention per layer scores all W positions. Returns
+    ((S, W, vocab) logits, kv). Logits at window index w predict position
+    base+w+1 — the same contract as ``models/transformer.py``'s dense
+    ``window_step`` (W=1 is the decode step)."""
+    S, W = wtok.shape
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = D // H
+    att_len = jnp.where(live, base + W, 0)
+    x = params["embed"][wtok]                                   # (S, W, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = layer_norm(x, blk["ln1_g"], blk["ln1_b"])
+        qkv = _linear_q(h.reshape(S * W, D), blk["wqkv"], blk["bqkv"])
+        qkv = qkv.reshape(S, W, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # (S,W,H,hd)
+        for i in range(W):
+            kv = _kv_write_token(kv, li, wp[:, i], wrow[:, i],
+                                 k[:, i], v[:, i])
+        o = _kv_window_attend(kv, li, q, tables, att_len)       # (S,W,H,hd)
+        x = x + _linear_q(o.reshape(S * W, D), blk["wo"],
+                          blk["bo"]).reshape(S, W, D)
+
+        h = layer_norm(x, blk["ln2_g"], blk["ln2_b"])
+        f = _linear_q(h.reshape(S * W, D), blk["w1"], blk["b1"], "gelu")
+        x = x + _linear_q(f, blk["w2"], blk["b2"]).reshape(S, W, D)
+
+    x = layer_norm(x, params["lnf_g"], params["lnf_b"])
+    logits = gemm_ad(x.reshape(S * W, D), params["embed"], None, False,
+                     True)
+    return logits.reshape(S, W, -1), kv
+
+
+def _llama_window_step(params, kv, tables, base, live, wp, wrow, wtok, *,
+                       n_heads: int, page_size: int):
+    """Speculative verify step, llama family (RoPE + GQA + SwiGLU): the
+    paged analog of ``models/llama.py:llama_window_step``. See
+    ``_window_step`` for the (wp, wrow, wtok) contract."""
+    from ..ops.norm import rms_norm
+    from ..ops.rope import apply_rope_at
+
+    S, W = wtok.shape
+    D = params["embed"].shape[1]
+    H = n_heads
+    hd = _w_out_dim(params["blocks"][0]["wq"]) // H
+    Hkv = _w_out_dim(params["blocks"][0]["wkv"]) // (2 * hd)
+    att_len = jnp.where(live, base + W, 0)
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    posf = jnp.minimum(base[:, None] + jnp.arange(W)[None, :],
+                       cos.shape[0] - 1).reshape(-1)            # (S*W,)
+    x = params["embed"][wtok]                                   # (S, W, D)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = rms_norm(x, blk["rms1"]).reshape(S * W, D)
+        q = _linear_q(h, blk["wq"]).reshape(S * W, H, hd)
+        kvp = _linear_q(h, blk["wkv"]).reshape(S * W, 2, Hkv, hd)
+        k, v = kvp[:, 0], kvp[:, 1]
+        q = apply_rope_at(q, cos, sin, posf).reshape(S, W, H, hd)
+        k = apply_rope_at(k, cos, sin, posf).reshape(S, W, Hkv, hd)
+        v = v.reshape(S, W, Hkv, hd)
+        for i in range(W):
+            kv = _kv_write_token(kv, li, wp[:, i], wrow[:, i],
+                                 k[:, i], v[:, i])
+        o = _kv_window_attend(kv, li, q, tables, att_len)       # (S,W,H,hd)
+        x = x + _linear_q(o.reshape(S * W, H * hd),
+                          blk["wo"]).reshape(S, W, D)
+
+        h = rms_norm(x, blk["rms2"]).reshape(S * W, D)
+        f = jax.nn.silu(_linear_q(h, blk["w_gate"])) * _linear_q(
+            h, blk["w_up"])
+        x = x + _linear_q(f, blk["w_down"]).reshape(S, W, D)
+
+    x = rms_norm(x, params["rms_f"])
+    logits = gemm_ad(x.reshape(S * W, D), params["unembed"], None, False,
+                     False)
+    return logits.reshape(S, W, -1), kv
+
 
 def _kv_write_token(kv, li, write_page, row, k, v):
     """Scatter one new K/V row per slot into the pools (quantizing when the

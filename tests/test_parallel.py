@@ -115,8 +115,13 @@ class TestAutodiff:
             return jnp.sum(gemm_ad(a, b) ** 2)
 
         ga, gb = jax.grad(f, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
-        gan, gbn = jax.grad(lambda a, b: jnp.sum((a @ b) ** 2),
-                            argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+        # the oracle must pin HIGHEST: TPU's default f32 dot is 1-pass
+        # bf16 (PERF_NOTES "precision semantics"), which fails these bars
+        # on hardware while passing in CPU CI
+        hi = jax.lax.Precision.HIGHEST
+        gan, gbn = jax.grad(
+            lambda a, b: jnp.sum(jnp.dot(a, b, precision=hi) ** 2),
+            argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gan), rtol=1e-4,
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gbn), rtol=1e-4,
@@ -134,7 +139,7 @@ class TestAutodiff:
             return jnp.sum(linear(x, w, b, act) ** 2)
 
         def ref(x, w, b):
-            z = x @ w + b[None, :]
+            z = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST) + b[None, :]
             acts = {None: lambda v: v, "relu": jax.nn.relu, "tanh": jnp.tanh,
                     "sigmoid": jax.nn.sigmoid, "gelu": jax.nn.gelu}
             return jnp.sum(acts[act](z) ** 2)
@@ -191,7 +196,8 @@ class TestGemmAdTransposes:
         def ref(a, b):
             aa = a.T if ta else a
             bb = b.T if tb else b
-            return jnp.sum((aa @ bb) ** 2)
+            return jnp.sum(jnp.dot(
+                aa, bb, precision=jax.lax.Precision.HIGHEST) ** 2)
 
         got = jax.grad(f, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
         want = jax.grad(ref, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))

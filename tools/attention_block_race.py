@@ -39,9 +39,15 @@ for causal in (False, True):
     # in-body interleave width (see _build_flash / PERF_NOTES round 4:
     # full wants 1024, causal 512, ck=256 over-fragments, and lax.cond
     # chunk-skipping loses outright)
+    # round-5 VERDICT #7: the resident-step probe favors (bq=2048,
+    # bk=1024) at 81.9% vs the shipped 76.4% — race that geometry with
+    # every interleave width, plus bq=2048 against wide panels
     for bq, bk, ckk in [(1024, 2048, None), (1024, 2048, 1024),
                         (1024, 2048, 512), (1024, 2048, 256),
-                        (2048, 1024, None), (2048, 2048, None),
+                        (2048, 1024, None), (2048, 1024, 512),
+                        (2048, 1024, 256),
+                        (2048, 2048, None), (2048, 2048, 1024),
+                        (2048, 2048, 512),
                         (1024, 1024, None), (1024, 1024, 512),
                         (2048, 512, None), (512, 2048, None)]:
         try:

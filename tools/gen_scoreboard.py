@@ -67,11 +67,16 @@ SPEC = [
      lambda r: "≥90% north-star size: met"),
     ("gemm_float32_2048", "GEMM f32 2048³",
      lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
-     lambda r: (f"run spread {r['run_spread_pct']}%"
-                if "run_spread_pct" in r else "")),
+     lambda r: (f"5-run/backend race: median winner "
+                f"{r['backend_median_winner']} by "
+                f"{r['median_delta_pct']}%"
+                if "backend_median_winner" in r else "")),
     ("gemm_float32_1024", "GEMM f32 1024³",
      lambda r: f"{_tf(r['gflops'])} TFLOP/s ({_pk(r)})", _vs,
-     lambda r: ""),
+     lambda r: (f"5-run/backend race: median winner "
+                f"{r['backend_median_winner']} by "
+                f"{r['median_delta_pct']}%"
+                if "backend_median_winner" in r else "")),
     ("gemm_int8_4096", "GEMM int8 4096³ (Pallas)",
      lambda r: f"{_tf(r['gintops'])} TOP/s ({_pk(r)}, 5-run spread "
                f"{r['run_spread_pct']}%)",
@@ -122,11 +127,16 @@ SPEC = [
      lambda r: "fused one-pass; online kernel covers huge rows"),
     ("cross_entropy_grad_2048x32768", "cross-entropy grad 2048×32k",
      lambda r: f"{r['gbps']} GB/s", _vs,
-     lambda r: "strategy race + memory economics below"),
+     lambda r: ("dx aliases the logits buffer; temp "
+                f"{r['temp_mb']['fused']} MB vs XLA's "
+                f"{r['temp_mb']['xla_materializing']}"
+                if "temp_mb" in r else "")),
     ("lm_cross_entropy_2048x32768", "LM cross-entropy train fusion",
-     lambda r: f"{r['gbps']} GB/s", _vs,
-     lambda r: "chunked-vocab value+grad — the kernel llama training "
-               "rides"),
+     lambda r: f"{_tf(r['gflops'])} TFLOP/s", _vs,
+     lambda r: "chunked-vocab unembed+CE value+grad (logits never built) "
+               "— the kernel llama training rides; temp "
+               f"{r['temp_mb']['fused']} MB vs XLA's "
+               f"{r['temp_mb']['xla_materializing']}"),
     ("transpose_8192", "transpose 8192² in-place",
      lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
      lambda r: "pipelined paired-swap; strategies: serialized "
@@ -173,8 +183,13 @@ SPEC = [
      lambda r: ""),
     ("serving_engine_b8_spec", "serving engine b8 (speculative)",
      lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
-     lambda r: f"draft k={r.get('draft_k', '?')}; acceptance "
-               f"{r.get('acceptance_rate', '?')}"),
+     lambda r: f"best config {r['config']}; measured acceptance "
+               f"{r['acceptance_rate']}"),
+    ("serving_spec_weightbound", "speculative serving, weight-bound 8L "
+     "d2048 target",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s",
+     lambda r: f"{r['speedup_vs_plain']}× plain decode",
+     lambda r: f"quantized self-draft; acceptance {r['acceptance_rate']}"),
     ("serving_prefix_cache", "prefix-cache hit "
      "(per-record cached/total below)",
      lambda r: f"{r['speedup']}× faster prefill", lambda r: "—",

@@ -62,10 +62,24 @@ def main():
         print(f"{tag:10s} {t:7.4f} ms  {nbytes_q/t/1e6:6.1f} GB/s  "
               f"maxerr={err:.2e}", flush=True)
 
+    # the QUALITY CLASS floor: how far int8 STORAGE quantization alone
+    # moves the output from true-f32 attention (no compute error at all:
+    # the oracle runs the dequantized rows in f32). Any compute mode whose
+    # added error is well below this is "free" within the int8-KV class.
+    true_f32 = np.asarray(paged_attention_reference(q, kp, vp, tables,
+                                                    lengths))
+    print(f"int8 STORAGE error (dequant oracle vs true-f32 attention): "
+          f"{np.abs(oracle - true_f32).max():.2e}", flush=True)
+
     race("base", "base")        # HIGHEST f32 dots (pre-round-3 shipped)
-    race("default", "default")  # 1-pass bf16: the time floor
-    race("shipped", None)       # bf16k 3-limb (the product path)
-    race("bf16k2", "bf16k2")    # 2 limbs: faster, weaker worst case
+    race("default", "default")  # 1-pass bf16 both dots: the time floor
+    race("k3v3", "bf16k")       # 3 limbs both (round-3/4 shipped)
+    race("k2v2", "bf16k2")      # 2 limbs both
+    # asymmetric (round 5): softmax is exponentially sensitive to SCORE
+    # error, the V dot is linear in p -> spend limbs on the K dot only
+    race("k3v1", "k3v1")
+    race("k2v1", "k2v1")
+    race("k1v1", "k1v1")
     pa._PROBE_MODE = None
     pa.build_paged_attention.cache_clear()
 
