@@ -489,7 +489,10 @@ def bench_memory_bound():
 
     def _lm_xla(h):
         def f(hh):
-            logits = hh @ lm_e.T
+            # matched precision: our f32 path pins HIGHEST (PERF_NOTES
+            # "precision semantics"), so the comparator must too
+            logits = jnp.dot(hh, lm_e.T,
+                             precision=jax.lax.Precision.HIGHEST)
             logp = jax.nn.log_softmax(logits, axis=-1)
             return -jnp.mean(jnp.take_along_axis(logp, ce_t[:, None], 1))
         return jax.grad(f)(h)

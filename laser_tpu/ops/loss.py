@@ -298,10 +298,20 @@ def _emb_chunk(embp, c, bv, D, transb):
     return jax.lax.dynamic_slice(embp, (0, c * bv), (D, bv))
 
 
+def _lm_prec(dt):
+    """f32 inputs pin HIGHEST: TPU's default f32 dot is 1-pass bf16, which
+    would silently break lm_cross_entropy's numeric interchangeability
+    with cross_entropy (caught by the hardware test matrix — the CPU
+    interpreter hides it). bf16 inputs keep the native 1-pass path."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dt) == jnp.float32 else None)
+
+
 def _chunk_logits(h, rows, transb):
     dims = (((1,), (1,)), ((), ())) if transb else (((1,), (0,)), ((), ()))
     return jax.lax.dot_general(h, rows, dims,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_lm_prec(h.dtype))
 
 
 def _lmce_fwd_impl(h, emb, targets, eps, bv, transb):
@@ -375,18 +385,22 @@ def _lmce_bwd_vjp(eps, bv, transb, res, g):
         if transb:
             dh = dh + jax.lax.dot_general(          # (T,bv)·(bv,D)
                 dl, rows32, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_lm_prec(h.dtype))
             drows = jax.lax.dot_general(            # (bv,D) chunk grad
                 dl, h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_lm_prec(h.dtype))
             demb = jax.lax.dynamic_update_slice(demb, drows, (c * bv, 0))
         else:
             dh = dh + jax.lax.dot_general(          # (T,bv)·(D,bv)ᵀ
                 dl, rows32, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_lm_prec(h.dtype))
             dcols = jax.lax.dot_general(            # (D,bv) chunk grad
                 h, dl, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_lm_prec(h.dtype))
             demb = jax.lax.dynamic_update_slice(demb, dcols, (0, c * bv))
         return dh, demb
 
