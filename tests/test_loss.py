@@ -8,6 +8,14 @@ import pytest
 import laser_tpu as lt
 
 
+
+def _hi_dot(a, b):
+    """Oracle matmul at pinned HIGHEST precision: the kernels under test
+    pin HIGHEST for f32, and TPU's default f32 dot is 1-pass bf16 — an
+    unpinned oracle fails these bars on hardware while passing CPU CI
+    (PERF_NOTES "precision semantics")."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
 def _oracle(logits, targets):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
@@ -171,14 +179,14 @@ class TestLMCrossEntropy:
     def test_matches_materialized(self, rng, V, bv):
         h, emb, tgt = self._setup(rng, 24, 64, V)
         got = lt.lm_cross_entropy(h, emb, tgt, reduction="none", block_v=bv)
-        want = _oracle(h @ emb.T, tgt)
+        want = _oracle(_hi_dot(h, emb.T), tgt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
     def test_matches_cross_entropy_op(self, rng):
         h, emb, tgt = self._setup(rng, 16, 32, 700)
         a = lt.lm_cross_entropy(h, emb, tgt, block_v=256)
-        b = lt.cross_entropy(h @ emb.T, tgt)
+        b = lt.cross_entropy(_hi_dot(h, emb.T), tgt)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
 
     def test_gradients_match_oracle(self, rng):
@@ -189,7 +197,7 @@ class TestLMCrossEntropy:
             return lt.lm_cross_entropy(h_, e_, tgt, block_v=256)
 
         def ref(h_, e_):
-            return jnp.mean(_oracle(h_ @ e_.T, tgt))
+            return jnp.mean(_oracle(_hi_dot(h_, e_.T), tgt))
         gh, ge = jax.grad(ours, argnums=(0, 1))(h, emb)
         gh_r, ge_r = jax.grad(ref, argnums=(0, 1))(h, emb)
         np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
@@ -211,7 +219,7 @@ class TestLMCrossEntropy:
                                        ignore_index=-100)
 
         def ref(h_, e_):
-            x = h_ @ e_.T
+            x = _hi_dot(h_, e_.T)
             logp = jax.nn.log_softmax(x, axis=-1)
             safe = jnp.where(tj == -100, 0, tj)
             nll = -jnp.take_along_axis(logp, safe[:, None], 1)[:, 0]
@@ -236,7 +244,7 @@ class TestLMCrossEntropy:
         tgt = jnp.asarray(rng.randint(0, V, (T,)), jnp.int32)
         got = lt.lm_cross_entropy(h, emb, tgt, transb=False,
                                   reduction="none", block_v=256)
-        want = _oracle(h @ emb, tgt)
+        want = _oracle(_hi_dot(h, emb), tgt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
         gh, ge = jax.grad(lambda a, b: lt.lm_cross_entropy(
@@ -254,7 +262,7 @@ class TestLMCrossEntropy:
         tgt = jnp.asarray(rng.randint(0, 100, (2, 6)), jnp.int32)
         got = lt.lm_cross_entropy(h, emb, tgt, reduction="none")
         assert got.shape == (2, 6)
-        want = _oracle(h @ emb.T, tgt)
+        want = _oracle(_hi_dot(h, emb.T), tgt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
         with pytest.raises(ValueError, match="embed shape"):
