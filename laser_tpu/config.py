@@ -51,6 +51,16 @@ class LaserConfig:
     reduction_grain: int = 8 * 128 * 1024
     vmem_budget_frac: float = 0.7
     matmul_precision: str = "highest"
+    # int8-KV paged-attention compute tier, a "kXvY" limb-mode string
+    # (X bf16 limb passes for the q.k score dot, Y for the p.v dot; see
+    # ops/paged_attention.py). Round-5 probe on the chip (8x4096, ps 256):
+    # int8 STORAGE error alone = 1.18e-4 vs true-f32 attention; compute
+    # adds 3.1e-5 at v=1 modes and <=6e-8 at v>=2. "k1v1" (default) runs
+    # 0.137 ms = 505.6 GB/s = 61.7% HBM vs exact "k3v3"'s 0.183 — the
+    # fast tier's added error stays ~4x under the storage floor that
+    # defines the int8-KV quality class. "k3v3" = the compute-exact tier
+    # (certified adversarially in test_serving int8 magnitude-spread).
+    paged_quant_mode: str = "k1v1"
     # Pipeline/autotune defaults for the GEMM tiler; None = derive from device.
     gemm_bm: Optional[int] = None
     gemm_bn: Optional[int] = None

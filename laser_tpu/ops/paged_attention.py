@@ -46,21 +46,40 @@ from ..registry import build_cache
 
 _NEG_INF = -1e30
 
-# perf-probe hook (tools/paged_int8_probe.py): None = the shipped
-# _QUANT_F32_DEFAULT for quantized f32. k/v convert to bf16 (exact: int8
-# fits bf16's 8 mantissa bits); q and p split into bf16 LIMBS, with the
+# Quantized-f32 compute tier: k/v convert to bf16 (exact: int8 fits
+# bf16's 8 mantissa bits); q and p split into bf16 LIMBS, with the
 # counts chosen PER DOT: "kXvY" = X limb passes for the q·k score dot, Y
-# for the p·v dot. The kernel is MXU-PASS-bound once int8 shrinks the DMA
-# ~3.7x (round-4 probe: 3.7x fewer bytes but only 2.1x faster), so fewer
-# passes = proportionally faster; asymmetry is principled because softmax
-# is exponentially sensitive to SCORE error while the V dot is linear in
-# p. The probe also measures the int8 STORAGE error (dequantized oracle
-# vs true-f32 attention) — the quality class any compute mode must stay
-# well inside. Overrides: "base" = HIGHEST f32 dots (6 passes each),
-# "default" = 1-pass bf16 both dots, "bf16k"/"bf16k2" = legacy 3/2 limbs
-# both dots, any "kXvY" with X,Y in 1..3.
+# for the p·v dot. The kernel is MXU-PASS-bound once int8 shrinks the
+# DMA ~3.7x, so fewer passes = proportionally faster. Round-5 probe
+# (tools/paged_int8_probe.py on the chip, 8x4096 ps 256):
+#
+#   int8 STORAGE error alone (dequant oracle vs true-f32): 1.18e-4
+#   base (HIGHEST, 6+6 passes)  0.2522 ms  274 GB/s  err 4.5e-8
+#   k3v3 (round-3/4 shipped)    0.1829 ms  379 GB/s  err 4.5e-8
+#   k2v2                        0.1570 ms  441 GB/s  err 6.1e-8
+#   k3v1                        0.1693 ms  409 GB/s  err 3.2e-5
+#   k2v1                        0.1535 ms  451 GB/s  err 3.2e-5
+#   k1v1 (shipped default)      0.1369 ms  506 GB/s  err 3.1e-5
+#   default (XLA 1-pass flag)   0.1404 ms  493 GB/s  err 3.1e-5
+#
+# Findings: the error is set by the V-dot limb count alone (k3v1 ==
+# k1v1: the score dot's extra limbs buy nothing once p is rounded to
+# bf16 for a 1-pass V dot), and every v1 mode stays ~4x under the
+# storage floor that DEFINES the int8-KV quality class — so "k1v1" is
+# the default tier (config.paged_quant_mode), 61.7% HBM, and "k3v3"
+# remains the compute-exact tier for callers who quantize storage but
+# want exact arithmetic on it. _PROBE_MODE (tools/paged_int8_probe.py)
+# overrides the config; "base" = HIGHEST f32 dots, "default" = 1-pass
+# via the precision flag, "bf16k"/"bf16k2" = legacy aliases.
 _PROBE_MODE = None
-_QUANT_F32_DEFAULT = "bf16k"  # = k3v3; round-5 probe decides on-chip
+
+
+def _quant_mode() -> str:
+    if _PROBE_MODE is not None:
+        return _PROBE_MODE
+    from ..config import get_config
+
+    return get_config().paged_quant_mode
 
 
 def _parse_mode(mode: str):
@@ -102,20 +121,17 @@ def _dot_limbs(a: jax.Array, b_bf16: jax.Array, dims,
 def build_paged_attention(S: int, P: int, Hq: int, Hkv: int, ps: int,
                           hd: int, max_pages: int, scale: float,
                           dtype: str, quantized: bool, interpret: bool,
-                          window=None):
+                          window=None, qmode: str = "k1v1"):
     dt = jnp.dtype(dtype)
     group = Hq // Hkv
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-    mode = None
     limbs = None
     if quantized and dt == jnp.float32:
-        mode = _QUANT_F32_DEFAULT if _PROBE_MODE is None else _PROBE_MODE
-        if mode in ("default", "base"):
-            if mode == "default":
+        if qmode in ("default", "base"):
+            if qmode == "default":
                 prec = None
-            mode = None
         else:
-            limbs = _parse_mode(mode)
+            limbs = _parse_mode(qmode)
 
     def kernel(tables_ref, lens_ref, *refs):
         if quantized:
@@ -289,7 +305,8 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     fn = build_paged_attention(S, P, Hq, Hkv, ps, hd, max_pages,
                                float(scale), jnp.dtype(q.dtype).name,
                                quantized, interp,
-                               None if window is None else int(window))
+                               None if window is None else int(window),
+                               _quant_mode())
     args = [tables.astype(jnp.int32), lengths.astype(jnp.int32),
             q, k_pool, v_pool]
     if quantized:
@@ -301,7 +318,8 @@ def paged_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
                                  ps: int, hd: int, max_pages: int,
                                  scale: float, dtype: str, quantized: bool,
-                                 interpret: bool, window=None):
+                                 interpret: bool, window=None,
+                                 qmode: str = "k1v1"):
     """W-query variant of the paged decode kernel (verify kernel).
 
     Query w of sequence s sits at position lengths[s] - W + w and attends
@@ -316,11 +334,10 @@ def build_paged_window_attention(S: int, P: int, W: int, Hq: int, Hkv: int,
     group = Hq // Hkv
     G = W * group
     prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-    limbs = (_parse_mode(_QUANT_F32_DEFAULT if _PROBE_MODE is None
-                         else _PROBE_MODE)
+    limbs = (_parse_mode(qmode)
              if quantized and dt == jnp.float32
-             and _PROBE_MODE not in ("default", "base") else None)
-    if quantized and dt == jnp.float32 and _PROBE_MODE == "default":
+             and qmode not in ("default", "base") else None)
+    if quantized and dt == jnp.float32 and qmode == "default":
         prec = None
 
     def kernel(tables_ref, lens_ref, *refs):
@@ -483,7 +500,7 @@ def paged_window_attention(q: jax.Array, k_pool: jax.Array,
     fn = build_paged_window_attention(
         S, P, W, Hq, Hkv, ps, hd, max_pages, float(scale),
         jnp.dtype(q.dtype).name, quantized, interp,
-        None if window is None else int(window))
+        None if window is None else int(window), _quant_mode())
     # fold (W, Hq) -> (Hkv, W*group) outside the kernel: row = w*group + g
     qf = q.reshape(S, W, Hkv, group, hd).transpose(0, 2, 1, 3, 4)
     qf = qf.reshape(S, Hkv, W * group, hd)

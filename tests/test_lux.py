@@ -239,13 +239,16 @@ class TestScheduleHints:
         assert err_acc <= err_fast      # tiers actually differ (or tie)
 
     def test_gemm_tiles_hint_reaches_kernel(self, rng):
-        @lux.generate(schedule=lux.Schedule(gemm_tiles=(64, 64, 64),
+        # tiles must be hardware-legal (Mosaic: last-dim blocks 128-
+        # divisible or equal to the array dim — interpret mode accepts
+        # anything, the chip does not)
+        @lux.generate(schedule=lux.Schedule(gemm_tiles=(64, 128, 128),
                                             gemm_backend="pallas"))
         def f(a, b):
             return a @ b
 
-        x = rng.randn(128, 96).astype(np.float32)
-        y = rng.randn(96, 128).astype(np.float32)
+        x = rng.randn(128, 256).astype(np.float32)
+        y = rng.randn(256, 128).astype(np.float32)
         got = np.asarray(f(x, y))
         want = x.astype(np.float64) @ y.astype(np.float64)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
@@ -273,6 +276,10 @@ class TestScheduleHints:
         y = rng.randn(128, 128).astype(np.float32)
         want = x.astype(np.float64) @ y.astype(np.float64)
         got = np.asarray(lo(x, y))
-        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+        # "default" on the chip IS 1-pass bf16 (that is the point of the
+        # hint): at K=128 with N(0,1) operands the rounding error is
+        # ~0.004*sqrt(K) per element with near-zero outputs in the tail,
+        # so the bound must be ABSOLUTE at the bf16 error scale
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=0.5)
         assert lo.lux_schedule.precision == "default"
         assert get_config().matmul_precision == orig  # override scoped

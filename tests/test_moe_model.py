@@ -35,7 +35,15 @@ def mesh_ep4():
 
 
 def _oracle_forward(params, tokens, n_heads, top_k):
-    """Pure-jnp reimplementation (no laser kernels)."""
+    """Pure-jnp reimplementation (no laser kernels). Matmuls pinned to
+    HIGHEST: the product path pins f32 precision, and TPU's default dot
+    is 1-pass bf16 — unpinned the 2e-4 bars fail on hardware while
+    passing in the CPU interpreter (PERF_NOTES "precision semantics")."""
+    with jax.default_matmul_precision("highest"):
+        return _oracle_forward_body(params, tokens, n_heads, top_k)
+
+
+def _oracle_forward_body(params, tokens, n_heads, top_k):
     def ln(x, g, b):
         m = x.mean(-1, keepdims=True)
         v = ((x - m) ** 2).mean(-1, keepdims=True)

@@ -49,8 +49,10 @@ class TestPagedAttention:
         assert np.abs(np.asarray(got - want)).max() < 1e-5
 
     def test_int8_quantized_pools(self, rng):
-        # kernel(int8 pools + scales) must match the f32 reference run on
-        # the DEQUANTIZED pools to kernel arithmetic tolerance
+        # the EXACT tier (paged_quant_mode="k3v3"): kernel(int8 pools +
+        # scales) must match the f32 reference run on the DEQUANTIZED
+        # pools to kernel arithmetic tolerance
+        from laser_tpu.config import config_override
         from laser_tpu.ops.paged_attention import quantize_kv
 
         S, H, hd, ps, P, mp = 3, 8, 64, 16, 24, 4
@@ -62,8 +64,9 @@ class TestPagedAttention:
         tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
                              jnp.int32)
         lengths = jnp.asarray([3, 40, 64], jnp.int32)
-        got = paged_attention(q, kq, vq, tables, lengths,
-                              k_scale=ks, v_scale=vs)
+        with config_override(paged_quant_mode="k3v3"):
+            got = paged_attention(q, kq, vq, tables, lengths,
+                                  k_scale=ks, v_scale=vs)
         kd = kq.astype(jnp.float32) * ks[..., None]
         vd = vq.astype(jnp.float32) * vs[..., None]
         want = paged_attention_reference(q, kd, vd, tables, lengths)
@@ -72,11 +75,40 @@ class TestPagedAttention:
         full = paged_attention_reference(q, kp, vp, tables, lengths)
         assert np.abs(np.asarray(got - full)).max() < 0.05
 
+    def test_int8_fast_tier_error_budget(self, rng):
+        # the DEFAULT tier ("k1v1", round-5 probe): its compute error
+        # must stay well under the int8 STORAGE error that defines the
+        # quality class (measured on-chip: 3.1e-5 compute vs 1.18e-4
+        # storage at the bench shape). Certified here relatively: the
+        # fast tier sits within half the storage error of the exact tier.
+        from laser_tpu.config import config_override
+        from laser_tpu.ops.paged_attention import quantize_kv
+
+        S, H, hd, ps, P, mp = 3, 8, 64, 16, 24, 4
+        q = jnp.asarray(rng.randn(S, H, hd), jnp.float32)
+        kp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        vp = jnp.asarray(rng.randn(P, H, ps, hd), jnp.float32)
+        kq, ks = quantize_kv(kp)
+        vq, vs = quantize_kv(vp)
+        tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
+                             jnp.int32)
+        lengths = jnp.asarray([5, 64, 33], jnp.int32)
+        fast = paged_attention(q, kq, vq, tables, lengths,
+                               k_scale=ks, v_scale=vs)
+        with config_override(paged_quant_mode="k3v3"):
+            exact = paged_attention(q, kq, vq, tables, lengths,
+                                    k_scale=ks, v_scale=vs)
+        full = paged_attention_reference(q, kp, vp, tables, lengths)
+        storage_err = np.abs(np.asarray(exact - full)).max()
+        compute_err = np.abs(np.asarray(fast - exact)).max()
+        assert compute_err < 0.5 * storage_err, (compute_err, storage_err)
+
     def test_int8_pools_magnitude_spread(self, rng):
-        # the quantized-f32 path runs 3-limb bf16 dots (exact: int8 rows
-        # fit bf16; q split into 3 bf16 limbs covers f32's 24 mantissa
+        # the EXACT tier runs 3-limb bf16 dots (exact: int8 rows fit
+        # bf16; q split into 3 bf16 limbs covers f32's 24 mantissa
         # bits). Adversarial q with a wide exponent spread must still
         # match the dequantized-f32 oracle at kernel tolerance.
+        from laser_tpu.config import config_override
         from laser_tpu.ops.paged_attention import quantize_kv
 
         S, H, hd, ps, P, mp = 2, 4, 64, 16, 12, 3
@@ -89,8 +121,9 @@ class TestPagedAttention:
         tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
                              jnp.int32)
         lengths = jnp.asarray([17, 48], jnp.int32)
-        got = paged_attention(q, kq, vq, tables, lengths,
-                              k_scale=ks, v_scale=vs)
+        with config_override(paged_quant_mode="k3v3"):
+            got = paged_attention(q, kq, vq, tables, lengths,
+                                  k_scale=ks, v_scale=vs)
         kd = kq.astype(jnp.float32) * ks[..., None]
         vd = vq.astype(jnp.float32) * vs[..., None]
         want = paged_attention_reference(q, kd, vd, tables, lengths)
@@ -206,8 +239,10 @@ class TestPagedWindowAttention:
         vq, vs = quantize_kv(vp)
         q = jnp.asarray(rng.randn(S, W, H, hd), jnp.float32)
         lengths = jnp.asarray([17, 48], jnp.int32)
-        got = paged_window_attention(q, kq, vq, tables, lengths,
-                                     k_scale=ks, v_scale=vs)
+        from laser_tpu.config import config_override
+        with config_override(paged_quant_mode="k3v3"):  # exact tier
+            got = paged_window_attention(q, kq, vq, tables, lengths,
+                                         k_scale=ks, v_scale=vs)
         kd = kq.astype(jnp.float32) * ks[..., None]
         vd = vq.astype(jnp.float32) * vs[..., None]
         want = paged_window_attention_reference(q, kd, vd, tables, lengths)
@@ -742,8 +777,10 @@ class TestPagedWindow:
         tables = jnp.asarray(rng.permutation(P)[:S * mp].reshape(S, mp),
                              jnp.int32)
         lengths = jnp.asarray([5, 40, 64], jnp.int32)
-        got = paged_attention(q, kq, vq, tables, lengths, window=20,
-                              k_scale=ks, v_scale=vs)
+        from laser_tpu.config import config_override
+        with config_override(paged_quant_mode="k3v3"):  # exact tier
+            got = paged_attention(q, kq, vq, tables, lengths, window=20,
+                                  k_scale=ks, v_scale=vs)
         kd = kq.astype(jnp.float32) * ks[..., None]
         vd = vq.astype(jnp.float32) * vs[..., None]
         want = paged_attention_reference(q, kd, vd, tables, lengths,
