@@ -295,7 +295,8 @@ def _build_flash(BH: int, S: int, SP: int, D: int, bq: int, bk: int,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               causal: bool = False, scale: Optional[float] = None,
               window: Optional[int] = None,
-              block_q: int = 1024, block_k: Optional[int] = None,
+              block_q: Optional[int] = None,
+              block_k: Optional[int] = None,
               chunk: Optional[int] = None,
               interpret: Optional[bool] = None) -> jax.Array:
     """Fused blockwise attention over (..., S, D) tensors.
@@ -323,6 +324,8 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     DP = round_step_up(D, 128)
     if block_k is None:
         block_k = _default_block_k(DP, q.dtype, window)
+    if block_q is None:
+        block_q = _default_block_q(DP, q.dtype, causal, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     # SP must let the grid COVER every row on both axes: (SP//bq)*bq >= S
@@ -330,8 +333,12 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     # when the smaller block doesn't divide the larger (bf16 S=1500 ->
     # bq=1024, bk=1536: SP=1536 leaves rows >= 1024 unvisited); the max of
     # per-axis roundings is a multiple of bq OR >= the bq-rounding, which
-    # floor-covers S on each axis.
-    SP = max(round_step_up(S, bq), round_step_up(S, bk))
+    # floor-covers S on each axis. SP is then rounded to a bq MULTIPLE:
+    # bq-floor-covering S leaves rows in [floor(SP/bq)*bq, SP) unvisited —
+    # padding for the output, but the saved softmax stats for them would
+    # stay uninitialized and poison the backward (caught at S=1500 when
+    # the causal bq=2048 default clamps to a non-dividing 1504).
+    SP = round_step_up(max(round_step_up(S, bq), round_step_up(S, bk)), bq)
     # Sub-chunk the K panel in-body (see _build_flash): the unrolled chunked
     # online softmax lets Mosaic overlap each chunk's exp with the next
     # chunk's s-dot. Measured at B8 S2048 D128 bf16 (tools/
@@ -386,15 +393,35 @@ def _default_block_k(DP: int, dtype, window) -> int:
     return 1024 if (window is not None or row_bytes > 256) else 2048
 
 
+def _default_block_q(DP: int, dtype, causal, window) -> int:
+    """Forward q-block default. Round-5 end-to-end geometry race
+    (tools/attention_block_race.py, B8 S2048 D128 bf16): CAUSAL wants the
+    2048-row q block — (bq=2048, bk=2048, ck=512) runs 152.0 TF vs 147.6
+    at (1024, 2048) — one stats init/finalize amortized over twice the
+    math; FULL mask keeps 1024 (its (2048, 2048, 512) row is 146.1 vs
+    151.1 at bq=1024). The ceiling probe's favored (bq=2048, bk=1024)
+    does NOT transfer end to end (113.9-117.1 TF: narrower K panels
+    double the online-softmax rescale traffic), resolving the round-4
+    probe-vs-product discrepancy. Wider rows (f32 / head dims padded past
+    128 lanes) and windowed masks keep 1024 (VMEM / unraced). The
+    BACKWARD keeps its own 1024 (its dq/dkv accumulators, see _att_bwd).
+    """
+    row_bytes = DP * jnp.dtype(dtype).itemsize
+    return 2048 if (causal and window is None and row_bytes <= 256) else 1024
+
+
 def _default_chunk(bk: int, dtype, causal: bool) -> int:
-    """In-body sub-chunk width (see _build_flash). Measured at B8 S2048
-    D128 bf16: 1024-chunks lift full-mask 0.141 -> 0.122 ms; 512-chunks
-    win for causal (0.117 vs 0.124 at 1024). f32 keeps chunk = bk — the
-    6-pass dots already fill the MXU, so there is no idle VPU slot for
-    the interleave to reclaim."""
+    """In-body sub-chunk width (see _build_flash). Round-5 race (B8 S2048
+    D128 bf16, tools/attention_block_race.py): 512-chunks win BOTH masks
+    — full (1024, 2048, 512) 151.1 TF vs 143.4 at ck=1024 (round 4 had
+    measured 1024 ahead; the finer unroll now wins on this toolchain),
+    causal (2048, 2048, 512) 152.0 vs 147.7 at 1024; ck=256
+    over-fragments (135-137). f32 keeps chunk = bk — the 6-pass dots
+    already fill the MXU, so there is no idle VPU slot for the interleave
+    to reclaim."""
     if jnp.dtype(dtype).itemsize == 4:
         return bk
-    c = min(bk, 512 if causal else 1024)
+    c = min(bk, 512)
     while bk % c:  # bk from round_step_up(S,128) may be e.g. 1536
         c //= 2
     return c
@@ -405,7 +432,8 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
                          k_valid: Optional[int] = None,
                          q_offset=None, k_offset=None,
                          window: Optional[int] = None,
-                         block_q: int = 1024, block_k: Optional[int] = None,
+                         block_q: Optional[int] = None,
+                         block_k: Optional[int] = None,
                          interpret: Optional[bool] = None):
     """Flash attention that also returns the softmax residuals.
 
@@ -438,11 +466,13 @@ def attention_with_stats(q, k, v, *, causal: bool = False,
         row_bytes = DP * jnp.dtype(q.dtype).itemsize
         block_k = 1024 if (causal or window is not None
                            or row_bytes > 256) else 2048
+    if block_q is None:
+        block_q = _default_block_q(DP, q.dtype, causal, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(Sk, 128))
     SPq = round_step_up(S, bq)
     SPk = round_step_up(Sk, bk)
-    SP = max(SPq, SPk)
+    SP = round_step_up(max(SPq, SPk), bq)  # bq-multiple (stats coverage)
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, Sk, D)
     v3 = v.reshape(BH, Sk, D)
@@ -493,9 +523,12 @@ def _flash_forward_padded(q, k, v, causal, scale, block_q, block_k,
             block_k = 512
         else:
             block_k = _default_block_k(DP, q.dtype, window)
+    if block_q is None:
+        block_q = _default_block_q(DP, q.dtype, causal, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
-    SP = max(round_step_up(S, bq), round_step_up(S, bk))  # see attention()
+    SP = round_step_up(max(round_step_up(S, bq), round_step_up(S, bk)),
+                       bq)  # bq-multiple: see attention() (stats coverage)
     q3 = q.reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
@@ -542,6 +575,11 @@ def _att_bwd(causal, scale, block_q, block_k, window, res, g):
         # (measured compile-fail at B8 S2048 D128), so f32 keeps 512
         # (22.0 TF full / 14.1 causal, the round-3 geometry).
         block_k = 512 if jnp.dtype(q3.dtype).itemsize == 4 else 1024
+    if block_q is None:
+        # the backward keeps 1024 regardless of mask: its per-q-block
+        # dq accumulator rides beside the dkv panels, and the forward's
+        # causal 2048-row win was raced forward-only
+        block_q = 1024
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
     g3 = g.reshape(BH, S, D)
@@ -563,7 +601,8 @@ _attention_ad.defvjp(_att_fwd, _att_bwd)
 def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
                   causal: bool = False, scale: Optional[float] = None,
                   window: Optional[int] = None,
-                  block_q: int = 1024, block_k: Optional[int] = None,
+                  block_q: Optional[int] = None,
+                  block_k: Optional[int] = None,
                   interpret: Optional[bool] = None) -> jax.Array:
     """Grouped-query attention: q (B, Hq, S, D), k/v (B, Hkv, S, D) with
     Hq a multiple of Hkv (MQA is Hkv=1). The kernel reads each K/V head
@@ -590,9 +629,12 @@ def attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array, *,
     DP = round_step_up(D, 128)
     if block_k is None:
         block_k = _default_block_k(DP, q.dtype, window)
+    if block_q is None:
+        block_q = _default_block_q(DP, q.dtype, causal, window)
     bq = min(block_q, round_step_up(S, 8))
     bk = min(block_k, round_step_up(S, 128))
-    SP = max(round_step_up(S, bq), round_step_up(S, bk))  # see attention()
+    SP = round_step_up(max(round_step_up(S, bq), round_step_up(S, bk)),
+                       bq)  # bq-multiple: see attention() (stats coverage)
     q3 = q.reshape(B * Hq, S, D)
     k3 = k.reshape(B * Hkv, S, D)
     v3 = v.reshape(B * Hkv, S, D)
@@ -645,7 +687,7 @@ _gqa_ad.defvjp(_gqa_fwd, _gqa_bwd)
 def attention_gqa_trainable(q, k, v, *, causal: bool = False,
                             scale: Optional[float] = None,
                             window: Optional[int] = None,
-                            block_q: int = 1024,
+                            block_q: Optional[int] = None,
                             block_k: Optional[int] = None) -> jax.Array:
     """Differentiable GQA: native grouped flash forward; backward expands
     K/V across the group and group-sums dk/dv."""
@@ -658,7 +700,7 @@ def attention_gqa_trainable(q, k, v, *, causal: bool = False,
 def attention_trainable(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
                         window: Optional[int] = None,
-                        block_q: int = 1024,
+                        block_q: Optional[int] = None,
                         block_k: Optional[int] = None) -> jax.Array:
     """Differentiable attention: flash kernel forward AND fused flash
     backward kernels (O(S) memory in both directions; the S x S matrix is
