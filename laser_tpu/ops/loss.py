@@ -176,6 +176,84 @@ def _build_ce_bwd(T: int, V: int, bt: int, bv: int, dtype: str,
     )
 
 
+@build_cache
+def _build_ce_fused_grad(T: int, V: int, bt: int, dtype: str, eps: float,
+                         interpret: bool):
+    """ONE-pass value+grad: read each (bt, V) row block once, emit the
+    per-row loss AND the unit-cotangent gradient dxu = softmax(x) - q in
+    the same kernel, dxu ALIASING the logits buffer.
+
+    Round-5 rationale (VERDICT #6): the two-kernel VJP (online-lse
+    forward + recompute backward) moves 3 logits-sized HBM passes; under
+    jit XLA's own composed grad fuses to ~2 passes and was beating it
+    0.71x even after the dx aliasing. With the whole vocabulary row
+    RESIDENT (bt rows x V lanes in VMEM — 16 MB covers V up to ~512k at
+    bt=8), the lse needs no online carry, so value and gradient cost ONE
+    read + one aliased write: the information-theoretic floor for this
+    op. Used only inside the VJP forward rule — value-only callers keep
+    the online kernel and never pay the dxu write."""
+    nt = cdiv(T, bt)
+    tpad = nt * bt != T
+    dt = jnp.dtype(dtype)
+
+    def kernel(x_ref, t_ref, loss_ref, dx_ref):
+        i = pl.program_id(0)
+        v = x_ref[:].astype(jnp.float32)                  # (bt, V)
+        cpos = jax.lax.broadcasted_iota(jnp.int32, (bt, V), 1)
+        if tpad:  # tail rows hold undefined data; poison-proof them
+            rpos = i * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, V), 0)
+            v = jnp.where(rpos < T, v, 0.0)
+        m = jnp.max(v, axis=-1, keepdims=True)
+        e = _exp_expr(v - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        lse = m + _log_expr(s)
+        tmask = cpos == t_ref[:]
+        tv = jnp.sum(jnp.where(tmask, v, 0.0), axis=-1, keepdims=True)
+        if eps:
+            sv = jnp.sum(v, axis=-1, keepdims=True)
+            loss_ref[:] = lse - (1.0 - eps) * tv - (eps / V) * sv
+        else:
+            loss_ref[:] = lse - tv
+        p = e / s
+        q = tmask.astype(jnp.float32)
+        if eps:
+            q = (1.0 - eps) * q + (eps / V)
+        dx_ref[:] = (p - q).astype(dt)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((bt, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T, V), dt)],
+        input_output_aliases={0: 1},  # dxu overwrites the dead logits
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _fused_grad_bt(T: int, V: int) -> Optional[int]:
+    """Row-block height for the one-pass value+grad kernel, or None when
+    a (bt, V) f32 row block cannot fit the 16 MB working budget (then the
+    online two-kernel path handles the — pathological — vocabulary)."""
+    Vp = round_step_up(V, 128)
+    bt = min(round_step_up(T, 8), ((4 * 1024 * 1024) // (4 * Vp)) // 8 * 8)
+    return bt if bt >= 8 else None
+
+
 def _plan_blocks(T: int, V: int, itemsize: int):
     """~2 MB input blocks, LANE-MAJOR: the widest V block first (long
     contiguous DMA runs — a (256, 2048) block of a 50k-wide array reads
@@ -205,12 +283,29 @@ def _ce_fwd_impl(logits, targets, eps, interpret):
 
 
 def _ce_fwd_vjp(logits, targets, eps, interpret):
+    T, V = logits.shape
+    bt = _fused_grad_bt(T, V)
+    if bt is not None:
+        # one-pass value+grad: the residual is the UNIT gradient (which
+        # replaces — and buffer-aliases — the logits residual the
+        # two-kernel path would have kept; peak memory unchanged)
+        call = _build_ce_fused_grad(T, V, bt,
+                                    jnp.dtype(logits.dtype).name,
+                                    eps, interpret)
+        loss2, dxu = call(logits, targets.astype(jnp.int32).reshape(T, 1))
+        return loss2[:, 0], (dxu, None, None)
     loss, lse = _ce_fwd_impl(logits, targets, eps, interpret)
-    return loss, (logits, targets, lse)
+    return loss, (None, (logits, targets, lse), None)
 
 
 def _ce_bwd_vjp(eps, interpret, res, g):
-    logits, targets, lse = res
+    dxu, online, _ = res
+    if dxu is not None:
+        # per-row cotangent scale; XLA fuses this elementwise multiply
+        # into dx's consumer (optimizer update / matmul read)
+        return (g.astype(jnp.float32)[:, None] * dxu.astype(jnp.float32)
+                ).astype(dxu.dtype), None
+    logits, targets, lse = online
     T, V = logits.shape
     bt, bv = _plan_blocks(T, V, jnp.dtype(logits.dtype).itemsize)
     call = _build_ce_bwd(T, V, bt, bv, jnp.dtype(logits.dtype).name,
