@@ -490,6 +490,10 @@ def bench_memory_bound():
     def _lm_fused(h, e):
         return jax.grad(lambda hh: lt.lm_cross_entropy(hh, e, ce_t))(h)
 
+    def _lm_chunked(h, e):
+        return jax.grad(lambda hh: lt.lm_cross_entropy(
+            hh, e, ce_t, memory_budget_bytes=None))(h)
+
     def _lm_xla(h, e):
         def f(hh):
             # matched precision: our f32 path pins HIGHEST (PERF_NOTES
@@ -500,14 +504,23 @@ def bench_memory_bound():
             return -jnp.mean(jnp.take_along_axis(logp, ce_t[:, None], 1))
         return jax.grad(f)(h)
 
-    t_lm = chain_rate(_lm_fused, lm_h, lm_e)
+    t_lm = chain_rate(_lm_fused, lm_h, lm_e)       # product dispatch
+    t_lmc = chain_rate(_lm_chunked, lm_h, lm_e)    # forced O(T*bv) path
     t_lmx = chain_rate(jax.jit(_lm_xla), lm_h, lm_e)
     out["lm_cross_entropy_2048x32768"] = {
         "gflops": round(lm_flops / t_lm / 1e6, 1),
         "xla_gflops": round(lm_flops / t_lmx / 1e6, 1),
         "vs_xla": round(t_lmx / t_lm, 3), "ms": round(t_lm, 4),
         "d_model": D,
-        "temp_mb": {"fused": _temp_mb(_lm_fused, lm_h, lm_e),
+        "chunked_gflops": round(lm_flops / t_lmc / 1e6, 1),
+        "chunked_vs_xla": round(t_lmx / t_lmc, 3),
+        "note": "memory-budget dispatch: this shape materializes (logits "
+        "+ unit-grad residual fit 256 MB) and rides the one-pass CE "
+        "kernel; the chunked O(T*block_v) strategy pays the backward's "
+        "chunk-logit recompute (~33% extra GEMM FLOPs) and is the "
+        "dispatch for shapes past the budget",
+        "temp_mb": {"dispatch": _temp_mb(_lm_fused, lm_h, lm_e),
+                    "chunked": _temp_mb(_lm_chunked, lm_h, lm_e),
                     "xla_materializing": _temp_mb(_lm_xla, lm_h, lm_e)}}
     log(f"lm_cross_entropy 2048x32768 D4096: {t_lm:.2f} ms "
         f"({lm_flops / t_lm / 1e9:.2f} TF, {t_lmx / t_lm:.2f}x XLA)")

@@ -514,19 +514,31 @@ def lm_cross_entropy(hidden: jax.Array, embed: jax.Array,
                      reduction: str = "mean",
                      label_smoothing: float = 0.0,
                      ignore_index: Optional[int] = None,
-                     block_v: int = 8192) -> jax.Array:
-    """Cross-entropy of the unembedding projection, logits never built.
+                     block_v: int = 8192,
+                     memory_budget_bytes: Optional[int] = 256 * 1024 * 1024
+                     ) -> jax.Array:
+    """Cross-entropy of the unembedding projection.
 
     hidden (..., D) float, targets (...) int. ``transb=True`` (default):
     embed is (V, D) — the tied-embedding row layout, logits = hidden @
     embed.T (``gemm(x, embed, transb=True)``). ``transb=False``: embed is
     (D, V) — the untied column layout (llama's ``unembed``), logits =
-    hidden @ embed. Streams the vocabulary in ``block_v`` chunks with
-    online-logsumexp carries; peak live memory is O(T·block_v) instead of
-    O(T·V), forward AND backward (custom VJP recomputes each chunk's
-    logits from the saved per-row lse). Same ``reduction`` /
-    ``label_smoothing`` / ``ignore_index`` semantics as
-    :func:`cross_entropy`, and numerically interchangeable with it.
+    hidden @ embed. Same ``reduction`` / ``label_smoothing`` /
+    ``ignore_index`` semantics as :func:`cross_entropy`, and numerically
+    interchangeable with it.
+
+    MEMORY-BUDGET DISPATCH (round-5 VERDICT #6; the same measured-winner
+    policy as the GEMM backend dispatch): when the (T, V) logits fit
+    ``memory_budget_bytes``, the projection MATERIALIZES and the loss
+    rides :func:`cross_entropy`'s one-pass fused value+grad kernel — the
+    backward then reuses the stored unit gradient instead of recomputing
+    every chunk's logits, deleting the chunked path's ~33% extra GEMM
+    FLOPs (measured 0.68x XLA at (2048, 32k, D4096) for chunked vs ~1x
+    materialized). Shapes past the budget stream the vocabulary in
+    ``block_v`` chunks with online-logsumexp carries: peak live memory
+    O(T·block_v) instead of O(T·V), forward AND backward (the custom VJP
+    recomputes each chunk's logits from the saved per-row lse).
+    ``memory_budget_bytes=None`` forces the chunked path.
     """
     if reduction not in ("mean", "sum", "none"):
         raise ValueError(f"unknown reduction {reduction!r}")
@@ -548,6 +560,22 @@ def lm_cross_entropy(hidden: jax.Array, embed: jax.Array,
         raise ValueError(f"targets shape {targets.shape} != hidden leading "
                          f"dims {tuple(lead)}")
     T = int(np.prod(lead)) if lead else 1
+    Vp = round_step_up(V, 128)
+    if (memory_budget_bytes is not None
+            and 2 * T * Vp * jnp.dtype(hidden.dtype).itemsize
+            <= memory_budget_bytes):
+        # materialized path: logits + the saved unit-grad residual both
+        # fit the budget (hence the factor 2)
+        from .gemm.autodiff import gemm_ad
+
+        logits = gemm_ad(hidden.reshape(T, D), embed, None, False,
+                         bool(transb))
+        return cross_entropy(
+            logits, targets.reshape(T), reduction=reduction,
+            label_smoothing=eps, ignore_index=ignore_index
+        ).reshape(*lead) if reduction == "none" else cross_entropy(
+            logits, targets.reshape(T), reduction=reduction,
+            label_smoothing=eps, ignore_index=ignore_index)
     bv = max(128, min(round_step_up(block_v, 128), round_step_up(V, 128)))
     targets = targets.reshape(T)
     valid = None

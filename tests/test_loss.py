@@ -178,14 +178,16 @@ class TestLMCrossEntropy:
                                       (300, 8192)])
     def test_matches_materialized(self, rng, V, bv):
         h, emb, tgt = self._setup(rng, 24, 64, V)
-        got = lt.lm_cross_entropy(h, emb, tgt, reduction="none", block_v=bv)
+        got = lt.lm_cross_entropy(h, emb, tgt, reduction="none", block_v=bv,
+                              memory_budget_bytes=None)
         want = _oracle(_hi_dot(h, emb.T), tgt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
     def test_matches_cross_entropy_op(self, rng):
         h, emb, tgt = self._setup(rng, 16, 32, 700)
-        a = lt.lm_cross_entropy(h, emb, tgt, block_v=256)
+        a = lt.lm_cross_entropy(h, emb, tgt, block_v=256,
+                                memory_budget_bytes=None)
         b = lt.cross_entropy(_hi_dot(h, emb.T), tgt)
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
 
@@ -194,7 +196,8 @@ class TestLMCrossEntropy:
         h, emb, tgt = self._setup(rng, T, D, V)
 
         def ours(h_, e_):
-            return lt.lm_cross_entropy(h_, e_, tgt, block_v=256)
+            return lt.lm_cross_entropy(h_, e_, tgt, block_v=256,
+                                       memory_budget_bytes=None)
 
         def ref(h_, e_):
             return jnp.mean(_oracle(_hi_dot(h_, e_.T), tgt))
@@ -215,6 +218,7 @@ class TestLMCrossEntropy:
         @jax.jit
         def ours(h_, e_):
             return lt.lm_cross_entropy(h_, e_, tj, block_v=256,
+                                       memory_budget_bytes=None,
                                        label_smoothing=eps,
                                        ignore_index=-100)
 
