@@ -896,10 +896,12 @@ def bench_serving_engine():
             spec_alpha[gname] = alpha
         log(f"serving spec tiny {gname}: {tps:.0f} tok/s"
             + (f" (alpha {alpha})" if alpha is not None else ""))
-    best = max(spec_race, key=lambda kk: spec_race[kk])
+    best = max((kk for kk in spec_race if kk != "plain"),
+               key=lambda kk: spec_race[kk])
     out["serving_engine_b8_spec"] = {
         "tokens_per_s": spec_race[best], "batch": 8,
         "decode_burst": BURST, "config": best,
+        "plain_tok_s": spec_race["plain"],
         "race_tok_s": spec_race, "acceptance_rate": spec_alpha,
         "draft": "int8 weight-only self-draft",
         "note": "tiny bench model: decode is paged-attention-bound, not "
@@ -908,23 +910,38 @@ def bench_serving_engine():
 
     big = init_transformer(jax.random.PRNGKey(3), n_layers=8,
                            d_model=2048, n_heads=16, d_ff=8192, vocab=8192)
+    # bf16 weights: the production serving dtype. An f32 target pins
+    # HIGHEST (6-pass) linears, which at decode batch 8 are MXU-pass
+    # bound (~6% utilization at M=8) - 8x off the weight-streaming floor
+    # and not the regime this row demonstrates.
+    big = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                       if hasattr(x, "dtype") and x.dtype == jnp.float32
+                       else x, big)
     wrace, walpha = {}, {}
     for gname, gmode, gam in (("plain", False, 0),
                               ("int8_g4", "int8", 4),
+                              ("int8_g6", "int8", 6),
+                              # int4 self-draft kept for the record: its
+                              # argmax agreement collapses (~0.17) - the
+                              # 8x byte saving is not worth a draft that
+                              # is wrong 5 of 6 times
                               ("int4_g4", "int4", 4)):
-        tps, alpha = run_spec(gmode, gam, big, 16, 8, 128, 128,
-                              64, 8 * 6 + 1, 6, (128,))
+        # mnt must exceed the 2 warm bursts (2 x decode_burst tokens)
+        # or the timed window measures only the drain tail
+        tps, alpha = run_spec(gmode, gam, big, 16, 8, 128, 256,
+                              64, 8 * 7 + 2, 7, (128,))
         wrace[gname] = round(tps, 1)
         if alpha is not None:
             walpha[gname] = alpha
         log(f"serving spec weightbound {gname}: {tps:.0f} tok/s"
             + (f" (alpha {alpha})" if alpha is not None else ""))
-    wbest = max(wrace, key=lambda kk: wrace[kk])
+    wbest = max((kk for kk in wrace if kk != "plain"),
+                key=lambda kk: wrace[kk])
     out["serving_spec_weightbound"] = {
         "tokens_per_s": wrace[wbest], "config": wbest,
         "race_tok_s": wrace, "acceptance_rate": walpha,
         "speedup_vs_plain": round(wrace[wbest] / wrace["plain"], 2),
-        "model": "8L d2048 ff8192 v8192 f32 (1.4 GB weights)",
+        "model": "8L d2048 ff8192 v8192 bf16 (0.8 GB weights)",
         "note": "weight-HBM-bound decode: the quantized self-draft "
         "streams 4-8x fewer weight bytes per proposal"}
 
