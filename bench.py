@@ -515,7 +515,8 @@ def bench_memory_bound():
         "chunked_gflops": round(lm_flops / t_lmc / 1e6, 1),
         "chunked_vs_xla": round(t_lmx / t_lmc, 3),
         "note": "memory-budget dispatch: this shape materializes (logits "
-        "+ unit-grad residual fit 256 MB) and rides the one-pass CE "
+        "+ unit-grad residual = 0.54 GB fit the 1 GiB budget) and "
+        "rides the one-pass CE "
         "kernel; the chunked O(T*block_v) strategy pays the backward's "
         "chunk-logit recompute (~33% extra GEMM FLOPs) and is the "
         "dispatch for shapes past the budget",

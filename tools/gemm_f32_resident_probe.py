@@ -23,6 +23,10 @@ import json
 import sys
 import time
 
+import sys
+
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 

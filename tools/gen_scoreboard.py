@@ -133,10 +133,11 @@ SPEC = [
                 if "temp_mb" in r else "")),
     ("lm_cross_entropy_2048x32768", "LM cross-entropy train fusion",
      lambda r: f"{_tf(r['gflops'])} TFLOP/s", _vs,
-     lambda r: "chunked-vocab unembed+CE value+grad (logits never built) "
-               "— the kernel llama training rides; temp "
-               f"{r['temp_mb']['fused']} MB vs XLA's "
-               f"{r['temp_mb']['xla_materializing']}"),
+     lambda r: "memory-budget dispatch (the kernel llama training "
+               f"rides); forced-chunked strategy {r['chunked_gflops']} "
+               f"GF at {r['chunked_vs_xla']}× (temp "
+               f"{r['temp_mb']['chunked']} MB vs "
+               f"{r['temp_mb']['dispatch']})"),
     ("transpose_8192", "transpose 8192² in-place",
      lambda r: f"{r['gbps']} GB/s ({_hbm(r)})", _vs,
      lambda r: "pipelined paired-swap; strategies: serialized "
