@@ -100,7 +100,8 @@ class TestMoEModel:
         tol = 4e-3 if os.environ.get("LASER_TEST_BACKEND") == "tpu" else 2e-4
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=tol, atol=tol)
-        np.testing.assert_allclose(float(aux), float(aux_w), rtol=1e-5)
+        np.testing.assert_allclose(float(aux), float(aux_w),
+                                   rtol=(5e-4 if tol > 2e-4 else 1e-5))
 
     def test_aux_loss_uniform_router_is_one(self):
         # a perfectly uniform router: f_e = 1/E (ties broken by argmax are
