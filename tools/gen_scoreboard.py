@@ -182,6 +182,14 @@ SPEC = [
     ("serving_engine_b8_w4", "serving engine b8 (int4 weights)",
      lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
      lambda r: ""),
+    ("serving_engine_b8_burst128", "serving engine b8, burst 128",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
+     lambda r: "burst 64 was still tunnel-RTT-bound; 128 moves the "
+               "pipelined wall to device compute"),
+    ("serving_engine_b8_burst128_int8kv", "serving engine b8, burst 128 "
+     "(int8 KV)",
+     lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
+     lambda r: ""),
     ("serving_engine_b8_spec", "serving engine b8 (speculative)",
      lambda r: f"{r['tokens_per_s']:,.0f} tok/s", lambda r: "—",
      lambda r: f"best config {r['config']}; measured acceptance "
